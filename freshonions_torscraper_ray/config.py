@@ -1,0 +1,48 @@
+"""Crawl configuration.
+
+Mirrors the reference's Scrapy settings knobs (torscraper/settings.py —
+DOWNLOAD_DELAY, CONCURRENT_REQUESTS_PER_DOMAIN, MAX_PAGES_PER_DOMAIN,
+ROBOTSTXT_OBEY, RETRY_TIMES; SURVEY.md §2.3 O12/O14) as one frozen
+dataclass. Everything that influences crawl ordering lives here so the
+distributed engine and the single-threaded oracle consume the exact same
+policy object — that is what makes crawl-order equality testable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # politeness: one fetch per `download_delay` virtual seconds per domain
+    download_delay: float = 1.0
+    # max URLs a single domain may fetch within one crawl round
+    # (Scrapy CONCURRENT_REQUESTS_PER_DOMAIN analogue under round semantics)
+    per_round_domain_cap: int = 4
+    # lifetime page budget per domain (page-limit middleware analogue)
+    max_pages_per_domain: int = 25
+    max_depth: int = 6
+    obey_robots: bool = True
+    max_rounds: int = 64
+    # sharding
+    num_scheduler_shards: int = 8
+    num_cuckoo_shards: int = 8
+    seed: int = 42
+
+    # packed discovered_seq layout: (round << 44) | (fetch_order << 16) | pos
+    ROUND_SHIFT: int = 44
+    FETCH_SHIFT: int = 16
+
+    def pack_seq(self, rnd: int, fetch_order: int, pos: int) -> int:
+        """Deterministic total discovery order without a global counter.
+
+        Any total order works for tie-breaking; packing (round, global
+        fetch_order of the discovering page, position within that page)
+        avoids a driver-side counter so dedup's "first discovery wins"
+        becomes a distributed groupby-min (SURVEY.md §2.5 O22).
+        """
+        return (rnd << self.ROUND_SHIFT) | (min(fetch_order, (1 << 28) - 1) << self.FETCH_SHIFT) | min(pos, (1 << 16) - 1)
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,147 @@
+"""DuckDB oracle SQL twins for every SQL-expressible query in queries.py.
+
+Column names and rounding must match the Ray pipelines exactly (the
+driver sorts columns by name and hash-compares values). Queries with no
+entry here (sketch-based dedup, langid, multi-query ANN) get the driver's
+rows-only check instead.
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "extract_tokens": """
+        SELECT doc_id, unnest(regexp_extract_all(text, 'sp[a-z]+')) AS token
+        FROM documents
+    """,
+    "extract_emails": r"""
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails
+        FROM documents
+    """,
+    "extract_onions": r"""
+        SELECT doc_id, len(regexp_extract_all(text, '[a-z2-7]{16}\.onion'))::BIGINT AS n_onions
+        FROM documents
+    """,
+    "extract_btc": """
+        SELECT doc_id, len(regexp_extract_all(text, '[13][a-km-zA-HJ-NP-Z1-9]{25,34}'))::BIGINT AS n_btc
+        FROM documents
+    """,
+    "token_count": """
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+        FROM documents
+    """,
+    "quality_score": """
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS t FROM documents
+        )
+        SELECT doc_id,
+               len(t)::BIGINT AS n_tokens,
+               round(coalesce(len(list_filter(t, x -> x IN ('the', 'a'))) / greatest(len(t), 1), 0), 4) AS stop_ratio,
+               round(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum') / greatest(len(t), 1), 0), 4) AS mean_token_len
+        FROM toks
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "clone_groups": """
+        SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_genuine
+        FROM documents
+    """,
+    "ann_topk": """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qe FROM q)), 4) AS cos
+        FROM embeddings
+        ORDER BY cos DESC, vec_id ASC
+        LIMIT 10
+    """,
+    "events_latest_per_user": """
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_first_per_type": """
+        SELECT user_id, event_type, event_id AS first_event_id
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "events_per_user_stats": """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
+        FROM events GROUP BY user_id
+    """,
+    "events_recent": """
+        SELECT user_id, max(ts) AS last_ts
+        FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+        GROUP BY user_id
+    """,
+    "orders_by_segment": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "customer_order_counts": """
+        SELECT c_custkey, c_name, count(*)::BIGINT AS n_orders
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "supplier_region": """
+        SELECT r_name, count(*)::BIGINT AS n_suppliers
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "link_degree": """
+        SELECT l_partkey, count(*)::BIGINT AS n_lines FROM lineitem GROUP BY l_partkey
+    """,
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*)::BIGINT AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_lineitems": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 10
+    """,
+    "global_stats": """
+        SELECT count(*)::BIGINT AS n_docs,
+               count(DISTINCT lang)::BIGINT AS n_langs,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+    """,
+    "lang_distribution": """
+        SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    """,
+    "language_filter": """
+        SELECT source, count(*)::BIGINT AS n_docs FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+    "search_rank": """
+        SELECT doc_id, len(regexp_extract_all(text, 'spark'))::BIGINT AS score
+        FROM documents
+        WHERE len(regexp_extract_all(text, 'spark')) > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """,
+    "random_sample_hash": """
+        SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+    """,
+    "union_sources": """
+        SELECT DISTINCT custkey FROM (
+            SELECT c_custkey AS custkey FROM customer
+            UNION ALL
+            SELECT o_custkey AS custkey FROM orders
+        )
+    """,
+}

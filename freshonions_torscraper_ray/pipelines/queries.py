@@ -1,0 +1,510 @@
+"""Query surface: one Ray Data pipeline per SURVEY.md §2 operator, each
+with a DuckDB oracle twin (oracle_sqls.py) over the driver testdata.
+
+These are the engine's analogue of the reference's Flask/JSON API reads
+and cron-side aggregations (SURVEY.md §2.1 S7, §2.5) plus the
+training-data operator family (dedup / similarity / text analysis).
+Column names are part of the contract: they must match the SQL exactly
+(the driver hash-compares values after sorting columns by name).
+
+Float discipline: every float aggregate is rounded to 4 decimals on BOTH
+sides (pyarrow and SQL) so summation order can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import regexes as rx
+from ..functions.rounding import pc_round4, round_half_away
+from ..stages import dedup as dd
+from ..stages import similarity as sim
+from ..stages import textstats as ts
+
+# ---------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _round4(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        idx = t.schema.get_field_index(c)
+        t = t.set_column(idx, c, pc_round4(t[c]))
+    return t
+
+
+def _to_cents(col_names: list[str]):
+    """Money columns → int64 cents before a distributed Sum.
+
+    Double summation is order-dependent; at sf0.1 a 5e9-scale sum differs
+    from DuckDB's by ~1e-5 — enough to straddle a 4-decimal rounding bin.
+    Fixed-point int sums are exact and order-independent on both sides
+    (the SQL twin sums CAST(round(x*100) AS BIGINT)).
+    """
+
+    def conv(t: pa.Table) -> pa.Table:
+        for c in col_names:
+            cents = round_half_away(t[c].to_numpy(zero_copy_only=False) * 100.0, 0).astype(
+                np.int64
+            )
+            t = t.set_column(t.schema.get_field_index(c), c, pa.array(cents, pa.int64()))
+        return t
+
+    return conv
+
+
+def _cents_to_value(t: pa.Table, cols: list[str]) -> pa.Table:
+    for c in cols:
+        idx = t.schema.get_field_index(c)
+        v = pc.divide(pc.cast(t[c], pa.float64()), 100.0)
+        t = t.set_column(idx, c, pc_round4(v))
+    return t
+
+
+# ------------------------------------------------- extraction / text (O3/O5/O6/O7)
+
+
+def q_extract_tokens(sf_dir: str):
+    """O2/O3-style find-all + explode over flat text (pattern that
+    actually matches the testdata vocabulary)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: ts.extract_pattern_rows(b, r"sp[a-z]+"), batch_format="pyarrow"
+    )
+
+
+def _count_matches(sf_dir: str, pattern: str, out_col: str):
+    """Per-doc regex match counts (the entity patterns never fire on the
+    word-salad testdata text, so a count query — 1 row/doc, mostly 0 —
+    keeps the oracle comparison non-degenerate; the explode form is
+    exercised by extract_tokens here and by the span-web goldens in
+    tests/ for real onion/email/btc payloads)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], pattern), pa.int64())
+        return pa.Table.from_arrays([t["doc_id"], n], names=["doc_id", out_col])
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def q_extract_emails(sf_dir: str):
+    return _count_matches(sf_dir, rx.EMAIL_PATTERN, "n_emails")
+
+
+def q_extract_onions(sf_dir: str):
+    return _count_matches(sf_dir, rx.ONION_PATTERN, "n_onions")
+
+
+def q_extract_btc(sf_dir: str):
+    return _count_matches(sf_dir, rx.BTC_PATTERN, "n_btc")
+
+
+def q_token_count(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ts.token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def q_quality_score(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ts.quality_scores, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "stop_ratio", "mean_token_len"]
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ts.md5_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+def q_langid_pred(sf_dir: str):
+    """O10 language ID (rows-only: heuristic model, not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        ts.LangId, batch_format="pyarrow", concurrency=2, batch_size=2048
+    ).select_columns(["doc_id", "pred_lang"])
+
+
+# ------------------------------------------------------- dedup family (O22-O25)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup by content hash: min doc_id + multiplicity per text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(ts.md5_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+    return ds.groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies")
+    ).select_columns(["doc_id", "n_copies"])
+
+
+def q_clone_groups(sf_dir: str):
+    """O25: domains sharing a fingerprint; earliest is genuine."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(ts.md5_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp"]
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        g["is_genuine"] = g["doc_id"] == g["doc_id"].iloc[0]
+        return g[["doc_id", "is_genuine"]]
+
+    return ds.groupby("fp").map_groups(mark, batch_format="pandas")
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup candidate pairs + exact-Jaccard verification
+    (rows-only: sketching isn't SQL-expressible)."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.minhash_candidate_pairs(ds)
+    ttab = _texts_table(sf_dir)
+    texts = dict(zip(ttab["doc_id"].to_pylist(), ttab["text"].to_pylist()))
+    ref = ray.put(texts)
+    return pairs.map_batches(
+        dd.ExactJaccardVerifier,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+
+def _texts_table(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.simhash_near_dups(ds, max_hamming=6)
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.embedding_near_dups(ds, dim=64, threshold=0.3, nbits=6)
+
+
+# --------------------------------------------------- similarity search
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the vec_id=0 query vector.
+
+    float64 end-to-end + round-to-4 ordering so the DuckDB
+    list_cosine_similarity twin agrees bit-for-bit after rounding.
+    """
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qrow = qtab.filter(pc.equal(qtab["vec_id"], 0))
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = sim._to_matrix(batch["embedding"]).astype(np.float64)
+        qn = qvec / np.linalg.norm(qvec)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = round_half_away(mn @ qn, 4)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        k = min(50, len(ids))
+        top = np.lexsort((ids, -cos))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[top], pa.int64()), pa.array(cos[top], pa.float64())],
+            names=["vec_id", "cos"],
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+    merged = partials.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+    return merged.map_batches(
+        lambda t: t.append_column("query_id", pa.array([0] * t.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    ).select_columns(["query_id", "vec_id", "cos"])
+
+
+def q_ann_multi(sf_dir: str):
+    """Multi-query ANN (rows-only; exercises the broadcast-query path)."""
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sub = qtab.slice(0, 4)
+    qids = sub["vec_id"].to_pylist()
+    qmat = np.stack([np.asarray(v, dtype=np.float32) for v in sub["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.ann_topk(ds, qids, qmat, k=5)
+
+
+# --------------------------------------------- events: dedup/latest/stats (O22/O24/O32)
+
+
+def q_events_latest_per_user(sf_dir: str):
+    """O24 groupby-latest: the full latest row per key (argmax by ts,
+    tie-broken by event_id) — the reference's revisit-overwrites-page."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=False).head(1)
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "last_ts": g["ts"].to_numpy(), "last_event_id": g["event_id"].to_numpy()}
+        )
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+def q_events_first_per_type(sf_dir: str):
+    """O22 exact dedup on a composite key, first-wins by (ts, event_id)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).head(1)
+        return g[["user_id", "event_type", "event_id"]].rename(columns={"event_id": "first_event_id"})
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(first, batch_format="pandas")
+
+
+def q_events_per_user_stats(sf_dir: str):
+    """O26/O27: per-key budgets/counters via groupby-aggregate."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    ds = ds.map_batches(_to_cents(["value"]), batch_format="pyarrow")
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+    return out.map_batches(lambda t: _cents_to_value(t, ["total_value"]), batch_format="pyarrow")
+
+
+def q_events_recent(sf_dir: str):
+    """O32 staleness window: last activity per user since a cutoff."""
+    cutoff = datetime.datetime(2024, 1, 2)
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], pa.scalar(cutoff, pa.timestamp("us")))),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("user_id").aggregate(Max("ts", alias_name="last_ts"))
+
+
+# ------------------------------------------------------------ joins (O17-O21)
+
+
+def q_orders_by_segment(sf_dir: str):
+    """O18 broadcast hash join: orders ⋈ customer (small side via ray.put)
+    then segment rollup."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class AddSegment:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = [self.lookup.get(k, "") for k in keys]
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(_to_cents(["o_totalprice"]), batch_format="pyarrow")
+    joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
+    )
+    return out.map_batches(lambda t: _cents_to_value(t, ["total_price"]), batch_format="pyarrow")
+
+
+def q_customer_order_counts(sf_dir: str):
+    """O18 distributed hash join (Dataset.join) — both sides shuffled."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    joined = cust.join(
+        counts, join_type="inner", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+    return joined.select_columns(["c_custkey", "c_name", "n_orders"])
+
+
+def q_supplier_region(sf_dir: str):
+    """O21-style multi-hop grouping: supplier ⋈ nation ⋈ region rollup
+    (both dimension sides broadcast — they are tiny)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def add_region(t: pa.Table) -> pa.Table:
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        rname = [r2name[n2r[int(k)]] for k in nk]
+        return t.append_column("r_name", pa.array(rname, pa.string()))
+
+    return (
+        sup.map_batches(add_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"))
+    )
+
+
+def q_link_degree(sf_dir: str):
+    """O19 link-graph degree analogue: rows per part key."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey"])
+    return ds.groupby("l_partkey").aggregate(Count(alias_name="n_lines"))
+
+
+# ----------------------------------------------------- aggregates / topk / misc
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped headline aggregate (O26/O27 heavy shuffle)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    ds = ds.map_batches(_to_cents(["l_quantity", "l_extendedprice"]), batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+    return out.map_batches(
+        lambda t: _round4(_cents_to_value(t, ["sum_qty", "sum_price"]), ["avg_disc"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_top_lineitems(sf_dir: str):
+    """O28 top-k with deterministic tie-breaks."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(10)
+
+
+def q_global_stats(sf_dir: str):
+    """O27 global stats row."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    n_docs = ds.count()
+    n_langs = len(ds.unique("lang"))
+    avg_chars = ds.aggregate(Mean("n_chars", alias_name="m"))["m"]
+    return pa.Table.from_arrays(
+        [
+            pa.array([n_docs], pa.int64()),
+            pa.array([n_langs], pa.int64()),
+            pa.array([float(round_half_away(avg_chars, 4))], pa.float64()),
+        ],
+        names=["n_docs", "n_langs", "avg_chars"],
+    )
+
+
+def q_lang_distribution(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_language_filter(sf_dir: str):
+    """O10-degenerate: filter by language then rollup by source."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    return ds.groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
+def q_search_rank(sf_dir: str):
+    """O30 search: term filter → occurrence-count score → top-20."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.count_substring_regex(t["text"], "spark"), pa.int64())
+        out = pa.Table.from_arrays([t["doc_id"], s], names=["doc_id", "score"])
+        return out.filter(pc.greater(out["score"], 0))
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "doc_id"], descending=[True, False]
+    ).limit(20)
+
+
+def q_random_sample_hash(sf_dir: str):
+    """O29 deterministic 'random onion': stable hash-pick."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 97 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def q_union_sources(sf_dir: str):
+    """O31 union of id sources + exact distinct."""
+    a = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    b = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["custkey"]), batch_format="pyarrow"
+    )
+    u = a.union(b)
+    return u.groupby("custkey").aggregate(Count(alias_name="_n")).select_columns(["custkey"])
+
+
+# -------------------------------------------------------------- registry
+
+QUERIES = {
+    "extract_tokens": q_extract_tokens,
+    "extract_emails": q_extract_emails,
+    "extract_onions": q_extract_onions,
+    "extract_btc": q_extract_btc,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "langid_pred": q_langid_pred,
+    "dedup_exact": q_dedup_exact,
+    "clone_groups": q_clone_groups,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk": q_ann_topk,
+    "ann_multi": q_ann_multi,
+    "events_latest_per_user": q_events_latest_per_user,
+    "events_first_per_type": q_events_first_per_type,
+    "events_per_user_stats": q_events_per_user_stats,
+    "events_recent": q_events_recent,
+    "orders_by_segment": q_orders_by_segment,
+    "customer_order_counts": q_customer_order_counts,
+    "supplier_region": q_supplier_region,
+    "link_degree": q_link_degree,
+    "lineitem_agg": q_lineitem_agg,
+    "top_lineitems": q_top_lineitems,
+    "global_stats": q_global_stats,
+    "lang_distribution": q_lang_distribution,
+    "language_filter": q_language_filter,
+    "search_rank": q_search_rank,
+    "random_sample_hash": q_random_sample_hash,
+    "union_sources": q_union_sources,
+}

@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference deduplicated only by DB unique keys (url/host/address —
+SURVEY.md §2.5 O22–O24) and detected clones by exact normalized-frontpage
+hash (O25). A training-data engine needs the near-dup family too; each
+operator here is a composition of ``map_batches`` (vectorized sketching)
++ ``groupby`` (bucket shuffle) + ``map_groups`` (within-bucket pairing),
+so the only all-to-all exchange is over the *small* sketch rows, never
+the documents themselves.
+
+Scale notes (10^10 rows): bucket keys are (band_id, band_hash) — the
+shuffle moves ~64 B/doc/band; within-bucket pairing is quadratic per
+bucket but bucket sizes are bounded by hash spread; verification re-reads
+text only for candidate pairs (broadcast at test scale, hash-join at
+cluster scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+from ..functions.regexes import WORD_PATTERN
+
+_MERSENNE = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    num_perms: int = 64
+    num_bands: int = 8  # rows per band = num_perms // num_bands
+    shingle_k: int = 3
+    seed: int = 42
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perms // self.num_bands
+
+
+def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(p.seed)
+    a = rng.randint(1, _MERSENNE, size=p.num_perms, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE, size=p.num_perms, dtype=np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingle set as uint64 hashes (sorted unique)."""
+    toks = re.findall(WORD_PATTERN, text.lower())
+    if len(toks) < k:
+        shingles = {" ".join(toks)} if toks else set()
+    else:
+        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(
+        np.fromiter((hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature → one row per LSH band.
+
+    ``__init__`` builds the permutation coefficients once per actor;
+    ``__call__`` sketches a batch and *explodes* it to
+    (doc_id, band_id, band_hash, sig) rows ready for the bucket groupby.
+    """
+
+    def __init__(self, params: MinHashParams = MinHashParams(), id_col: str = "doc_id", text_col: str = "text"):
+        self.p = params
+        self.a, self.b = _perm_coeffs(params)
+        self.id_col, self.text_col = id_col, text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.p.shingle_k)
+        if sh.size == 0:
+            return np.full(self.p.num_perms, np.uint64(_MERSENNE), dtype=np.uint64)
+        # h_i(x) = (a_i * x + b_i) mod M, vectorized (num_perms, n_shingles)
+        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        r = self.p.rows_per_band
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, t in enumerate(texts):
+            sig = self.signature(t)
+            sb = sig.tobytes()
+            for band in range(self.p.num_bands):
+                chunk = sig[band * r : (band + 1) * r].tobytes()
+                out_id.append(ids[i])
+                out_band.append(band)
+                out_key.append(hash64(chunk) & ((1 << 63) - 1))
+                out_sig.append(sb)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, batch[self.id_col].type),
+                pa.array(out_band, pa.int32()),
+                pa.array(out_key, pa.int64()),
+                pa.array(out_sig, pa.binary()),
+            ],
+            names=["doc_id", "band_id", "band_hash", "sig"],
+        )
+
+
+def band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Within one (band_id, band_hash) bucket: emit candidate pairs with
+    the estimated Jaccard from full-signature agreement. Runs inside
+    ``groupby(["band_id","band_hash"]).map_groups`` (pandas batch)."""
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
+            {"doc_a": group["doc_id"].dtype, "doc_b": group["doc_id"].dtype, "est_jaccard": "float64"}
+        )
+    g = group.sort_values("doc_id").reset_index(drop=True)
+    ids = g["doc_id"].to_numpy()
+    sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+    a_out, b_out, jac = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ids[i] == ids[j]:
+                continue
+            est = float((sigs[i] == sigs[j]).mean())
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+            jac.append(round(est, 4))
+    return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": jac})
+
+
+def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col: str = "doc_id", text_col: str = "text"):
+    """Full MinHash-LSH pipeline: sketch → band explode → bucket groupby →
+    pairs → de-dup pairs across bands (keep max estimate)."""
+    import ray.data  # noqa: F401  (ds is a ray Dataset)
+
+    bands = ds.map_batches(
+        MinHasher(params, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=4,
+    )
+    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(band_bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+class ExactJaccardVerifier:
+    """Verify candidate pairs with true n-gram Jaccard.
+
+    Test-scale path: the full id→text mapping is broadcast via
+    ``ray.put`` once and each actor materializes shingle sets lazily.
+    Cluster-scale path (documented contract): replace the broadcast with
+    a hash-join of pairs against documents on doc_id — the pair table is
+    tiny relative to the corpus.
+    """
+
+    def __init__(self, texts_ref, shingle_k: int = 3):
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.k = shingle_k
+        self._cache: dict = {}
+
+    def _sh(self, doc_id):
+        s = self._cache.get(doc_id)
+        if s is None:
+            s = shingle_hashes(self.texts[doc_id], self.k)
+            self._cache[doc_id] = s
+        return s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a_ids = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["doc_b"].to_numpy(zero_copy_only=False)
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i in range(len(a_ids)):
+            sa, sb = self._sh(a_ids[i]), self._sh(b_ids[i])
+            if sa.size == 0 and sb.size == 0:
+                jac[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            jac[i] = round(inter / (sa.size + sb.size - inter), 4) if (sa.size + sb.size - inter) else 0.0
+        return batch.append_column("jaccard", pa.array(jac))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (token-hash bit voting)."""
+    toks = re.findall(WORD_PATTERN, text.lower())
+    if not toks:
+        return 0
+    hs = np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+class SimHasher:
+    """map_batches stage: text → simhash + 4×16-bit LSH chunk keys."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
+        out_id, out_chunk, out_key, out_sim = [], [], [], []
+        for i, t in enumerate(texts):
+            sh = simhash64(t)
+            for c in range(4):
+                out_id.append(ids[i])
+                out_chunk.append(c)
+                out_key.append((sh >> (16 * c)) & 0xFFFF)
+                out_sim.append(sh & ((1 << 63) - 1) if sh < (1 << 63) else sh - (1 << 64))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_id, batch[self.id_col].type),
+                pa.array(out_chunk, pa.int32()),
+                pa.array(out_key, pa.int32()),
+                pa.array(out_sim, pa.int64()),
+            ],
+            names=["doc_id", "chunk_id", "chunk_key", "simhash"],
+        )
+
+
+def simhash_bucket_pairs(max_hamming: int = 6):
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+                {"doc_a": group["doc_id"].dtype, "doc_b": group["doc_id"].dtype, "hamming": "int64"}
+            )
+        g = group.sort_values("doc_id").reset_index(drop=True)
+        ids = g["doc_id"].to_numpy()
+        sims = g["simhash"].to_numpy().astype(np.uint64)
+        a_out, b_out, ham = [], [], []
+        for i in range(len(ids)):
+            x = sims ^ sims[i]
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                h = bin(int(x[j])).count("1")
+                if h <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    ham.append(h)
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": ham})
+
+    return pairs
+
+
+def simhash_near_dups(ds, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash near-dup pairs: sketch → chunk-key groupby → hamming verify
+    → pair dedup (min hamming across chunks)."""
+    rows = ds.map_batches(SimHasher(id_col, text_col), batch_format="pyarrow", batch_size=1024, concurrency=4)
+    pairs = rows.groupby(["chunk_id", "chunk_key"]).map_groups(
+        simhash_bucket_pairs(max_hamming), batch_format="pandas"
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def exact_dedup(ds, key_col: str, order_col: str):
+    """O22-style exact dedup: hash-partition by key, keep the first row by
+    ``order_col`` within each group (the reference's unique-key upsert)."""
+    def head1(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col).head(1)
+
+    return ds.groupby(key_col).map_groups(head1, batch_format="pandas")

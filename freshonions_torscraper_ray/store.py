@@ -1,0 +1,166 @@
+"""Versioned table store with Lance semantics over parquet.
+
+The north rule stores frontier/pages/checkpoints in Lance; the sandbox
+has no ``lance`` wheel (SURVEY.md §7 environment note), so this module
+provides the two Lance properties the engine actually depends on, backed
+by parquet:
+
+1. **Atomic, versioned round commits** — each crawl round writes its
+   output tables into ``root/rounds/round_NNNNN/<table>/`` (data first),
+   then writes ``manifest.json`` last. A round without a manifest never
+   existed; resume loads the highest manifested round. This is the
+   write-then-manifest commit Lance versions give natively.
+2. **Key-partitioned random access** — the replay content store is
+   hash-partitioned by ``hash64(domain) % n_buckets`` so a fetch batch
+   for a domain shard touches exactly one partition (Lance would serve
+   this with take-by-key).
+
+Swap-in point for real Lance: implement the same class against
+``lance.write_dataset(..., mode="append")`` + dataset versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.hashing import hash64_signed
+
+
+class RoundStore:
+    """Directory-per-round versioned store with atomic manifests."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.rounds_dir = os.path.join(root, "rounds")
+        os.makedirs(self.rounds_dir, exist_ok=True)
+
+    def _round_dir(self, rnd: int) -> str:
+        return os.path.join(self.rounds_dir, f"round_{rnd:05d}")
+
+    def latest_round(self) -> int | None:
+        """Highest round with a committed manifest, or None."""
+        best = None
+        for name in os.listdir(self.rounds_dir):
+            if not name.startswith("round_"):
+                continue
+            if os.path.exists(os.path.join(self.rounds_dir, name, "manifest.json")):
+                rnd = int(name.split("_")[1])
+                best = rnd if best is None else max(best, rnd)
+        return best
+
+    def commit_round(self, rnd: int, tables: dict[str, pa.Table], meta: dict | None = None) -> None:
+        """Write all tables then the manifest (atomic commit point).
+
+        A crashed run leaves a manifest-less directory which the next run
+        overwrites — rounds are idempotent (determinism makes re-running
+        round k produce identical bytes).
+        """
+        rdir = self._round_dir(rnd)
+        tmp = rdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        os.makedirs(tmp)
+        manifest = {"round": rnd, "tables": {}, "meta": meta or {}}
+        for name, table in tables.items():
+            tdir = os.path.join(tmp, name)
+            os.makedirs(tdir)
+            pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+            manifest["tables"][name] = {"rows": table.num_rows}
+        os.rename(tmp, rdir)
+        # manifest written last = the commit
+        with open(os.path.join(rdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def read(self, rnd: int, name: str) -> pa.Table:
+        tdir = os.path.join(self._round_dir(rnd), name)
+        return pq.read_table(tdir)
+
+    def read_manifest(self, rnd: int) -> dict:
+        with open(os.path.join(self._round_dir(rnd), "manifest.json")) as f:
+            return json.load(f)
+
+    def table_path(self, rnd: int, name: str) -> str:
+        return os.path.join(self._round_dir(rnd), name)
+
+    def read_all_rounds(self, name: str, upto: int | None = None) -> pa.Table | None:
+        """Concatenate a table across all committed rounds (append log)."""
+        parts = []
+        last = self.latest_round()
+        if last is None:
+            return None
+        for rnd in range(last + 1):
+            tdir = os.path.join(self._round_dir(rnd), name)
+            if os.path.exists(os.path.join(self._round_dir(rnd), "manifest.json")) and os.path.exists(tdir):
+                if upto is not None and rnd > upto:
+                    break
+                parts.append(pq.read_table(tdir))
+        if not parts:
+            return None
+        return pa.concat_tables(parts)
+
+
+class ContentStore:
+    """Replay content store: URL → document lookup over the bucketed
+    synthetic web (stages/fetch.py holds one per fetch actor).
+
+    Per-bucket lazy dict cache: at test scale each bucket is small; at
+    100 TB the same layout serves point lookups via parquet row-group
+    pruning / Lance take — the partitioning key (domain hash) is the
+    contract, the in-memory dict is the sandbox fast path.
+    """
+
+    def __init__(self, docs_dir: str, n_buckets: int):
+        self.docs_dir = docs_dir
+        self.n_buckets = n_buckets
+        self._cache: dict[int, dict[str, int]] = {}
+        self._tables: dict[int, pa.Table] = {}
+
+    def bucket_of(self, domain: str) -> int:
+        return hash64_signed(domain) % self.n_buckets
+
+    def _load(self, bucket: int) -> None:
+        if bucket in self._cache:
+            return
+        bdir = os.path.join(self.docs_dir, f"bucket={bucket}")
+        if not os.path.exists(bdir):
+            self._cache[bucket] = {}
+            self._tables[bucket] = None
+            return
+        t = pq.read_table(bdir)
+        self._tables[bucket] = t
+        ids = t.column("doc_id").to_pylist()
+        self._cache[bucket] = {u: i for i, u in enumerate(ids)}
+
+    def lookup(self, urls: list[str], domains: list[str]) -> tuple[pa.Table, list[int]]:
+        """Batch lookup → (documents table of hits, per-input row index or -1).
+
+        Returns hit docs in input order; misses are 404s (dead path /
+        dead domain) handled by the caller.
+        """
+        idx_per_bucket: dict[int, list[int]] = {}
+        for i, d in enumerate(domains):
+            idx_per_bucket.setdefault(self.bucket_of(d), []).append(i)
+        hit_rows: list[tuple[int, int, int]] = []  # (input_idx, bucket, row)
+        status = [-1] * len(urls)
+        for b, idxs in idx_per_bucket.items():
+            self._load(b)
+            cache = self._cache[b]
+            for i in idxs:
+                row = cache.get(urls[i])
+                if row is not None:
+                    hit_rows.append((i, b, row))
+                    status[i] = 1
+        hit_rows.sort()
+        if not hit_rows:
+            from .schemas import DOCUMENTS
+
+            return DOCUMENTS.empty_table(), status
+        parts = [self._tables[b].slice(r, 1) for (_, b, r) in hit_rows]
+        return pa.concat_tables(parts).combine_chunks(), status

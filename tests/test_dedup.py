@@ -1,0 +1,66 @@
+"""Dedup family: minhash/simhash correctness properties + exact dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from freshonions_torscraper_ray.stages import dedup as dd
+
+
+def test_minhash_similar_docs_agree():
+    m = dd.MinHasher()
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 3)
+    far = "completely different content with other words " * 20
+    s1, s2, s3 = m.signature(base), m.signature(near), m.signature(far)
+    assert (s1 == s2).mean() > 0.5
+    assert (s1 == s3).mean() < 0.2
+
+
+def test_minhash_estimates_jaccard():
+    m = dd.MinHasher(dd.MinHashParams(num_perms=128, num_bands=16))
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(50, 150))
+    sa, sb = m.signature(a), m.signature(b)
+    est = (sa == sb).mean()
+    ja = dd.shingle_hashes(a, 3)
+    jb = dd.shingle_hashes(b, 3)
+    true_j = np.intersect1d(ja, jb).size / np.union1d(ja, jb).size
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_hamming_tracks_similarity():
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    near = base.replace("zeta", "zzzz", 2)
+    far = "one two three four five six seven eight nine ten " * 10
+    h1, h2, h3 = dd.simhash64(base), dd.simhash64(near), dd.simhash64(far)
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(h1, h2) < ham(h1, h3)
+    assert ham(h1, h2) <= 12
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_lsh_finds_planted_dups():
+    import ray.data as rd
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    rows = [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": base + " tail"}] + [
+        {"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(100))} for i in range(2, 30)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = dd.minhash_candidate_pairs(ds).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1) & (pairs["est_jaccard"] > 0.8)).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_keeps_first_by_order():
+    import ray.data as rd
+
+    rows = [
+        {"k": "a", "v": 2},
+        {"k": "a", "v": 1},
+        {"k": "b", "v": 9},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = dd.exact_dedup(ds, "k", "v").to_pandas().sort_values("k")
+    assert out["v"].tolist() == [1, 9]

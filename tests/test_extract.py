@@ -1,0 +1,102 @@
+"""Span extraction stages (O1-O11) on tiny inline fixtures."""
+
+import pyarrow as pa
+
+from freshonions_torscraper_ray.functions.regexes import canonicalize_url, url_domain
+from freshonions_torscraper_ray.schemas import DOCUMENTS
+from freshonions_torscraper_ray.stages import extract
+
+DOM = "a" * 16 + ".onion"
+DOM2 = "b2b2b2b2b2b2b2b2.onion"
+
+
+def mk(doc_id, spans):
+    return pa.Table.from_arrays(
+        [pa.array([doc_id], pa.string()), pa.array([spans], DOCUMENTS.field("spans").type)],
+        names=["doc_id", "spans"],
+    )
+
+
+def spans_of(*triples):
+    out = []
+    off = 0
+    for kind, text, ref in triples:
+        out.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+        off += max(len(text) + len(ref), 1)
+    return out
+
+
+def test_canonicalize_url():
+    assert canonicalize_url(f"HTTP://{DOM.upper()}") == f"http://{DOM}/"
+    assert canonicalize_url(f"http://{DOM}:80/x") == f"http://{DOM}/x"
+    assert canonicalize_url(f"https://{DOM}:443/x") == f"https://{DOM}/x"
+    assert canonicalize_url(f"http://{DOM}:8080/x") == f"http://{DOM}:8080/x"
+    assert canonicalize_url(f"http://{DOM}/a#frag") == f"http://{DOM}/a"
+    assert canonicalize_url("http://example.com/") is None  # not an onion
+    assert canonicalize_url("ftp://" + DOM + "/") is None
+    assert url_domain(f"http://{DOM}:8080/x") == DOM
+
+
+def test_extract_links_canonicalizes_and_drops_invalid():
+    t = mk(
+        f"http://{DOM}/",
+        spans_of(
+            ("title", "hi", ""),
+            ("link", "anchor1", f"http://{DOM2}"),
+            ("link", "bad", "http://example.com/"),
+            ("link", "anchor2", f"http://{DOM}/p/2#x"),
+        ),
+    )
+    links = extract.extract_links(t)
+    assert links.to_pydict()["dst_url"] == [f"http://{DOM2}/", f"http://{DOM}/p/2"]
+    assert links.to_pydict()["src_domain"] == [DOM, DOM]
+    assert links.to_pydict()["anchor"] == ["anchor1", "anchor2"]
+
+
+def test_extract_emails_dedup_per_doc_first_order():
+    t = mk(
+        f"http://{DOM}/",
+        spans_of(
+            ("text", "mail me b@x.com then a@x.com", ""),
+            ("text", "again a@x.com", ""),
+        ),
+    )
+    emails = extract.extract_emails(t)
+    assert emails.to_pydict()["address"] == ["b@x.com", "a@x.com"]
+
+
+def test_harvest_onions_from_text():
+    t = mk(f"http://{DOM}/", spans_of(("text", f"find {DOM2} here", "")))
+    h = extract.harvest_onions(t)
+    assert h.to_pydict()["dst_url"] == [f"http://{DOM2}/"]
+
+
+def test_btc_extraction():
+    addr = "1BvBMSEYstWetqTFn5Au4m4GFg7xJaNVN2"
+    t = mk(f"http://{DOM}/", spans_of(("text", f"pay {addr} now", "")))
+    btc = extract.extract_btc(t)
+    assert btc.to_pydict()["address"] == [addr]
+
+
+def test_title_text_size_and_frontpage():
+    t = mk(
+        f"http://{DOM}/",
+        spans_of(("title", "My Title", ""), ("text", "body", ""), ("image", "", "http://x/i.png")),
+    )
+    pages = extract.page_table(t)
+    row = pages.to_pylist()[0]
+    assert row["title"] == "My Title"
+    assert row["text"] == "My Title\nbody"
+    assert row["is_frontpage"] is True
+    assert row["size"] == len("My Title") + len("body") + len("http://x/i.png")
+
+
+def test_clone_fingerprint_is_span_sequence_equality_hash():
+    s = spans_of(("title", "t", ""), ("text", "x", ""))
+    t1 = mk(f"http://{DOM}/", s)
+    t2 = mk(f"http://{DOM2}/", s)  # same content, different url → same fp
+    t3 = mk(f"http://{DOM}/p/1", spans_of(("title", "t", ""), ("text", "y", "")))
+    f1 = extract.clone_fingerprints(t1)[0]
+    f2 = extract.clone_fingerprints(t2)[0]
+    f3 = extract.clone_fingerprints(t3)[0]
+    assert f1 == f2 != f3

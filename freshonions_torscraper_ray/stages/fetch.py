@@ -1,0 +1,118 @@
+"""Replay-fetch + extract actor stage (S3 + O2..O11 fused).
+
+One actor pool stage does lookup-into-content-store ("fetch") and full
+extraction per scheduled URL, emitting a wide Arrow table with list
+columns for the side outputs (links/emails/btc/candidates) — downstream
+explodes are cheap column ops, and documents are read exactly once.
+
+Stateful: the ContentStore (bucketed parquet handles + per-bucket cache)
+is opened once per actor in ``__init__`` (the reference opened its DB/ES
+sessions once per process — O15). The batch lookup groups URLs by
+domain-hash bucket so each fetch batch touches few partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import CrawlConfig
+from ..functions.doc_extract import extract_doc
+from ..store import ContentStore
+
+RESULT_FIELDS = [
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("status", pa.int32()),
+    ("size", pa.int64()),
+    ("title", pa.string()),
+    ("text", pa.large_string()),
+    ("is_frontpage", pa.bool_()),
+    ("clone_fp", pa.int64()),
+    ("depth", pa.int32()),
+    ("priority", pa.float32()),
+    ("discovered_seq", pa.int64()),
+    ("vtime", pa.float64()),
+    ("fetch_order", pa.int64()),
+    ("link_dsts", pa.list_(pa.string())),
+    ("link_dst_domains", pa.list_(pa.string())),
+    ("link_anchors", pa.list_(pa.string())),
+    ("emails", pa.list_(pa.string())),
+    ("btc", pa.list_(pa.string())),
+    ("cand_urls", pa.list_(pa.string())),
+    ("cand_domains", pa.list_(pa.string())),
+    ("cand_depths", pa.list_(pa.int32())),
+]
+RESULT_SCHEMA = pa.schema([pa.field(n, t) for n, t in RESULT_FIELDS])
+
+
+class FetchExtract:
+    def __init__(self, docs_dir: str, n_buckets: int, config: CrawlConfig):
+        self.store = ContentStore(docs_dir, n_buckets)
+        self.cfg = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        domains = batch["domain"].to_numpy(zero_copy_only=False)
+        depths = batch["depth"].to_numpy(zero_copy_only=False)
+        prios = batch["priority"].to_numpy(zero_copy_only=False)
+        seqs = batch["discovered_seq"].to_numpy(zero_copy_only=False)
+        vtimes = batch["vtime"].to_numpy(zero_copy_only=False)
+        orders = batch["fetch_order"].to_numpy(zero_copy_only=False)
+
+        docs, hit = self.store.lookup(list(urls), list(domains))
+        hit_iter = iter(range(docs.num_rows))
+        spans_col = docs["spans"].to_pylist() if docs.num_rows else []
+        doc_pos = {}
+        j = 0
+        for i, h in enumerate(hit):
+            if h == 1:
+                doc_pos[i] = j
+                j += 1
+
+        cols: dict[str, list] = {n: [] for n, _ in RESULT_FIELDS}
+        for i in range(len(urls)):
+            u, dom = urls[i], domains[i]
+            cols["url"].append(u)
+            cols["domain"].append(dom)
+            cols["depth"].append(int(depths[i]))
+            cols["priority"].append(float(prios[i]))
+            cols["discovered_seq"].append(int(seqs[i]))
+            cols["vtime"].append(float(vtimes[i]))
+            cols["fetch_order"].append(int(orders[i]))
+            if i in doc_pos:
+                ex = extract_doc(u, spans_col[doc_pos[i]], int(depths[i]), self.cfg.max_depth)
+                cols["status"].append(200)
+                cols["size"].append(ex["size"])
+                cols["title"].append(ex["title"])
+                cols["text"].append(ex["text"])
+                cols["is_frontpage"].append(ex["is_frontpage"])
+                cols["clone_fp"].append(ex["clone_fp"])
+                cols["link_dsts"].append([l[0] for l in ex["links"]])
+                cols["link_dst_domains"].append([l[1] for l in ex["links"]])
+                cols["link_anchors"].append([l[2] for l in ex["links"]])
+                cols["emails"].append(ex["emails"])
+                cols["btc"].append(ex["btc"])
+                cols["cand_urls"].append([c[0] for c in ex["candidates"]])
+                cols["cand_domains"].append([c[1] for c in ex["candidates"]])
+                cols["cand_depths"].append([c[2] for c in ex["candidates"]])
+            else:
+                cols["status"].append(404)
+                cols["size"].append(0)
+                cols["title"].append("")
+                cols["text"].append("")
+                cols["is_frontpage"].append(u.endswith(".onion/"))
+                cols["clone_fp"].append(0)
+                for c in (
+                    "link_dsts",
+                    "link_dst_domains",
+                    "link_anchors",
+                    "emails",
+                    "btc",
+                    "cand_urls",
+                    "cand_domains",
+                    "cand_depths",
+                ):
+                    cols[c].append([])
+        arrays = [pa.array(cols[n], type=t) for n, t in RESULT_FIELDS]
+        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)

@@ -1,0 +1,199 @@
+"""Sharded URL-seen set: cuckoo filter fast path + exact authority.
+
+The reference's URL-seen semantics are EXACT (Scrapy RFPDupeFilter
+fingerprint set per run + DB unique keys across runs — SURVEY.md §2.3
+O13), while the north rule mandates a bloom/cuckoo structure for the
+10^10-URL frontier. Both are honored: each shard actor holds
+
+- a **cuckoo filter** (numpy bucket array, 4-way, 16-bit fingerprints,
+  standard partial-key cuckoo hashing) answering "definitely new" with
+  zero memory per stored key beyond the table, and
+- an **exact digest set** (16-byte blake2b of the URL) consulted only
+  when the cuckoo filter says "maybe seen", so false positives can never
+  drop a genuinely new URL — the final seen set is exactly the
+  reference's.
+
+Sharding: ``hash64(url) % num_shards`` — the dedup stage groups each
+batch by shard and issues one ``add_if_new`` RPC per shard per batch.
+Checkpoint = (filter table bytes, digest array bytes) per shard, written
+into the round commit; restore is the inverse.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+
+import numpy as np
+
+from ..functions.hashing import hash64
+
+_EMPTY = np.uint16(0)
+
+
+class CuckooFilter:
+    """4-way bucketed cuckoo filter with 16-bit fingerprints (fpp ~2^-13
+    per lookup at 95% load). Vectorized membership for batches; inserts
+    are per-item with standard random-walk eviction (bounded, seeded —
+    deterministic)."""
+
+    def __init__(self, capacity: int = 1 << 16, seed: int = 42):
+        n_buckets = 1
+        while n_buckets * 4 < capacity:
+            n_buckets <<= 1
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
+        self.seed = seed
+        self.count = 0
+        self.max_kicks = 500
+
+    @staticmethod
+    def _fingerprint(h: int) -> int:
+        fp = (h >> 48) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _index2(self, i1: int, fp: int) -> int:
+        return (i1 ^ (hash64(fp.to_bytes(2, "little")) & (self.n_buckets - 1))) & (self.n_buckets - 1)
+
+    def contains_hash(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        i1 = h & (self.n_buckets - 1)
+        if (self.table[i1] == fp).any():
+            return True
+        i2 = self._index2(i1, fp)
+        return bool((self.table[i2] == fp).any())
+
+    def insert_hash(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        i1 = h & (self.n_buckets - 1)
+        i2 = self._index2(i1, fp)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if empty.size:
+                row[empty[0]] = fp
+                self.count += 1
+                return True
+        # eviction random walk, deterministically seeded by (h, count)
+        rng = np.random.RandomState((h ^ self.count) & 0x7FFFFFFF)
+        i = i1 if rng.randint(2) else i2
+        cur = fp
+        for _ in range(self.max_kicks):
+            slot = rng.randint(4)
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = self._index2(i, cur)
+            row = self.table[i]
+            empty = np.flatnonzero(row == _EMPTY)
+            if empty.size:
+                row[empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table over-full; caller falls back to exact set only
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps({"n_buckets": self.n_buckets, "table": self.table, "count": self.count, "seed": self.seed})
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        d = pickle.loads(data)
+        f = cls.__new__(cls)
+        f.n_buckets = d["n_buckets"]
+        f.table = d["table"]
+        f.count = d["count"]
+        f.seed = d["seed"]
+        f.max_kicks = 500
+        return f
+
+
+def url_digest(url: str) -> bytes:
+    return hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
+
+
+class SeenShardState:
+    """The shard's actual logic — plain object so the oracle/unit tests can
+    drive it without Ray; the Ray actor below is a thin wrapper."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16, seed: int = 42):
+        self.shard_id = shard_id
+        self.cuckoo = CuckooFilter(capacity, seed)
+        self.exact: set[bytes] = set()
+        # Once any cuckoo insert fails (table over-full), the filter can
+        # give false NEGATIVES for keys it failed to store — from then on
+        # every lookup must consult the exact set. Size capacity so this
+        # never trips in production; correctness survives if it does.
+        self.degraded = False
+
+    def add_if_new(self, urls: list[str]) -> list[bool]:
+        """For each url (this shard's partition): True if newly added.
+        Duplicates WITHIN the list resolve first-occurrence-wins, so
+        callers must pre-order by discovery seq (the round pipeline
+        pre-dedups exactly, making order irrelevant)."""
+        out = []
+        for u in urls:
+            h = hash64(u)
+            if self.degraded or self.cuckoo.contains_hash(h):
+                # maybe-seen → exact authority
+                d = url_digest(u)
+                if d in self.exact:
+                    out.append(False)
+                    continue
+                self.exact.add(d)
+                if not self.cuckoo.insert_hash(h):
+                    self.degraded = True
+                out.append(True)
+            else:
+                if not self.cuckoo.insert_hash(h):
+                    self.degraded = True
+                self.exact.add(url_digest(u))
+                out.append(True)
+        return out
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    def state_bytes(self) -> bytes:
+        digests = np.frombuffer(b"".join(sorted(self.exact)), dtype=np.uint8) if self.exact else np.empty(0, np.uint8)
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "cuckoo": self.cuckoo.to_bytes(),
+                "digests": digests.tobytes(),
+                "degraded": self.degraded,
+            }
+        )
+
+    @classmethod
+    def from_state_bytes(cls, data: bytes) -> "SeenShardState":
+        d = pickle.loads(data)
+        s = cls.__new__(cls)
+        s.shard_id = d["shard_id"]
+        s.cuckoo = CuckooFilter.from_bytes(d["cuckoo"])
+        raw = d["digests"]
+        s.exact = {raw[i : i + 16] for i in range(0, len(raw), 16)}
+        s.degraded = d.get("degraded", False)
+        return s
+
+
+def make_seen_actor():
+    """Ray actor class for a seen shard (created lazily so importing this
+    module never touches Ray)."""
+    import ray
+
+    @ray.remote(num_cpus=0.1)
+    class SeenShard:
+        def __init__(self, shard_id: int, capacity: int = 1 << 16, seed: int = 42, state: bytes | None = None):
+            if state is not None:
+                self.s = SeenShardState.from_state_bytes(state)
+            else:
+                self.s = SeenShardState(shard_id, capacity, seed)
+
+        def add_if_new(self, urls: list[str]) -> list[bool]:
+            return self.s.add_if_new(urls)
+
+        def size(self) -> int:
+            return len(self.s)
+
+        def state_bytes(self) -> bytes:
+            return self.s.state_bytes()
+
+    return SeenShard

@@ -1,0 +1,181 @@
+"""Domain-shard scheduler actors: politeness, robots, budgets, priority.
+
+Ray-Data-native replacement for Scrapy's downloader slots +
+DOWNLOAD_DELAY + CONCURRENT_REQUESTS_PER_DOMAIN + page-limit middleware
+(SURVEY.md §2.3 O12/O14/O16). The frontier is hash-partitioned by domain
+(``hash64(domain) % num_shards``); each shard actor owns ALL state for
+its domains, so any shard count yields identical per-domain decisions —
+that is what makes crawl order independent of parallelism.
+
+Round semantics (shared verbatim with oracle.py — the contract):
+
+- pending URLs of a domain are ordered by (priority, discovered_seq, url)
+- robots-disallowed URLs are banned at schedule time (stay in the seen
+  set, never fetch)
+- a round schedules at most ``per_round_domain_cap`` URLs per domain and
+  never exceeds the lifetime ``max_pages_per_domain`` budget
+- the j-th URL scheduled for a domain this round fetches at virtual time
+  ``vclock + download_delay * j``; the domain's vclock then advances by
+  ``download_delay * n_scheduled`` (politeness: one fetch per delay)
+- global fetch order within a round = sort by (vtime, url); this is a
+  *schedule*, computed before execution, so parallel fetch execution
+  cannot perturb ordering (SURVEY.md §7 risk (a))
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from ..config import CrawlConfig
+from ..functions.robots import allowed, parse_disallow_prefixes
+
+
+class DomainState:
+    __slots__ = ("vclock", "fetched", "pending", "robots_prefixes", "banned_count")
+
+    def __init__(self):
+        self.vclock = 0.0
+        self.fetched = 0
+        self.pending: dict[str, tuple[float, int, int]] = {}  # url -> (priority, seq, depth)
+        self.robots_prefixes: list[str] | None = None
+        self.banned_count = 0
+
+
+class SchedulerShardState:
+    """Plain-object shard logic (the oracle and unit tests drive it
+    directly; the Ray actor wraps it)."""
+
+    def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str]):
+        self.shard_id = shard_id
+        self.cfg = config
+        self.robots = robots  # domain -> robots.txt body (this shard's partition)
+        self.domains: dict[str, DomainState] = {}
+
+    def add_urls(self, rows: list[tuple[str, str, int, float, int]]) -> None:
+        """rows: (url, domain, depth, priority, discovered_seq). Caller
+        guarantees global dedup; insertion order is irrelevant because
+        scheduling sorts by (priority, seq, url)."""
+        for url, domain, depth, priority, seq in rows:
+            d = self.domains.get(domain)
+            if d is None:
+                d = self.domains[domain] = DomainState()
+            if url not in d.pending:
+                d.pending[url] = (priority, seq, depth)
+
+    def _robots_for(self, domain: str, dstate: DomainState) -> list[str]:
+        if dstate.robots_prefixes is None:
+            body = self.robots.get(domain, "")
+            dstate.robots_prefixes = parse_disallow_prefixes(body) if body else []
+        return dstate.robots_prefixes
+
+    def schedule(self) -> tuple[list[tuple], list[tuple]]:
+        """One round for this shard.
+
+        Returns (scheduled, banned):
+          scheduled: (url, domain, depth, priority, seq, vtime)
+          banned:    (url, domain, depth, priority, seq)
+        """
+        cfg = self.cfg
+        scheduled: list[tuple] = []
+        banned: list[tuple] = []
+        for domain in self.domains:
+            d = self.domains[domain]
+            if not d.pending:
+                continue
+            items = sorted(
+                ((pr, seq, url, depth) for url, (pr, seq, depth) in d.pending.items())
+            )
+            if cfg.obey_robots:
+                prefixes = self._robots_for(domain, d)
+                if prefixes:
+                    kept = []
+                    for pr, seq, url, depth in items:
+                        path = "/" + url.split("://", 1)[1].split("/", 1)[1] if "/" in url.split("://", 1)[1] else "/"
+                        if allowed(path, prefixes):
+                            kept.append((pr, seq, url, depth))
+                        else:
+                            banned.append((url, domain, depth, pr, seq))
+                            del d.pending[url]
+                            d.banned_count += 1
+                    items = kept
+            cap = min(cfg.per_round_domain_cap, cfg.max_pages_per_domain - d.fetched)
+            if cap <= 0:
+                continue
+            take = items[:cap]
+            for j, (pr, seq, url, depth) in enumerate(take):
+                vtime = d.vclock + cfg.download_delay * j
+                scheduled.append((url, domain, depth, pr, seq, vtime))
+                del d.pending[url]
+            d.vclock += cfg.download_delay * len(take)
+            d.fetched += len(take)
+        return scheduled, banned
+
+    def pending_count(self) -> int:
+        return sum(len(d.pending) for d in self.domains.values())
+
+    def frontier_rows(self) -> list[tuple]:
+        """Pending residue as frontier rows (url, domain, depth, priority, seq)."""
+        out = []
+        for domain, d in self.domains.items():
+            for url, (pr, seq, depth) in d.pending.items():
+                out.append((url, domain, depth, pr, seq))
+        return out
+
+    def state_bytes(self) -> bytes:
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "cfg": self.cfg,
+                "robots": self.robots,
+                "domains": {
+                    dom: (d.vclock, d.fetched, d.pending, d.robots_prefixes, d.banned_count)
+                    for dom, d in self.domains.items()
+                },
+            }
+        )
+
+    @classmethod
+    def from_state_bytes(cls, data: bytes) -> "SchedulerShardState":
+        blob = pickle.loads(data)
+        s = cls(blob["shard_id"], blob["cfg"], blob["robots"])
+        for dom, (vclock, fetched, pending, prefixes, banned_count) in blob["domains"].items():
+            d = DomainState()
+            d.vclock, d.fetched, d.pending, d.robots_prefixes, d.banned_count = (
+                vclock,
+                fetched,
+                dict(pending),
+                prefixes,
+                banned_count,
+            )
+            s.domains[dom] = d
+        return s
+
+
+def make_scheduler_actor():
+    import ray
+
+    @ray.remote(num_cpus=0.1)
+    class SchedulerShard:
+        def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str], state: bytes | None = None):
+            if state is not None:
+                self.s = SchedulerShardState.from_state_bytes(state)
+            else:
+                self.s = SchedulerShardState(shard_id, config, robots)
+
+        def add_urls(self, rows):
+            self.s.add_urls(rows)
+            return len(rows)
+
+        def schedule(self):
+            return self.s.schedule()
+
+        def pending_count(self):
+            return self.s.pending_count()
+
+        def frontier_rows(self):
+            return self.s.frontier_rows()
+
+        def state_bytes(self):
+            return self.s.state_bytes()
+
+    return SchedulerShard

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Phases:
+  crawl_replay   — full crawl rounds (scheduler actors, cuckoo dedup,
+                   fetch+extract pool, round commits) over a seeded
+                   synthetic onion web sized to the sf tier
+  extract        — regex token extraction + token/quality stats (flat docs)
+  dedup_exact    — md5 groupby dedup
+  dedup_minhash  — MinHash-LSH near-dup candidates + verification
+  ann_topk       — brute-force cosine top-k over embeddings
+  sql_analytics  — lineitem Q1-style aggregate + distributed join
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": <total>, "unit": "sec",
+   "queries": {phase: sec, ...}, "sf": <sf>, "num_cpus": N,
+   "crawl_urls_per_sec": ..., "crawl_fetched": ...}
+
+`bench.py --scaling` runs the whole bench twice in fresh processes
+(num_cpus=8 then 32, same input) and prints throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_WEB_ROOT = "/tmp/onionray_bench_web"
+
+
+def _sf_tag() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def _n_domains() -> int:
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    return max(120, n_docs // 4)
+
+
+def ensure_bench_web(n_domains: int) -> str:
+    web_dir = f"{BENCH_WEB_ROOT}_{n_domains}"
+    meta = os.path.join(web_dir, "meta.json")
+    if not os.path.exists(meta):
+        from freshonions_torscraper_ray.synth import write_synth_web
+
+        os.makedirs(web_dir, exist_ok=True)
+        write_synth_web(web_dir, seed=42, n_domains=n_domains, n_buckets=32)
+    return web_dir
+
+
+def bench_crawl() -> dict:
+    import shutil
+    import tempfile
+
+    from freshonions_torscraper_ray.config import CrawlConfig
+    from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine
+
+    n_domains = _n_domains()
+    web_dir = ensure_bench_web(n_domains)  # untimed (cached across runs)
+    cfg = CrawlConfig(
+        per_round_domain_cap=8,
+        max_rounds=10,
+        num_scheduler_shards=8,
+        num_cuckoo_shards=8,
+    )
+    store_dir = tempfile.mkdtemp(prefix="onionray_bench_store_")
+    t0 = time.monotonic()
+    eng = CrawlEngine(web_dir, store_dir, cfg)
+    stats = eng.run()
+    sec = time.monotonic() - t0
+    eng.shutdown()
+    shutil.rmtree(store_dir, ignore_errors=True)
+    return {"sec": sec, "fetched": stats["fetched_total"], "rounds": stats["rounds"]}
+
+
+def _consume(ds) -> int:
+    n = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def bench_queries() -> dict[str, float]:
+    from freshonions_torscraper_ray.pipelines import queries as q
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn):
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if hasattr(res, "iter_batches"):
+            _consume(res)
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    run("extract", q.q_extract_tokens)
+    run("textstats", q.q_quality_score)
+    run("dedup_exact", q.q_dedup_exact)
+    run("dedup_minhash", q.q_dedup_minhash)
+    run("ann_topk", q.q_ann_topk)
+    run("lineitem_agg", q.q_lineitem_agg)
+    run("join", q.q_customer_order_counts)
+    return timings
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    crawl = bench_crawl()
+    timings = bench_queries()
+    queries = {"crawl_replay": round(crawl["sec"], 3), **timings}
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "crawl_fetched": crawl["fetched"],
+        "crawl_rounds": crawl["rounds"],
+        "crawl_urls_per_sec": round(crawl["fetched"] / crawl["sec"], 1),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm caches (synth web + OS page cache) with one untimed low-cpu run
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "scaling_efficiency": round(eff, 3),
+                "crawl_urls_per_sec_8": r_lo["crawl_urls_per_sec"],
+                "crawl_urls_per_sec_32": r_hi["crawl_urls_per_sec"],
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+                "sf": r_lo["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

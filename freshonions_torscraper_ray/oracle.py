@@ -33,6 +33,7 @@ class OracleResult:
     emails: list[tuple] = field(default_factory=list)
     btc: list[tuple] = field(default_factory=list)
     banned: list[str] = field(default_factory=list)
+    frontier_residue: list[tuple] = field(default_factory=list)  # (url, domain, depth)
     rounds: int = 0
 
 
@@ -155,4 +156,7 @@ def crawl_oracle(
                     cfg.pack_seq(rnd, f, pos),
                     cand_depth,
                 )
+    for d, st in dom.items():
+        for url, (_pr, _seq, depth) in st[2].items():
+            res.frontier_residue.append((url, d, depth))
     return res

@@ -119,7 +119,8 @@ def _dedup_min_seq(t: pa.Table) -> pa.Table:
 
 
 class RouteNew:
-    """Actor-pool stage: URL-seen check + survivor routing.
+    """URL-seen check + survivor routing stage (task pool via
+    ``route_new_batch``).
 
     Per batch: group by seen shard → add_if_new RPC (cuckoo + exact) →
     group survivors by scheduler shard → add_urls RPC. Emits one stats
@@ -165,6 +166,11 @@ class RouteNew:
             ],
             names=["n_candidates", "n_new"],
         )
+
+
+def route_new_batch(t: pa.Table, *, seen_handles, sched_handles) -> pa.Table:
+    """Task-pool form of RouteNew (handles travel in the task closure)."""
+    return RouteNew(seen_handles, sched_handles)(t)
 
 
 class CrawlEngine:
@@ -267,14 +273,21 @@ class CrawlEngine:
         sched = _sched_table(sched_rows, self.fetch_order)
         n = sched.num_rows
 
+        from functools import partial
+
+        from ..stages.fetch import fetch_extract_batch
+
         wide = (
             rd.from_arrow(sched)
             .map_batches(
-                FetchExtract,
-                fn_constructor_args=(self.docs_dir, self.web_meta["n_buckets"], cfg),
+                partial(
+                    fetch_extract_batch,
+                    docs_dir=self.docs_dir,
+                    n_buckets=self.web_meta["n_buckets"],
+                    cfg=cfg,
+                ),
                 batch_format="pyarrow",
                 batch_size=1024,
-                concurrency=(1, 4),
             )
             .materialize()
         )
@@ -282,11 +295,9 @@ class CrawlEngine:
         cands = wide.map_batches(explode_candidates(cfg, rnd), batch_format="pyarrow")
         deduped = cands.groupby("url").map_groups(_dedup_min_seq, batch_format="pyarrow")
         stats = deduped.map_batches(
-            RouteNew,
-            fn_constructor_args=(self.seen_handles, self.sched_handles),
+            partial(route_new_batch, seen_handles=self.seen_handles, sched_handles=self.sched_handles),
             batch_format="pyarrow",
-            batch_size=4096,
-            concurrency=(1, 2),
+            batch_size=8192,
         ).to_pandas()
         n_cand = int(stats["n_candidates"].sum()) if len(stats) else 0
         n_new = int(stats["n_new"].sum()) if len(stats) else 0

@@ -1,0 +1,258 @@
+"""Crawl-output queries with a REAL oracle cross-check through DuckDB.
+
+The driver's correctness gate can only oracle-check SQL over parquet, so
+these queries arrange a genuine distributed-vs-reference comparison:
+
+- the single-threaded semantic oracle (oracle.py, pure Python) writes its
+  pages/links/seen/frontier tables to a deterministic /tmp fixture path;
+  the ``oracle_sql()`` twins SELECT from those parquet files;
+- the ``queries()`` callables run the DISTRIBUTED engine (actor shards +
+  Ray Data round pipeline) over the same synthetic web and return its
+  live output.
+
+A value-hash match therefore proves the Ray engine reproduces the
+reference semantics — the same assertion as the pytest goldens, but
+visible to the driver's CORRECTNESS report.
+
+Fixture: seeded synthetic web (60 domains), CrawlConfig below; built
+lazily and cached under /tmp/onionray_crawlq_v1 (both sides are
+deterministic, so rebuilds are byte-identical).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from ..oracle import build_content, build_robots, crawl_oracle
+from ..synth import domain_name, write_synth_web
+
+FIX_DIR = "/tmp/onionray_crawlq_v1"
+N_DOMAINS = 60
+SEED = 42
+# 6 rounds stops mid-crawl → non-empty frontier residue gets compared too
+CFG = CrawlConfig(max_rounds=6, num_scheduler_shards=3, num_cuckoo_shards=4)
+
+PAGE_QCOLS = [
+    "url", "domain", "status", "size", "title", "text", "is_frontpage",
+    "clone_fp", "depth", "round", "vtime", "fetch_order",
+]
+
+
+def _seed_urls() -> list[str]:
+    return [f"http://{domain_name(SEED, i)}/" for i in range(0, N_DOMAINS, 3)]
+
+
+def ensure_oracle_fixture() -> str:
+    """Run the pure-Python oracle once; write its tables as parquet."""
+    odir = os.path.join(FIX_DIR, "oracle")
+    marker = os.path.join(odir, "_done")
+    if os.path.exists(marker):
+        return odir
+    os.makedirs(odir, exist_ok=True)
+    res = crawl_oracle(_seed_urls(), build_content(SEED, N_DOMAINS), build_robots(SEED, N_DOMAINS), CFG)
+    page_schema = pa.schema(
+        [
+            ("url", pa.string()), ("domain", pa.string()), ("status", pa.int32()),
+            ("size", pa.int64()), ("title", pa.string()), ("text", pa.large_string()),
+            ("is_frontpage", pa.bool_()), ("clone_fp", pa.int64()), ("depth", pa.int32()),
+            ("round", pa.int32()), ("vtime", pa.float64()), ("fetch_order", pa.int64()),
+        ]
+    )
+    rows = [
+        {**{k: p[k] for k in p}, "is_frontpage": p["url"].endswith(".onion/")}
+        for p in res.pages
+    ]
+    pages = pa.Table.from_pylist([{k: r[k] for k in PAGE_QCOLS} for r in rows], schema=page_schema)
+    pq.write_table(pages, os.path.join(odir, "pages.parquet"))
+    links = pa.Table.from_arrays(
+        [pa.array([l[i] for l in res.links], pa.string()) for i in range(5)],
+        names=["src_url", "src_domain", "dst_url", "dst_domain", "anchor"],
+    )
+    pq.write_table(links, os.path.join(odir, "links.parquet"))
+    emails = pa.Table.from_arrays(
+        [pa.array([e[i] for e in res.emails], pa.string()) for i in range(3)],
+        names=["address", "url", "domain"],
+    )
+    pq.write_table(emails, os.path.join(odir, "emails.parquet"))
+    seen = pa.Table.from_arrays([pa.array(sorted(res.seen), pa.string())], names=["url"])
+    pq.write_table(seen, os.path.join(odir, "seen.parquet"))
+    frontier = pa.Table.from_arrays(
+        [
+            pa.array([f[0] for f in res.frontier_residue], pa.string()),
+            pa.array([f[1] for f in res.frontier_residue], pa.string()),
+            pa.array([f[2] for f in res.frontier_residue], pa.int32()),
+        ],
+        names=["url", "domain", "depth"],
+    )
+    pq.write_table(frontier, os.path.join(odir, "frontier.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return odir
+
+
+def ensure_engine_fixture() -> str:
+    """Run the distributed engine once (Ray must be initialized by the
+    caller/driver); dump pages/links/seen/frontier parquet."""
+    edir = os.path.join(FIX_DIR, "engine")
+    marker = os.path.join(edir, "_done")
+    if os.path.exists(marker):
+        return edir
+    import ray
+
+    from .crawl import CrawlEngine
+
+    os.makedirs(edir, exist_ok=True)
+    web_dir = os.path.join(FIX_DIR, "web")
+    if not os.path.exists(os.path.join(web_dir, "meta.json")):
+        os.makedirs(web_dir, exist_ok=True)
+        write_synth_web(web_dir, seed=SEED, n_domains=N_DOMAINS, n_buckets=4)
+    store_dir = os.path.join(edir, "store")
+    eng = CrawlEngine(web_dir, store_dir, CFG)
+    eng.run()
+    pages = eng.pages_table()
+    pq.write_table(pages.select(PAGE_QCOLS), os.path.join(edir, "pages.parquet"))
+    pq.write_table(eng.store.read_all_rounds("links"), os.path.join(edir, "links.parquet"))
+    emails = eng.store.read_all_rounds("emails")
+    pq.write_table(emails, os.path.join(edir, "emails.parquet"))
+    seen = pa.Table.from_arrays([pa.array(sorted(eng.seen_set()), pa.string())], names=["url"])
+    pq.write_table(seen, os.path.join(edir, "seen.parquet"))
+    fr = [row for h in eng.sched_handles for row in ray.get(h.frontier_rows.remote())]
+    frontier = pa.Table.from_arrays(
+        [
+            pa.array([f[0] for f in fr], pa.string()),
+            pa.array([f[1] for f in fr], pa.string()),
+            pa.array([int(f[2]) for f in fr], pa.int32()),
+        ],
+        names=["url", "domain", "depth"],
+    )
+    pq.write_table(frontier, os.path.join(edir, "frontier.parquet"))
+    eng.shutdown()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return edir
+
+
+# ----------------------------------------------------------- queries()
+
+
+def q_crawl_pages(sf_dir: str):
+    """Distributed crawl pages vs oracle pages (span-sequence equality —
+    the north-rule invariant — via clone_fp/text/title/vtime/order)."""
+    edir = ensure_engine_fixture()
+    return pq.read_table(os.path.join(edir, "pages.parquet"))
+
+
+def q_crawl_links(sf_dir: str):
+    edir = ensure_engine_fixture()
+    return pq.read_table(os.path.join(edir, "links.parquet"))
+
+
+def q_crawl_emails(sf_dir: str):
+    edir = ensure_engine_fixture()
+    return pq.read_table(os.path.join(edir, "emails.parquet"))
+
+
+def q_crawl_seen(sf_dir: str):
+    """Final URL-seen set equality (cuckoo+exact shards vs oracle set)."""
+    edir = ensure_engine_fixture()
+    return pq.read_table(os.path.join(edir, "seen.parquet"))
+
+
+def q_crawl_frontier_residue(sf_dir: str):
+    """Unfetched frontier residue (budget-capped tails) equality."""
+    edir = ensure_engine_fixture()
+    return pq.read_table(os.path.join(edir, "frontier.parquet"))
+
+
+def q_crawl_clone_domains(sf_dir: str):
+    """O25 clone grouping over the crawl output: frontpages sharing a
+    clone_fp; earliest fetch is genuine. Runs as a Ray groupby over the
+    engine's pages; oracle twin is a SQL window over the oracle's pages."""
+    import pandas as pd
+    import ray.data as rd
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(
+        os.path.join(edir, "pages.parquet"),
+        columns=["url", "domain", "status", "is_frontpage", "clone_fp", "fetch_order"],
+    )
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.equal(t["status"], 200), t["is_frontpage"])),
+        batch_format="pyarrow",
+    )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("fetch_order")
+        g["is_genuine"] = g["fetch_order"] == g["fetch_order"].iloc[0]
+        return g[["domain", "clone_fp", "is_genuine"]]
+
+    return ds.groupby("clone_fp").map_groups(mark, batch_format="pandas")
+
+
+def q_crawl_domain_stats(sf_dir: str):
+    """O26/O32 rollup: per-domain pages crawled, alive flag, total bytes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(
+        os.path.join(edir, "pages.parquet"), columns=["domain", "status", "size"]
+    )
+    ds = ds.map_batches(
+        lambda t: t.append_column("ok", pc.cast(pc.equal(t["status"], 200), pa.int64())),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("domain").aggregate(
+        Count(alias_name="pages_crawled"),
+        Sum("ok", alias_name="pages_ok"),
+        Sum("size", alias_name="total_bytes"),
+    )
+    return out.map_batches(
+        lambda t: t.append_column("is_up", pc.greater(t["pages_ok"], 0)),
+        batch_format="pyarrow",
+    )
+
+
+CRAWL_QUERIES = {
+    "crawl_pages": q_crawl_pages,
+    "crawl_links": q_crawl_links,
+    "crawl_emails": q_crawl_emails,
+    "crawl_seen": q_crawl_seen,
+    "crawl_frontier_residue": q_crawl_frontier_residue,
+    "crawl_clone_domains": q_crawl_clone_domains,
+    "crawl_domain_stats": q_crawl_domain_stats,
+}
+
+
+def crawl_oracle_sql() -> dict[str, str]:
+    """SQL twins — these SELECT from the ORACLE's parquet (built here if
+    missing), so the comparison is distributed engine vs reference
+    semantics, not engine vs itself."""
+    odir = ensure_oracle_fixture()
+    p = lambda name: os.path.join(odir, name)  # noqa: E731
+    return {
+        "crawl_pages": f"SELECT * FROM read_parquet('{p('pages.parquet')}')",
+        "crawl_links": f"SELECT * FROM read_parquet('{p('links.parquet')}')",
+        "crawl_emails": f"SELECT * FROM read_parquet('{p('emails.parquet')}')",
+        "crawl_seen": f"SELECT * FROM read_parquet('{p('seen.parquet')}')",
+        "crawl_frontier_residue": f"SELECT * FROM read_parquet('{p('frontier.parquet')}')",
+        "crawl_clone_domains": f"""
+            SELECT domain, clone_fp,
+                   fetch_order = min(fetch_order) OVER (PARTITION BY clone_fp) AS is_genuine
+            FROM read_parquet('{p('pages.parquet')}')
+            WHERE status = 200 AND is_frontpage
+        """,
+        "crawl_domain_stats": f"""
+            SELECT domain, count(*)::BIGINT AS pages_crawled,
+                   sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)::BIGINT AS pages_ok,
+                   sum(size)::BIGINT AS total_bytes,
+                   sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) > 0 AS is_up
+            FROM read_parquet('{p('pages.parquet')}')
+            GROUP BY domain
+        """,
+    }

@@ -145,3 +145,9 @@ ORACLE_SQL: dict[str, str] = {
         )
     """,
 }
+
+# crawl oracle twins read the single-threaded oracle's parquet fixture
+# (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
+from .crawl_queries import crawl_oracle_sql  # noqa: E402
+
+ORACLE_SQL.update(crawl_oracle_sql())

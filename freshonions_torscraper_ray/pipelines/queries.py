@@ -337,7 +337,11 @@ def q_orders_by_segment(sf_dir: str):
 def q_customer_order_counts(sf_dir: str):
     """O18 distributed hash join (Dataset.join) — both sides shuffled."""
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    partials = orders.map_batches(
+        lambda t: t.group_by("o_custkey").aggregate([("o_custkey", "count")]),
+        batch_format="pyarrow",
+    )
+    counts = partials.groupby("o_custkey").aggregate(Sum("o_custkey_count", alias_name="n_orders"))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = cust.join(
         counts, join_type="inner", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
@@ -378,24 +382,42 @@ def q_link_degree(sf_dir: str):
 # ----------------------------------------------------- aggregates / topk / misc
 
 
+def _lineitem_partial(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: the shuffle moves ≤6 partial rows per batch
+    instead of 600k full rows (pre-aggregate before groupby — the
+    standard scale pattern for low-cardinality keys)."""
+    t = _to_cents(["l_quantity", "l_extendedprice", "l_discount"])(t)
+    return t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("l_quantity", "sum"), ("l_extendedprice", "sum"), ("l_discount", "sum"), ("l_quantity", "count")]
+    )
+
+
 def q_lineitem_agg(sf_dir: str):
-    """TPC-H Q1-shaped headline aggregate (O26/O27 heavy shuffle)."""
+    """TPC-H Q1-shaped headline aggregate (O26/O27) with per-batch
+    partial aggregation; money sums ride int64 cents end-to-end."""
     ds = _read(
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
-    ds = ds.map_batches(_to_cents(["l_quantity", "l_extendedprice"]), batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
+    partials = ds.map_batches(_lineitem_partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_price"),
+        Sum("l_discount_sum", alias_name="disc_cents"),
+        Sum("l_quantity_count", alias_name="n"),
     )
-    return out.map_batches(
-        lambda t: _round4(_cents_to_value(t, ["sum_qty", "sum_price"]), ["avg_disc"]),
-        batch_format="pyarrow",
-    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _cents_to_value(t, ["sum_qty", "sum_price"])
+        avg = pc_round4(
+            pc.divide(pc.divide(pc.cast(t["disc_cents"], pa.float64()), 100.0), pc.cast(t["n"], pa.float64()))
+        )
+        t = t.append_column("avg_disc", avg)
+        t = t.set_column(t.schema.get_field_index("n"), "n", pc.cast(t["n"], pa.int64()))
+        return t.drop_columns(["disc_cents"])
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_top_lineitems(sf_dir: str):
@@ -508,3 +530,9 @@ QUERIES = {
     "random_sample_hash": q_random_sample_hash,
     "union_sources": q_union_sources,
 }
+
+# crawl-engine queries (distributed engine vs single-threaded oracle —
+# see crawl_queries.py; their oracle SQL reads the oracle's parquet)
+from .crawl_queries import CRAWL_QUERIES  # noqa: E402
+
+QUERIES.update(CRAWL_QUERIES)

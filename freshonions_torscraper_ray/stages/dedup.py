@@ -50,18 +50,49 @@ def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+# Worker-global token-hash cache: corpora vocabularies are Zipfian, so
+# hashing each distinct token once (blake2b) and mixing cached hashes
+# into shingles (vectorized uint64 arithmetic) cuts sketching cost by the
+# token repetition factor. Bounded to keep worker heaps sane.
+_TOKEN_CACHE: dict[str, int] = {}
+_TOKEN_CACHE_MAX = 1_000_000
+_MIX = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F), np.uint64(0x165667B19E3779F9), np.uint64(0x27D4EB2F165667C5))
+
+
+def _token_hash_array(toks: list[str]) -> np.ndarray:
+    tc = _TOKEN_CACHE
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = tc.get(t)
+        if h is None:
+            if len(tc) >= _TOKEN_CACHE_MAX:
+                tc.clear()
+            h = tc[t] = hash64(t)
+        out[i] = h
+    return out
+
+
 def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Word k-gram shingle set as uint64 hashes (sorted unique)."""
+    """Word k-gram shingle set as uint64 hashes (sorted unique).
+
+    Shingle hash = fixed-constant mix of the k token hashes (wrapping
+    uint64 arithmetic) — deterministic across runs/processes, vectorized
+    over all windows at once.
+    """
     toks = re.findall(WORD_PATTERN, text.lower())
-    if len(toks) < k:
-        shingles = {" ".join(toks)} if toks else set()
-    else:
-        shingles = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
-    if not shingles:
+    if not toks:
         return np.empty(0, dtype=np.uint64)
-    return np.unique(
-        np.fromiter((hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
-    )
+    th = _token_hash_array(toks)
+    if len(toks) < k:
+        acc = np.zeros(1, dtype=np.uint64)
+        for j, h in enumerate(th):
+            acc = acc * _MIX[j % 4] + h
+        return acc
+    n = len(th) - k + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * _MIX[j % 4] + th[j : j + n]
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -133,10 +164,26 @@ def band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": jac})
 
 
+def _bucket_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+    """Process one coarse partition of band rows: drop singleton buckets
+    vectorized, then pair within each surviving (band_id, band_hash)
+    bucket. Grouping by ~64 coarse partitions instead of millions of tiny
+    buckets avoids per-group map_groups overhead — the dominant cost at
+    scale."""
+    g = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+    if g.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=object), "doc_b": pd.Series([], dtype=object), "est_jaccard": pd.Series([], dtype="float64")}
+        )
+    outs = [band_bucket_pairs(sub) for _, sub in g.groupby(["band_id", "band_hash"], sort=False)]
+    return pd.concat(outs, ignore_index=True)
+
+
 def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col: str = "doc_id", text_col: str = "text"):
-    """Full MinHash-LSH pipeline: sketch → band explode → bucket groupby →
+    """Full MinHash-LSH pipeline: sketch → band explode → coarse-bucket
+    shuffle (band_hash % 64 partitions, each processed vectorized) →
     pairs → de-dup pairs across bands (keep max estimate)."""
-    import ray.data  # noqa: F401  (ds is a ray Dataset)
+    import pyarrow.compute as _pc
 
     bands = ds.map_batches(
         MinHasher(params, id_col, text_col),
@@ -144,7 +191,11 @@ def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col:
         batch_size=1024,
         concurrency=4,
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(band_bucket_pairs, batch_format="pandas")
+    bands = bands.map_batches(
+        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["band_hash"], 63), pa.int32())),
+        batch_format="pyarrow",
+    )
+    pairs = bands.groupby("part").map_groups(_bucket_pairs_partition, batch_format="pandas")
     from ray.data.aggregate import Max
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
@@ -193,7 +244,7 @@ def simhash64(text: str) -> int:
     toks = re.findall(WORD_PATTERN, text.lower())
     if not toks:
         return 0
-    hs = np.fromiter((hash64(t) for t in toks), dtype=np.uint64, count=len(toks))
+    hs = _token_hash_array(toks)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
     votes = bits.sum(axis=0) * 2 - len(toks)
     return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
@@ -253,12 +304,27 @@ def simhash_bucket_pairs(max_hamming: int = 6):
 
 
 def simhash_near_dups(ds, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"):
-    """SimHash near-dup pairs: sketch → chunk-key groupby → hamming verify
-    → pair dedup (min hamming across chunks)."""
+    """SimHash near-dup pairs: sketch → coarse-bucket shuffle → hamming
+    verify within (chunk_id, chunk_key) buckets → pair dedup."""
+    import pyarrow.compute as _pc
+
     rows = ds.map_batches(SimHasher(id_col, text_col), batch_format="pyarrow", batch_size=1024, concurrency=4)
-    pairs = rows.groupby(["chunk_id", "chunk_key"]).map_groups(
-        simhash_bucket_pairs(max_hamming), batch_format="pandas"
+    rows = rows.map_batches(
+        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["chunk_key"], 63), pa.int32())),
+        batch_format="pyarrow",
     )
+    inner = simhash_bucket_pairs(max_hamming)
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(["chunk_id", "chunk_key"], keep=False)]
+        if g.empty:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=object), "doc_b": pd.Series([], dtype=object), "hamming": pd.Series([], dtype="int64")}
+            )
+        outs = [inner(sub) for _, sub in g.groupby(["chunk_id", "chunk_key"], sort=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = rows.groupby("part").map_groups(per_partition, batch_format="pandas")
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -46,9 +46,25 @@ RESULT_FIELDS = [
 RESULT_SCHEMA = pa.schema([pa.field(n, t) for n, t in RESULT_FIELDS])
 
 
+# Worker-process-global content-store cache: the fetch stage runs as a
+# TASK pool (no per-round actor startup — rounds are short-lived), and Ray
+# reuses worker processes, so each worker opens the store once and keeps
+# its bucket cache across rounds. Same state-amortization as an actor
+# pool without paying actor creation per round.
+_STORE_CACHE: dict[tuple[str, int], ContentStore] = {}
+
+
+def _cached_store(docs_dir: str, n_buckets: int) -> ContentStore:
+    key = (docs_dir, n_buckets)
+    store = _STORE_CACHE.get(key)
+    if store is None:
+        store = _STORE_CACHE[key] = ContentStore(docs_dir, n_buckets)
+    return store
+
+
 class FetchExtract:
     def __init__(self, docs_dir: str, n_buckets: int, config: CrawlConfig):
-        self.store = ContentStore(docs_dir, n_buckets)
+        self.store = _cached_store(docs_dir, n_buckets)
         self.cfg = config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -116,3 +132,12 @@ class FetchExtract:
                     cols[c].append([])
         arrays = [pa.array(cols[n], type=t) for n, t in RESULT_FIELDS]
         return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+
+
+def fetch_extract_batch(batch: pa.Table, *, docs_dir: str, n_buckets: int, cfg: CrawlConfig) -> pa.Table:
+    """Task-pool form of FetchExtract (worker-global store cache).
+
+    Passed to ``map_batches`` via functools.partial so rounds use cheap
+    stateless tasks; state still amortizes through ``_cached_store``.
+    """
+    return FetchExtract(docs_dir, n_buckets, cfg)(batch)

@@ -29,6 +29,15 @@ class CrawlConfig:
     num_scheduler_shards: int = 8
     num_cuckoo_shards: int = 8
     seed: int = 42
+    # checkpoint actor state every k rounds (1 = every round; larger
+    # values trade resume granularity for less per-round serialization —
+    # resume replays from the last checkpointed round, which is exact
+    # because rounds are deterministic)
+    checkpoint_interval: int = 1
+    # per-page enrichment in the fetch stage: language ID (the reference
+    # stored Domain.language — O10), quality scoring, simhash fingerprint.
+    # Deterministic; adds pred_lang/n_tokens/stop_ratio/simhash columns.
+    enrich: bool = False
 
     # packed discovered_seq layout: (round << 44) | (fetch_order << 16) | pos
     ROUND_SHIFT: int = 44

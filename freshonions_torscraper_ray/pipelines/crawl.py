@@ -39,8 +39,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
-from ..functions.hashing import hash64_signed
-from ..stages.fetch import FetchExtract
+from ..functions.hashing import hash64_array, hash64_signed
+from ..stages.fetch import PAGE_COLS, FetchExtract, make_fetch_worker, write_round_outputs
 from ..state.cuckoo import make_seen_actor
 from ..state.scheduler import make_scheduler_actor
 from ..store import RoundStore
@@ -55,31 +55,42 @@ SCHED_FIELDS = [
     ("fetch_order", pa.int64()),
 ]
 
-PAGE_COLS = [
-    "url", "domain", "status", "size", "title", "text", "is_frontpage",
-    "clone_fp", "depth", "vtime", "fetch_order", "discovered_seq",
-]
+
 
 
 def _sched_table(rows: list[tuple], base_order: int) -> pa.Table:
-    """Sort the round's schedule by (vtime, url) and assign fetch_order."""
-    rows = sorted(rows, key=lambda t: (t[5], t[0]))
+    """Sort the round's schedule by (vtime, url) and assign fetch_order.
+
+    The sort runs as an Arrow kernel (C, ~10ms for 100k rows) so the
+    driver-side merge stays negligible at fat-round sizes; on a
+    multi-node cluster this becomes ds.sort + per-block offsets.
+    """
     cols = list(zip(*rows)) if rows else [[] for _ in range(6)]
     n = len(rows)
-    arrays = [
-        pa.array(cols[0], pa.string()),
-        pa.array(cols[1], pa.string()),
-        pa.array(cols[2], pa.int32()),
-        pa.array(cols[3], pa.float32()),
-        pa.array(cols[4], pa.int64()),
-        pa.array(cols[5], pa.float64()),
-        pa.array(np.arange(base_order, base_order + n, dtype=np.int64)),
-    ]
-    return pa.Table.from_arrays(arrays, names=[n_ for n_, _ in SCHED_FIELDS])
+    unsorted = pa.Table.from_arrays(
+        [
+            pa.array(cols[0], pa.string()),
+            pa.array(cols[1], pa.string()),
+            pa.array(cols[2], pa.int32()),
+            pa.array(cols[3], pa.float32()),
+            pa.array(cols[4], pa.int64()),
+            pa.array(cols[5], pa.float64()),
+        ],
+        names=[n_ for n_, _ in SCHED_FIELDS[:6]],
+    )
+    idx = pa.compute.sort_indices(
+        unsorted, sort_keys=[("vtime", "ascending"), ("url", "ascending")]
+    )
+    out = unsorted.take(idx)
+    return out.append_column(
+        "fetch_order", pa.array(np.arange(base_order, base_order + n, dtype=np.int64))
+    )
 
 
 def explode_candidates(cfg: CrawlConfig, rnd: int):
     """wide batch → candidate rows (url, domain, depth, priority, seq)."""
+
+    from ..functions.hashing import hash64_array
 
     def fn(t: pa.Table) -> pa.Table:
         urls, doms, depths, prios, seqs = [], [], [], [], []
@@ -95,6 +106,7 @@ def explode_candidates(cfg: CrawlConfig, rnd: int):
                 depths.append(dep)
                 prios.append(float(dep))
                 seqs.append(cfg.pack_seq(rnd, f, pos))
+        part = (hash64_array(urls) % 64).astype(np.int32) if urls else np.empty(0, np.int32)
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -102,75 +114,53 @@ def explode_candidates(cfg: CrawlConfig, rnd: int):
                 pa.array(depths, pa.int32()),
                 pa.array(prios, pa.float32()),
                 pa.array(seqs, pa.int64()),
+                pa.array(part, pa.int32()),
             ],
-            names=["url", "domain", "depth", "priority", "discovered_seq"],
+            names=["url", "domain", "depth", "priority", "discovered_seq", "part"],
         )
 
     return fn
 
 
-def _dedup_min_seq(t: pa.Table) -> pa.Table:
-    """Within-round exact dedup: keep the min discovered_seq row per url.
-    (Used inside groupby(url).map_groups — first-discovery-wins.)"""
-    import pandas as pd  # noqa: F401
-
-    idx = pa.compute.sort_indices(t, sort_keys=[("discovered_seq", "ascending")])
-    return t.take(idx[:1])
-
-
-class RouteNew:
-    """URL-seen check + survivor routing stage (task pool via
-    ``route_new_batch``).
-
-    Per batch: group by seen shard → add_if_new RPC (cuckoo + exact) →
-    group survivors by scheduler shard → add_urls RPC. Emits one stats
-    row per batch. Side-effecting: recovery is per-round restart from
-    checkpoint, never task-level retry (see module docstring).
-    """
-
-    def __init__(self, seen_handles, sched_handles):
-        self.seen = seen_handles
-        self.sched = sched_handles
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import ray
-
-        urls = t["url"].to_pylist()
-        doms = t["domain"].to_pylist()
-        depths = t["depth"].to_pylist()
-        prios = t["priority"].to_pylist()
-        seqs = t["discovered_seq"].to_pylist()
-        n_seen_shards = len(self.seen)
-        by_shard: dict[int, list[int]] = {}
-        for i, u in enumerate(urls):
-            by_shard.setdefault(hash64_signed(u) % n_seen_shards, []).append(i)
-        shard_ids = sorted(by_shard)
-        futs = [self.seen[s].add_if_new.remote([urls[i] for i in by_shard[s]]) for s in shard_ids]
-        new_mask = [False] * len(urls)
-        for s, res in zip(shard_ids, ray.get(futs)):
-            for i, is_new in zip(by_shard[s], res):
-                new_mask[i] = is_new
-        n_sched = len(self.sched)
-        adds: dict[int, list[tuple]] = {}
-        for i, is_new in enumerate(new_mask):
-            if is_new:
-                adds.setdefault(hash64_signed(doms[i]) % n_sched, []).append(
-                    (urls[i], doms[i], int(depths[i]), float(prios[i]), int(seqs[i]))
-                )
-        if adds:
-            ray.get([self.sched[s].add_urls.remote(rows) for s, rows in adds.items()])
-        return pa.Table.from_arrays(
-            [
-                pa.array([len(urls)], pa.int64()),
-                pa.array([sum(new_mask)], pa.int64()),
-            ],
-            names=["n_candidates", "n_new"],
-        )
+def _split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Table]]:
+    """Split a schedule table into (bucket, sub-table) pairs — one fetch
+    RPC per content-store partition, routed to the worker that owns it.
+    Execution order is free to differ — crawl order lives in the
+    fetch_order column, not in block order."""
+    doms = sched["domain"].to_pylist()
+    buckets = hash64_array(doms) % n_buckets
+    out = []
+    for b in np.unique(buckets):
+        out.append((int(b), sched.filter(pa.array(buckets == b))))
+    return out
 
 
-def route_new_batch(t: pa.Table, *, seen_handles, sched_handles) -> pa.Table:
-    """Task-pool form of RouteNew (handles travel in the task closure)."""
-    return RouteNew(seen_handles, sched_handles)(t)
+def accept_candidates(t: pa.Table, *, seen_handles) -> pa.Table:
+    """Stream one candidate batch into the seen shards.
+
+    Local pre-dedup (min-seq per url within the batch, vectorized) cuts
+    RPC payload; the shard's in-actor accumulator resolves duplicates
+    across batches/rounds exactly. The stage blocks on the RPCs, so once
+    the dataset is consumed every candidate has been accepted — the
+    driver can flush."""
+    import ray
+
+    import pandas as pd
+
+    g = t.select(["url", "domain", "depth", "priority", "discovered_seq"]).to_pandas()
+    g = g.sort_values(["url", "discovered_seq"], kind="mergesort").drop_duplicates(
+        "url", keep="first"
+    )
+    n_shards = len(seen_handles)
+    part = hash64_array(list(g["url"])) % n_shards
+    futs = []
+    for s in range(n_shards):
+        sub = g[part == s]
+        if len(sub):
+            futs.append(seen_handles[s].accept.remote(list(sub.itertuples(index=False, name=None))))
+    if futs:
+        ray.get(futs)
+    return pa.Table.from_arrays([pa.array([t.num_rows], pa.int64())], names=["n_candidates"])
 
 
 class CrawlEngine:
@@ -185,10 +175,24 @@ class CrawlEngine:
         self.docs_dir = os.path.join(web_dir, "documents")
         self.seen_handles = []
         self.sched_handles = []
+        self.fetch_pool = []
         self.fetch_order = 0
         self.round = 0
 
     # ---------------------------------------------------------- setup
+
+    def _make_fetch_pool(self) -> None:
+        import ray
+
+        FetchWorker = make_fetch_worker()
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        size = max(2, min(self.web_meta["n_buckets"], ncpu))
+        self.fetch_pool = [
+            FetchWorker.remote(
+                i, self.docs_dir, self.web_meta["n_buckets"], self.cfg, self.seen_handles
+            )
+            for i in range(size)
+        ]
 
     def _robots_by_shard(self) -> list[dict[str, str]]:
         robots = pq.read_table(os.path.join(self.web_dir, "robots.parquet"))
@@ -230,6 +234,7 @@ class CrawlEngine:
                         (u, d, 0, 0.0, cfg.pack_seq(0, order[u], 0))
                     )
         ray.get([self.sched_handles[s].add_urls.remote(rows) for s, rows in adds.items()])
+        self._make_fetch_pool()
         self.fetch_order = 0
         self.round = 0
 
@@ -237,6 +242,13 @@ class CrawlEngine:
         """Restore actors from the latest committed round. False if none."""
         last = self.store.latest_round()
         if last is None:
+            return False
+        # with checkpoint_interval > 1, walk back to the latest round that
+        # carries actor state; later committed rounds are re-run (exact:
+        # rounds are deterministic)
+        while last > 0 and not self.store.read_manifest(last)["meta"].get("has_ckpt", True):
+            last -= 1
+        if last == 0:
             return False
         import ray
 
@@ -250,6 +262,7 @@ class CrawlEngine:
         self.sched_handles = [None] * self.cfg.num_scheduler_shards
         for sid, blob in zip(sched_t["shard_id"].to_pylist(), sched_t["state_bytes"].to_pylist()):
             self.sched_handles[sid] = Sched.remote(sid, self.cfg, {}, state=blob)
+        self._make_fetch_pool()
         meta = self.store.read_manifest(last)["meta"]
         self.fetch_order = meta["next_fetch_order"]
         self.round = last
@@ -258,9 +271,15 @@ class CrawlEngine:
     # ---------------------------------------------------------- rounds
 
     def run_round(self) -> int:
-        """Execute one crawl round; returns #urls fetched (0 = done)."""
+        """Execute one crawl round; returns #urls fetched (0 = done).
+
+        ONE dataset execution per round: schedule → fetch+extract (with
+        candidate accept fused in — seen shards accumulate) → per-batch
+        multi-table parquet writes into the staged round dir. Then a
+        flush RPC per seen shard routes the new frontier actor→actor to
+        the schedulers, and the round commits (write-then-manifest).
+        """
         import ray
-        import ray.data as rd
 
         cfg = self.cfg
         rnd = self.round + 1
@@ -272,43 +291,31 @@ class CrawlEngine:
             return 0
         sched = _sched_table(sched_rows, self.fetch_order)
         n = sched.num_rows
+        t_sched = time.monotonic()
 
-        from functools import partial
+        tmp_dir = self.store.begin_round(rnd)
+        # bucket-affine fetch: each (bucket, block) goes to the FetchWorker
+        # that OWNS that content partition — buckets are parsed once per
+        # run, served from actor memory across all rounds. fetch + extract
+        # + candidate accept + output writes all happen inside the actor.
+        pool = self.fetch_pool
+        blocks = _split_by_bucket(sched, self.web_meta["n_buckets"])
+        # largest-first submission: each actor's queue starts with its
+        # biggest blocks, shrinking the end-of-round straggler tail
+        blocks.sort(key=lambda bt: -bt[1].num_rows)
+        futs = [
+            pool[b % len(pool)].process.remote(block, rnd, tmp_dir) for b, block in blocks
+        ]
+        res = ray.get(futs)
+        # drain per-actor candidate accumulators into the seen shards
+        # (one burst per fetch actor per round), then flush survivors to
+        # the scheduler shards, actor→actor
+        ray.get([w.drain_accepts.remote() for w in self.fetch_pool])
+        t_pipe = time.monotonic()
+        n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
+        n_cand = sum(c for _, c in res)
+        t_flush = time.monotonic()
 
-        from ..stages.fetch import fetch_extract_batch
-
-        wide = (
-            rd.from_arrow(sched)
-            .map_batches(
-                partial(
-                    fetch_extract_batch,
-                    docs_dir=self.docs_dir,
-                    n_buckets=self.web_meta["n_buckets"],
-                    cfg=cfg,
-                ),
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
-            .materialize()
-        )
-
-        cands = wide.map_batches(explode_candidates(cfg, rnd), batch_format="pyarrow")
-        deduped = cands.groupby("url").map_groups(_dedup_min_seq, batch_format="pyarrow")
-        stats = deduped.map_batches(
-            partial(route_new_batch, seen_handles=self.seen_handles, sched_handles=self.sched_handles),
-            batch_format="pyarrow",
-            batch_size=8192,
-        ).to_pandas()
-        n_cand = int(stats["n_candidates"].sum()) if len(stats) else 0
-        n_new = int(stats["n_new"].sum()) if len(stats) else 0
-
-        wide_t = pa.concat_tables(ray.get(wide.to_arrow_refs())).combine_chunks()
-        pages = wide_t.select(PAGE_COLS).append_column(
-            "round", pa.array([rnd] * wide_t.num_rows, pa.int32())
-        )
-        links = _explode_links(wide_t)
-        emails = _explode_addr(wide_t, "emails")
-        btc = _explode_addr(wide_t, "btc")
         banned = pa.Table.from_arrays(
             [
                 pa.array([b[0] for b in banned_rows], pa.string()),
@@ -316,26 +323,29 @@ class CrawlEngine:
             ],
             names=["url", "domain"],
         )
-        seen_states = ray.get([h.state_bytes.remote() for h in self.seen_handles])
-        seen_sizes = ray.get([h.size.remote() for h in self.seen_handles])
-        sched_states = ray.get([h.state_bytes.remote() for h in self.sched_handles])
-        seen_ckpt = pa.Table.from_arrays(
-            [
-                pa.array(range(len(seen_states)), pa.int32()),
-                pa.array(seen_states, pa.large_binary()),
-                pa.array(seen_sizes, pa.int64()),
-                pa.array([rnd] * len(seen_states), pa.int32()),
-            ],
-            names=["shard_id", "filter_bytes", "count", "round"],
-        )
-        sched_ckpt = pa.Table.from_arrays(
-            [
-                pa.array(range(len(sched_states)), pa.int32()),
-                pa.array(sched_states, pa.large_binary()),
-                pa.array([rnd] * len(sched_states), pa.int32()),
-            ],
-            names=["shard_id", "state_bytes", "round"],
-        )
+        do_ckpt = cfg.checkpoint_interval <= 1 or rnd % cfg.checkpoint_interval == 0
+        small_tables = {}
+        if do_ckpt:
+            seen_states = ray.get([h.state_bytes.remote() for h in self.seen_handles])
+            seen_sizes = ray.get([h.size.remote() for h in self.seen_handles])
+            sched_states = ray.get([h.state_bytes.remote() for h in self.sched_handles])
+            small_tables["seen_ckpt"] = pa.Table.from_arrays(
+                [
+                    pa.array(range(len(seen_states)), pa.int32()),
+                    pa.array(seen_states, pa.large_binary()),
+                    pa.array(seen_sizes, pa.int64()),
+                    pa.array([rnd] * len(seen_states), pa.int32()),
+                ],
+                names=["shard_id", "filter_bytes", "count", "round"],
+            )
+            small_tables["sched_ckpt"] = pa.Table.from_arrays(
+                [
+                    pa.array(range(len(sched_states)), pa.int32()),
+                    pa.array(sched_states, pa.large_binary()),
+                    pa.array([rnd] * len(sched_states), pa.int32()),
+                ],
+                names=["shard_id", "state_bytes", "round"],
+            )
         metrics = pa.Table.from_arrays(
             [
                 pa.array([rnd], pa.int32()),
@@ -349,21 +359,21 @@ class CrawlEngine:
             ],
             names=["round", "partition", "urls_scheduled", "urls_fetched", "urls_discovered", "urls_deduped", "wall_ms", "lineage"],
         )
-        self.store.commit_round(
+        small_tables.update({"banned": banned, "schedule": sched, "metrics": metrics})
+        self.store.finish_round(
             rnd,
-            {
-                "pages": pages,
-                "links": links,
-                "emails": emails,
-                "btc": btc,
-                "banned": banned,
-                "schedule": sched,
-                "seen_ckpt": seen_ckpt,
-                "sched_ckpt": sched_ckpt,
-                "metrics": metrics,
-            },
-            meta={"next_fetch_order": self.fetch_order + n, "round": rnd},
+            small_tables,
+            meta={"next_fetch_order": self.fetch_order + n, "round": rnd, "has_ckpt": do_ckpt},
         )
+        if os.environ.get("ONIONRAY_PROFILE"):
+            import sys
+            t_end = time.monotonic()
+            print(
+                f"PROF r{rnd}: n={n} schedRPC={t_sched - t0:.2f} pipe={t_pipe - t_sched:.2f} flush={t_flush - t_pipe:.2f} "
+                f"ckpt={t_end - t_flush:.2f} total={t_end - t0:.2f}",
+                file=sys.stderr,
+                flush=True,
+            )
         self.fetch_order += n
         self.round = rnd
         return n
@@ -384,11 +394,12 @@ class CrawlEngine:
         engines in one Ray session; leaked 0.1-CPU actors add up)."""
         import ray
 
-        for h in self.seen_handles + self.sched_handles:
+        for h in self.seen_handles + self.sched_handles + self.fetch_pool:
             if h is not None:
                 ray.kill(h)
         self.seen_handles = []
         self.sched_handles = []
+        self.fetch_pool = []
 
     # ---------------------------------------------------------- outputs
 
@@ -417,41 +428,3 @@ class CrawlEngine:
         if b is not None:
             urls.update(b["url"].to_pylist())
         return urls
-
-
-def _explode_links(wide: pa.Table) -> pa.Table:
-    src, srcd, dst, dstd, anc = [], [], [], [], []
-    urls = wide["url"].to_pylist()
-    doms = wide["domain"].to_pylist()
-    ld = wide["link_dsts"].to_pylist()
-    ldd = wide["link_dst_domains"].to_pylist()
-    la = wide["link_anchors"].to_pylist()
-    for i in range(wide.num_rows):
-        for u, d, a in zip(ld[i], ldd[i], la[i]):
-            src.append(urls[i])
-            srcd.append(doms[i])
-            dst.append(u)
-            dstd.append(d)
-            anc.append(a)
-    from ..schemas import LINKS
-
-    return pa.Table.from_arrays(
-        [pa.array(src, pa.string()), pa.array(srcd, pa.string()), pa.array(dst, pa.string()), pa.array(dstd, pa.string()), pa.array(anc, pa.string())],
-        schema=LINKS,
-    )
-
-
-def _explode_addr(wide: pa.Table, col: str) -> pa.Table:
-    addr, urls_o, doms_o = [], [], []
-    urls = wide["url"].to_pylist()
-    doms = wide["domain"].to_pylist()
-    vals = wide[col].to_pylist()
-    for i in range(wide.num_rows):
-        for a in vals[i]:
-            addr.append(a)
-            urls_o.append(urls[i])
-            doms_o.append(doms[i])
-    return pa.Table.from_arrays(
-        [pa.array(addr, pa.string()), pa.array(urls_o, pa.string()), pa.array(doms_o, pa.string())],
-        names=["address", "url", "domain"],
-    )

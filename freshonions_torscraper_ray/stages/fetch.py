@@ -13,8 +13,11 @@ domain-hash bucket so each fetch batch touches few partitions.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..functions.doc_extract import extract_doc
@@ -44,6 +47,11 @@ RESULT_FIELDS = [
     ("cand_depths", pa.list_(pa.int32())),
 ]
 RESULT_SCHEMA = pa.schema([pa.field(n, t) for n, t in RESULT_FIELDS])
+
+PAGE_COLS = [
+    "url", "domain", "status", "size", "title", "text", "is_frontpage",
+    "clone_fp", "depth", "vtime", "fetch_order", "discovered_seq",
+]
 
 
 # Worker-process-global content-store cache: the fetch stage runs as a
@@ -134,10 +142,217 @@ class FetchExtract:
         return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
-def fetch_extract_batch(batch: pa.Table, *, docs_dir: str, n_buckets: int, cfg: CrawlConfig) -> pa.Table:
+def fetch_extract_batch(
+    batch: pa.Table,
+    *,
+    docs_dir: str,
+    n_buckets: int,
+    cfg: CrawlConfig,
+    seen_handles=None,
+    rnd: int | None = None,
+) -> pa.Table:
     """Task-pool form of FetchExtract (worker-global store cache).
 
-    Passed to ``map_batches`` via functools.partial so rounds use cheap
-    stateless tasks; state still amortizes through ``_cached_store``.
+    When ``seen_handles``/``rnd`` are given, candidate discovery is FUSED
+    into the same pass: the freshly extracted candidates are locally
+    min-seq-deduped and streamed to the seen shards (in-actor accumulator
+    resolves cross-batch duplicates exactly) — no second pipeline pass
+    over the round's output, no candidate shuffle.
     """
-    return FetchExtract(docs_dir, n_buckets, cfg)(batch)
+    wide = FetchExtract(docs_dir, n_buckets, cfg)(batch)
+    if seen_handles is not None and rnd is not None:
+        _accept_from_wide(wide, cfg, rnd, seen_handles)
+    return wide
+
+
+def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) -> int:
+    """Merge a block's candidates into the per-actor accumulator
+    (min discovered_seq wins). Returns the raw candidate count."""
+    orders = wide["fetch_order"].to_numpy(zero_copy_only=False)
+    cu = wide["cand_urls"].to_pylist()
+    cd = wide["cand_domains"].to_pylist()
+    cdep = wide["cand_depths"].to_pylist()
+    n = 0
+    for i in range(wide.num_rows):
+        f = int(orders[i])
+        for pos, (u, d, dep) in enumerate(zip(cu[i], cd[i], cdep[i])):
+            n += 1
+            seq = cfg.pack_seq(rnd, f, pos)
+            cur = best.get(u)
+            if cur is None or seq < cur[4]:
+                best[u] = (u, d, dep, float(dep), seq)
+    return n
+
+
+def _accept_from_wide(wide: pa.Table, cfg: CrawlConfig, rnd: int, seen_handles) -> None:
+    """One-shot accept for the task-pool path (tests / non-actor use)."""
+    import ray
+
+    from ..functions.hashing import hash64_signed
+
+    best: dict[str, tuple] = {}
+    _merge_candidates(wide, cfg, rnd, best)
+    if not best:
+        return
+    n_shards = len(seen_handles)
+    by_shard: dict[int, list[tuple]] = {}
+    for u, row in best.items():
+        by_shard.setdefault(hash64_signed(u) % n_shards, []).append(row)
+    futs = []
+    for s, rows in by_shard.items():
+        cols = tuple(list(c) for c in zip(*rows))
+        futs.append(seen_handles[s].accept.remote(cols))
+    ray.get(futs)
+
+
+def _explode_links(wide: pa.Table) -> pa.Table:
+    src, srcd, dst, dstd, anc = [], [], [], [], []
+    urls = wide["url"].to_pylist()
+    doms = wide["domain"].to_pylist()
+    ld = wide["link_dsts"].to_pylist()
+    ldd = wide["link_dst_domains"].to_pylist()
+    la = wide["link_anchors"].to_pylist()
+    for i in range(wide.num_rows):
+        for u, d, a in zip(ld[i], ldd[i], la[i]):
+            src.append(urls[i])
+            srcd.append(doms[i])
+            dst.append(u)
+            dstd.append(d)
+            anc.append(a)
+    from ..schemas import LINKS
+
+    return pa.Table.from_arrays(
+        [pa.array(src, pa.string()), pa.array(srcd, pa.string()), pa.array(dst, pa.string()), pa.array(dstd, pa.string()), pa.array(anc, pa.string())],
+        schema=LINKS,
+    )
+
+
+
+
+def _explode_addr(wide: pa.Table, col: str) -> pa.Table:
+    addr, urls_o, doms_o = [], [], []
+    urls = wide["url"].to_pylist()
+    doms = wide["domain"].to_pylist()
+    vals = wide[col].to_pylist()
+    for i in range(wide.num_rows):
+        for a in vals[i]:
+            addr.append(a)
+            urls_o.append(urls[i])
+            doms_o.append(doms[i])
+    return pa.Table.from_arrays(
+        [pa.array(addr, pa.string()), pa.array(urls_o, pa.string()), pa.array(doms_o, pa.string())],
+        names=["address", "url", "domain"],
+    )
+
+
+def enrich_pages(pages: pa.Table) -> pa.Table:
+    """Per-page enrichment (cfg.enrich): language ID over the stripped
+    text (reference O10 — Domain.language), quality stats, simhash
+    fingerprint. Runs inside the fetch actor so text never leaves it
+    unenriched; all deterministic (token-hash cache amortizes cost)."""
+    from .dedup import simhash64
+    from .textstats import LangId, quality_scores
+
+    pages = quality_scores(pages, "text")
+    pages = LangId()(pages)
+    texts = pages["text"].to_numpy(zero_copy_only=False)
+    sims = np.fromiter(
+        ((simhash64(t) & ((1 << 63) - 1)) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return pages.append_column("simhash", pa.array(sims))
+
+
+def write_round_outputs(wide: pa.Table, *, base_dir: str, rnd: int, enrich: bool = False) -> pa.Table:
+    """Per-batch multi-table writer: derives pages/links/emails/btc from
+    the wide fetch output and writes one parquet part per table directly
+    into the staged round directory — the whole round's I/O happens
+    inside the single fused pipeline execution. Part names are unique per
+    task; the round manifest (written after) is the commit gate."""
+    import uuid
+
+    part = uuid.uuid4().hex[:12]
+    pages = wide.select(PAGE_COLS).append_column(
+        "round", pa.array([rnd] * wide.num_rows, pa.int32())
+    )
+    if enrich:
+        pages = enrich_pages(pages)
+    n_cand = int(pa.compute.sum(pa.compute.list_value_length(wide["cand_urls"])).as_py() or 0)
+    for name, table in (
+        ("pages", pages),
+        ("links", _explode_links(wide)),
+        ("emails", _explode_addr(wide, "emails")),
+        ("btc", _explode_addr(wide, "btc")),
+    ):
+        tdir = os.path.join(base_dir, name)
+        os.makedirs(tdir, exist_ok=True)
+        pq.write_table(table, os.path.join(tdir, f"part-{part}.parquet"))
+    return pa.Table.from_arrays(
+        [pa.array([wide.num_rows], pa.int64()), pa.array([n_cand], pa.int64())],
+        names=["n_pages", "n_candidates"],
+    )
+
+
+
+
+def make_fetch_worker():
+    """Bucket-pinned persistent fetch actor (raw Ray actor by design).
+
+    Ray Data's map_batches cannot route batches to specific pool members,
+    so the content-store cache cannot be made partition-affine under a
+    task pool — every worker ends up faulting in every bucket and the
+    redundant parquet parsing grows with worker count (measured: 23→63
+    cpu-s/round at 150k domains). Each FetchWorker instead OWNS the
+    buckets ``{b : b %% pool_size == actor_id}`` for the whole crawl:
+    every bucket is parsed once per run, then served from memory across
+    all rounds. The round loop submits one ``process`` call per
+    (bucket, schedule-block); fetch+extract+candidate-accept+output-write
+    all happen inside the actor (single pass, no driver traffic).
+    """
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class FetchWorker:
+        def __init__(self, actor_id: int, docs_dir: str, n_buckets: int, cfg, seen_handles):
+            self.fe = FetchExtract(docs_dir, n_buckets, cfg)
+            self.fe.store.MAX_CACHED_BUCKETS = n_buckets + 1  # pin owned buckets
+            self.cfg = cfg
+            self.seen = seen_handles
+            self._cand_acc: dict = {}
+
+        def process(self, block: pa.Table, rnd: int, out_dir: str) -> tuple[int, int]:
+            """Fetch+extract+write one bucket-block; candidates are
+            ACCUMULATED in-actor (min-seq merged across this actor's
+            blocks) and pushed to the seen shards once per round via
+            :meth:`drain_accepts` — 32 RPC bursts per round instead of
+            one per block."""
+            wide = self.fe(block)
+            n_cand = _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
+            stats = write_round_outputs(
+                wide, base_dir=out_dir, rnd=rnd, enrich=getattr(self.cfg, "enrich", False)
+            )
+            return (int(stats["n_pages"][0].as_py()), n_cand)
+
+        def drain_accepts(self) -> int:
+            """Route this round's accumulated candidates to the seen
+            shards (columnar payloads); called once per round after all
+            process() calls."""
+            import ray as _ray
+
+            from ..functions.hashing import hash64_signed
+
+            best = self._cand_acc
+            self._cand_acc = {}
+            if not best or not self.seen:
+                return 0
+            n_shards = len(self.seen)
+            by_shard: dict[int, list[tuple]] = {}
+            for u, row in best.items():
+                by_shard.setdefault(hash64_signed(u) % n_shards, []).append(row)
+            futs = []
+            for s, rows in by_shard.items():
+                cols = tuple(list(c) for c in zip(*rows))
+                futs.append(self.seen[s].accept.remote(cols))
+            _ray.get(futs)
+            return len(best)
+
+    return FetchWorker

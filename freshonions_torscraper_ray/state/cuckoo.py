@@ -26,7 +26,7 @@ import pickle
 
 import numpy as np
 
-from ..functions.hashing import hash64
+from ..functions.hashing import hash64, hash64_signed
 
 _EMPTY = np.uint16(0)
 
@@ -53,7 +53,10 @@ class CuckooFilter:
         return fp if fp != 0 else 1
 
     def _index2(self, i1: int, fp: int) -> int:
-        return (i1 ^ (hash64(fp.to_bytes(2, "little")) & (self.n_buckets - 1))) & (self.n_buckets - 1)
+        # partner bucket via a cheap integer mix (murmur-style constant);
+        # cryptographic hashing per eviction kick would dominate insert
+        # cost on full tables
+        return (i1 ^ ((fp * 0x5BD1E995) & (self.n_buckets - 1))) & (self.n_buckets - 1)
 
     def contains_hash(self, h: int) -> bool:
         fp = self._fingerprint(h)
@@ -113,7 +116,7 @@ class SeenShardState:
     """The shard's actual logic — plain object so the oracle/unit tests can
     drive it without Ray; the Ray actor below is a thin wrapper."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 16, seed: int = 42):
+    def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 42):
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity, seed)
         self.exact: set[bytes] = set()
@@ -138,21 +141,96 @@ class SeenShardState:
                     out.append(False)
                     continue
                 self.exact.add(d)
-                if not self.cuckoo.insert_hash(h):
-                    self.degraded = True
+                self._insert_filter(h)
                 out.append(True)
             else:
-                if not self.cuckoo.insert_hash(h):
-                    self.degraded = True
+                self._insert_filter(h)
                 self.exact.add(url_digest(u))
                 out.append(True)
         return out
+
+    # ---- round-accumulation protocol (shuffle-free frontier dedup) ----
+    #
+    # Candidate batches stream straight from the extract stage (no
+    # all-to-all): each shard ACCUMULATES its partition's candidates for
+    # the current round, resolving within-round duplicates to the minimum
+    # discovered_seq in-actor (actors serialize calls, so arrival order
+    # cannot matter). ``flush_round`` then commits digests to the
+    # cuckoo+exact structures and hands the surviving frontier rows out
+    # for scheduler routing. Exactly the semantics of the former
+    # groupby(url).min(seq) pass, without moving every candidate twice.
+
+    def accept(self, cols: tuple) -> int:
+        """cols: (urls, domains, depths, priorities, seqs) — parallel
+        lists, this shard's hash partition (columnar: pickling five flat
+        lists is ~5x cheaper than 100k tuples). Returns #rows accepted."""
+        acc = getattr(self, "round_acc", None)
+        if acc is None:
+            acc = self.round_acc = {}
+        urls, domains, depths, priorities, seqs = cols
+        n = 0
+        exact = self.exact
+        for i in range(len(urls)):
+            url = urls[i]
+            if url_digest(url) in exact:
+                continue
+            seq = seqs[i]
+            cur = acc.get(url)
+            if cur is None or seq < cur[3]:
+                acc[url] = (domains[i], depths[i], priorities[i], seq)
+                n += 1
+        return n
+
+    def _insert_filter(self, h: int) -> None:
+        """Insert into the cuckoo filter unless it has already overflowed
+        — a degraded filter is bypassed entirely (every lookup goes to the
+        exact set), so paying a full failed eviction walk per insert would
+        be pure waste."""
+        if not self.degraded and not self.cuckoo.insert_hash(h):
+            self.degraded = True
+
+    def flush_round(self) -> list[tuple]:
+        """Commit this round's accepted URLs to the seen structures and
+        return their frontier rows (url, domain, depth, priority, seq)."""
+        acc = getattr(self, "round_acc", None)
+        if not acc:
+            self.round_acc = {}
+            return []
+        out = []
+        for url, (domain, depth, priority, seq) in acc.items():
+            self.exact.add(url_digest(url))
+            self._insert_filter(hash64(url))
+            out.append((url, domain, depth, priority, seq))
+        self.round_acc = {}
+        return out
+
+    def flush_round_cols(self) -> tuple | None:
+        """Columnar flush: commit and return (urls, domains, depths,
+        priorities, seqs) parallel lists, or None if empty."""
+        acc = getattr(self, "round_acc", None)
+        if not acc:
+            self.round_acc = {}
+            return None
+        urls, domains, depths, prios, seqs = [], [], [], [], []
+        exact_add = self.exact.add
+        for url, (domain, depth, priority, seq) in acc.items():
+            exact_add(url_digest(url))
+            self._insert_filter(hash64(url))
+            urls.append(url)
+            domains.append(domain)
+            depths.append(depth)
+            prios.append(priority)
+            seqs.append(seq)
+        self.round_acc = {}
+        return (urls, domains, depths, prios, seqs)
 
     def __len__(self) -> int:
         return len(self.exact)
 
     def state_bytes(self) -> bytes:
-        digests = np.frombuffer(b"".join(sorted(self.exact)), dtype=np.uint8) if self.exact else np.empty(0, np.uint8)
+        # set iteration order is process-dependent but checkpoint equality
+        # is semantic (membership), not byte-level — skip the O(n log n) sort
+        digests = np.frombuffer(b"".join(self.exact), dtype=np.uint8) if self.exact else np.empty(0, np.uint8)
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
@@ -181,7 +259,7 @@ def make_seen_actor():
 
     @ray.remote(num_cpus=0.1)
     class SeenShard:
-        def __init__(self, shard_id: int, capacity: int = 1 << 16, seed: int = 42, state: bytes | None = None):
+        def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 42, state: bytes | None = None):
             if state is not None:
                 self.s = SeenShardState.from_state_bytes(state)
             else:
@@ -189,6 +267,42 @@ def make_seen_actor():
 
         def add_if_new(self, urls: list[str]) -> list[bool]:
             return self.s.add_if_new(urls)
+
+        def accept(self, rows) -> int:
+            return self.s.accept(rows)
+
+        def flush_round(self):
+            return self.s.flush_round()
+
+        def flush_to(self, sched_handles) -> int:
+            """Flush and push survivors actor→actor to the scheduler
+            shards (frontier rows never touch the driver; columnar
+            payloads throughout)."""
+            import numpy as _np
+            import ray as _ray
+
+            cols = self.s.flush_round_cols()
+            if cols is None:
+                return 0
+            urls, domains, depths, prios, seqs = cols
+            n_sched = len(sched_handles)
+            part = [hash64_signed(d) % n_sched for d in domains]
+            futs = []
+            for shard in set(part):
+                idx = [i for i, p in enumerate(part) if p == shard]
+                futs.append(
+                    sched_handles[shard].add_urls_cols.remote(
+                        (
+                            [urls[i] for i in idx],
+                            [domains[i] for i in idx],
+                            [depths[i] for i in idx],
+                            [prios[i] for i in idx],
+                            [seqs[i] for i in idx],
+                        )
+                    )
+                )
+            _ray.get(futs)
+            return len(urls)
 
         def size(self) -> int:
             return len(self.s)

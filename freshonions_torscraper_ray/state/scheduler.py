@@ -62,6 +62,19 @@ class SchedulerShardState:
             if url not in d.pending:
                 d.pending[url] = (priority, seq, depth)
 
+    def add_urls_cols(self, cols: tuple) -> None:
+        """Columnar form of :meth:`add_urls` (cheaper RPC payloads)."""
+        urls, domains, depths, priorities, seqs = cols
+        get = self.domains.get
+        for i in range(len(urls)):
+            domain = domains[i]
+            d = get(domain)
+            if d is None:
+                d = self.domains[domain] = DomainState()
+            url = urls[i]
+            if url not in d.pending:
+                d.pending[url] = (priorities[i], seqs[i], depths[i])
+
     def _robots_for(self, domain: str, dstate: DomainState) -> list[str]:
         if dstate.robots_prefixes is None:
             body = self.robots.get(domain, "")
@@ -165,6 +178,10 @@ def make_scheduler_actor():
         def add_urls(self, rows):
             self.s.add_urls(rows)
             return len(rows)
+
+        def add_urls_cols(self, cols):
+            self.s.add_urls_cols(cols)
+            return len(cols[0])
 
         def schedule(self):
             return self.s.schedule()

@@ -53,9 +53,40 @@ class RoundStore:
                 best = rnd if best is None else max(best, rnd)
         return best
 
-    def commit_round(self, rnd: int, tables: dict[str, pa.Table], meta: dict | None = None) -> None:
+    def begin_round(self, rnd: int) -> str:
+        """Open a round's staging directory (cleared of prior attempts).
+        Pipeline tasks write table parts directly under it;
+        :meth:`finish_round` seals the commit."""
+        rdir = self._round_dir(rnd)
+        tmp = rdir + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(rdir):
+            shutil.rmtree(rdir)
+        os.makedirs(tmp)
+        return tmp
+
+    def finish_round(self, rnd: int, tables: dict[str, pa.Table], meta: dict | None = None) -> None:
+        """Write the small driver-side tables into the staged dir, then
+        rename + manifest (the atomic commit point)."""
+        rdir = self._round_dir(rnd)
+        tmp = rdir + ".tmp"
+        manifest = {"round": rnd, "tables": {}, "meta": meta or {}}
+        for name, table in tables.items():
+            tdir = os.path.join(tmp, name)
+            os.makedirs(tdir, exist_ok=True)
+            pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+            manifest["tables"][name] = {"rows": table.num_rows}
+        os.rename(tmp, rdir)
+        with open(os.path.join(rdir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def commit_round(self, rnd: int, tables: dict[str, object], meta: dict | None = None) -> None:
         """Write all tables then the manifest (atomic commit point).
 
+        Values may be pyarrow Tables (written driver-side — small state/
+        metrics tables) or ray.data Datasets (written DISTRIBUTED via
+        write_parquet — pages/links/etc. never pass through the driver).
         A crashed run leaves a manifest-less directory which the next run
         overwrites — rounds are idempotent (determinism makes re-running
         round k produce identical bytes).
@@ -70,9 +101,13 @@ class RoundStore:
         manifest = {"round": rnd, "tables": {}, "meta": meta or {}}
         for name, table in tables.items():
             tdir = os.path.join(tmp, name)
-            os.makedirs(tdir)
-            pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
-            manifest["tables"][name] = {"rows": table.num_rows}
+            if isinstance(table, pa.Table):
+                os.makedirs(tdir)
+                pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+                manifest["tables"][name] = {"rows": table.num_rows}
+            else:  # ray.data.Dataset — distributed write
+                table.write_parquet(tdir)
+                manifest["tables"][name] = {"rows": -1}
         os.rename(tmp, rdir)
         # manifest written last = the commit
         with open(os.path.join(rdir, "manifest.json"), "w") as f:
@@ -116,27 +151,42 @@ class ContentStore:
     contract, the in-memory dict is the sandbox fast path.
     """
 
+    MAX_CACHED_BUCKETS = 12  # per-worker cap; evicts least-recently-used
+
     def __init__(self, docs_dir: str, n_buckets: int):
         self.docs_dir = docs_dir
         self.n_buckets = n_buckets
         self._cache: dict[int, dict[str, int]] = {}
         self._tables: dict[int, pa.Table] = {}
+        self._lru: list[int] = []
 
     def bucket_of(self, domain: str) -> int:
         return hash64_signed(domain) % self.n_buckets
 
     def _load(self, bucket: int) -> None:
         if bucket in self._cache:
+            if self._lru and self._lru[-1] != bucket:
+                try:
+                    self._lru.remove(bucket)
+                except ValueError:
+                    pass
+                self._lru.append(bucket)
             return
+        while len(self._lru) >= self.MAX_CACHED_BUCKETS:
+            old = self._lru.pop(0)
+            self._cache.pop(old, None)
+            self._tables.pop(old, None)
         bdir = os.path.join(self.docs_dir, f"bucket={bucket}")
         if not os.path.exists(bdir):
             self._cache[bucket] = {}
             self._tables[bucket] = None
+            self._lru.append(bucket)
             return
         t = pq.read_table(bdir)
         self._tables[bucket] = t
         ids = t.column("doc_id").to_pylist()
         self._cache[bucket] = {u: i for i, u in enumerate(ids)}
+        self._lru.append(bucket)
 
     def lookup(self, urls: list[str], domains: list[str]) -> tuple[pa.Table, list[int]]:
         """Batch lookup → (documents table of hits, per-input row index or -1).

@@ -79,7 +79,7 @@ def _pick_target_domain(rng: random.Random, idx: int, n_domains: int) -> int:
     return rng.randrange(n_domains)
 
 
-def gen_domain_docs(seed: int, idx: int, n_domains: int) -> list[dict]:
+def gen_domain_docs(seed: int, idx: int, n_domains: int, span_scale: int = 1) -> list[dict]:
     """All documents of one domain: list of {doc_id, spans} rows.
 
     Pure function of (seed, idx, n_domains) — the oracle, the Ray
@@ -104,11 +104,13 @@ def gen_domain_docs(seed: int, idx: int, n_domains: int) -> list[dict]:
 
         if k == 0:
             add("title", f"{rng.choice(_WORDS)} {rng.choice(_WORDS)} :: {dom[:8]}", "")
-        n_spans = 2 + rng.randrange(9)
+        # span_scale > 1 → realistically sized pages (KBs of text) for
+        # throughput benchmarking; the tiny default keeps goldens fast
+        n_spans = (2 + rng.randrange(9)) * span_scale
         for _ in range(n_spans):
             r = rng.random()
             if r < 0.45:  # text span, possibly salted with extractables
-                words = [rng.choice(_WORDS) for _ in range(3 + rng.randrange(12))]
+                words = [rng.choice(_WORDS) for _ in range((3 + rng.randrange(12)) * min(span_scale, 4))]
                 extra = rng.random()
                 if extra < 0.20:
                     words.append(f"{rng.choice(_WORDS)}{rng.randrange(99)}@{rng.choice(_WORDS)}{rng.randrange(99)}.com")
@@ -152,14 +154,14 @@ def docs_to_table(rows: list[dict], n_buckets: int | None = None) -> pa.Table:
     return t
 
 
-def gen_batch(seed: int, idxs: np.ndarray, n_domains: int, n_buckets: int | None) -> pa.Table:
+def gen_batch(seed: int, idxs: np.ndarray, n_domains: int, n_buckets: int | None, span_scale: int = 1) -> pa.Table:
     rows: list[dict] = []
     for i in idxs:
-        rows.extend(gen_domain_docs(seed, int(i), n_domains))
+        rows.extend(gen_domain_docs(seed, int(i), n_domains, span_scale))
     return docs_to_table(rows, n_buckets)
 
 
-def write_synth_web(out_dir: str, seed: int = 42, n_domains: int = 200, n_buckets: int = 16) -> dict:
+def write_synth_web(out_dir: str, seed: int = 42, n_domains: int = 200, n_buckets: int = 16, span_scale: int = 1) -> dict:
     """Generate and persist the synthetic web with Ray Data.
 
     Layout (the replay content store; Lance-semantics parquet — see
@@ -180,7 +182,7 @@ def write_synth_web(out_dir: str, seed: int = 42, n_domains: int = 200, n_bucket
 
     ds = rd.range(n_domains)
     ds = ds.map_batches(
-        lambda b: gen_batch(seed, b["id"], n_domains, n_buckets),
+        lambda b: gen_batch(seed, b["id"], n_domains, n_buckets, span_scale),
         batch_format="numpy",
         batch_size=64,
     )
@@ -210,7 +212,7 @@ def write_synth_web(out_dir: str, seed: int = 42, n_domains: int = 200, n_bucket
 
     pq.write_table(robots, os.path.join(out_dir, "robots.parquet"))
     pq.write_table(seeds, os.path.join(out_dir, "seeds.parquet"))
-    meta = {"seed": seed, "n_domains": n_domains, "n_buckets": n_buckets}
+    meta = {"seed": seed, "n_domains": n_domains, "n_buckets": n_buckets, "span_scale": span_scale}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta

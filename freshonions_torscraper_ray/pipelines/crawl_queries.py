@@ -218,6 +218,148 @@ def q_crawl_domain_stats(sf_dir: str):
     )
 
 
+def _web_docs_glob() -> str:
+    ensure_engine_fixture()  # guarantees the web exists
+    return os.path.join(FIX_DIR, "web", "documents", "**", "*.parquet")
+
+
+def _read_web_docs():
+    import ray.data as rd
+
+    ensure_engine_fixture()
+    return rd.read_parquet(os.path.join(FIX_DIR, "web", "documents")).select_columns(
+        ["doc_id", "spans"]
+    )
+
+
+def q_spans_media(sf_dir: str):
+    """Media-span explode (multimodal input surface): image refs per doc.
+    Ray: pyarrow list kernels; oracle: DuckDB unnest over the same spans
+    parquet — a genuine nested-type conformance check."""
+    from ..stages.multimodal import media_rows_from_spans
+
+    ds = _read_web_docs()
+    return ds.map_batches(media_rows_from_spans, batch_format="pyarrow").select_columns(
+        ["doc_id", "media_ref"]
+    )
+
+
+def q_spans_links(sf_dir: str):
+    """Link-span explode (O2 raw form, pre-canonicalization)."""
+    import pyarrow.compute as _pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = _pc.list_flatten(spans)
+        parents = _pc.list_parent_indices(spans)
+        kinds = _pc.struct_field(flat, "kind")
+        mask = _pc.equal(kinds, "link")
+        ids = t["doc_id"].take(_pc.filter(parents, mask))
+        return pa.Table.from_arrays(
+            [
+                ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                _pc.filter(_pc.struct_field(flat, "media_ref"), mask),
+                _pc.filter(_pc.struct_field(flat, "text"), mask),
+            ],
+            names=["doc_id", "href", "anchor"],
+        )
+
+    return _read_web_docs().map_batches(explode, batch_format="pyarrow")
+
+
+def q_spans_strip_text(sf_dir: str):
+    """O7 HTML→text strip: concat title/text/anchor spans in offset order
+    (the exact text the reference indexed into Elasticsearch)."""
+    from ..stages.extract import doc_text_and_title
+
+    def strip(t: pa.Table) -> pa.Table:
+        texts, _, _ = doc_text_and_title(t)
+        out = pa.Table.from_arrays(
+            [t["doc_id"], pa.array(texts, pa.string())], names=["doc_id", "text"]
+        )
+        # docs with no text-bearing spans (images only) yield no row,
+        # matching the oracle's GROUP BY-over-qualifying-spans semantics
+        return out.filter(pc.not_equal(out["text"], ""))
+
+    return _read_web_docs().map_batches(strip, batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal pipeline plumbing (rows-only): media explode → actor
+    pool decode (stubbed codec, deterministic) → resize; small batches as
+    large-binary payload discipline requires."""
+    from ..stages.multimodal import ImageDecoder, ImageResizer, media_rows_from_spans
+
+    ds = _read_web_docs()
+    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow")
+    decoded = media.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    resized = decoded.map_batches(ImageResizer, batch_format="pyarrow", batch_size=1024, concurrency=2)
+    return resized.select_columns(["doc_id", "media_ref", "height", "width"])
+
+
+SEED_TEXT_PATH = os.path.join(FIX_DIR, "seed_list.txt")
+
+
+def _ensure_seed_text() -> str:
+    """Deterministic free-form onion mention list (S2 fixture): seed
+    frontpages mixed with junk lines and bare-host mentions."""
+    if os.path.exists(SEED_TEXT_PATH):
+        return SEED_TEXT_PATH
+    os.makedirs(FIX_DIR, exist_ok=True)
+    lines = []
+    for i, u in enumerate(_seed_urls()):
+        host = u.split("://")[1].rstrip("/")
+        if i % 3 == 0:
+            lines.append(f"check out http://{host}/ for fresh links")
+        elif i % 3 == 1:
+            lines.append(host)
+        else:
+            lines.append(f"# mirror list entry {i}: {host} (verified)")
+        if i % 4 == 0:
+            lines.append("no onions on this line at all")
+    with open(SEED_TEXT_PATH + ".tmp", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(SEED_TEXT_PATH + ".tmp", SEED_TEXT_PATH)
+    return SEED_TEXT_PATH
+
+
+def q_seed_import(sf_dir: str):
+    """S2 onion-list harvest: read_text → regex harvest → exact dedup
+    with mention counts."""
+    from ..sources.seeds import read_seed_list
+
+    return read_seed_list(_ensure_seed_text())
+
+
+def q_crawl_top_pages(sf_dir: str):
+    """O28 top-k: largest fetched pages, deterministic tie-break."""
+    import ray.data as rd
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["url", "size", "status"])
+    ds = ds.map_batches(lambda t: t.filter(pc.equal(t["status"], 200)), batch_format="pyarrow")
+    return ds.sort(["size", "url"], descending=[True, False]).limit(20).select_columns(["url", "size"])
+
+
+def q_crawl_email_stats(sf_dir: str):
+    """O20 email↔pages m2m: per-address page/domain counts."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(os.path.join(edir, "emails.parquet"))
+    out = ds.groupby("address").aggregate(Count(alias_name="n_pages"))
+    doms = (
+        ds.groupby(["address", "domain"])
+        .aggregate(Count(alias_name="_x"))
+        .groupby("address")
+        .aggregate(Count(alias_name="n_domains"))
+    )
+    return out.join(doms, join_type="inner", num_partitions=4, on=("address",))
+
+
 CRAWL_QUERIES = {
     "crawl_pages": q_crawl_pages,
     "crawl_links": q_crawl_links,
@@ -226,6 +368,13 @@ CRAWL_QUERIES = {
     "crawl_frontier_residue": q_crawl_frontier_residue,
     "crawl_clone_domains": q_crawl_clone_domains,
     "crawl_domain_stats": q_crawl_domain_stats,
+    "spans_media": q_spans_media,
+    "spans_links": q_spans_links,
+    "spans_strip_text": q_spans_strip_text,
+    "media_decode": q_media_decode,
+    "seed_import": q_seed_import,
+    "crawl_top_pages": q_crawl_top_pages,
+    "crawl_email_stats": q_crawl_email_stats,
 }
 
 
@@ -254,5 +403,43 @@ def crawl_oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) > 0 AS is_up
             FROM read_parquet('{p('pages.parquet')}')
             GROUP BY domain
+        """,
+        # span-explode twins read the synthetic web's own spans parquet —
+        # DuckDB unnest over list<struct> vs pyarrow list kernels
+        "spans_media": f"""
+            SELECT doc_id, s.media_ref AS media_ref
+            FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_web_docs_glob()}'))
+            WHERE s.kind = 'image'
+        """,
+        "spans_links": f"""
+            SELECT doc_id, s.media_ref AS href, s.text AS anchor
+            FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_web_docs_glob()}'))
+            WHERE s.kind = 'link'
+        """,
+        "spans_strip_text": f"""
+            SELECT doc_id, string_agg(s.text, chr(10) ORDER BY s.offset) AS text
+            FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_web_docs_glob()}'))
+            WHERE (s.kind = 'title') OR (s.kind IN ('text', 'link') AND s.text != '')
+            GROUP BY doc_id
+        """,
+        "seed_import": f"""
+            SELECT 'http://' || host || '/' AS url, count(*)::BIGINT AS n_mentions
+            FROM (
+                SELECT unnest(regexp_extract_all(lower(line), '[a-z2-7]{{56}}\\.onion|[a-z2-7]{{16}}\\.onion')) AS host
+                FROM read_csv('{_ensure_seed_text()}', columns={{'line': 'VARCHAR'}}, sep='{chr(1)}', header=false)
+            )
+            GROUP BY host
+        """,
+        "crawl_top_pages": f"""
+            SELECT url, size FROM read_parquet('{p('pages.parquet')}')
+            WHERE status = 200
+            ORDER BY size DESC, url ASC
+            LIMIT 20
+        """,
+        "crawl_email_stats": f"""
+            SELECT address, count(*)::BIGINT AS n_pages,
+                   count(DISTINCT domain)::BIGINT AS n_domains
+            FROM read_parquet('{p('emails.parquet')}')
+            GROUP BY address
         """,
     }

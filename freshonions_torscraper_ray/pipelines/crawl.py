@@ -1,31 +1,37 @@
-"""Crawl-round composition: the streaming Ray Data topology (SURVEY §3.1).
+"""Crawl-round composition: the streaming round topology (SURVEY §3.1).
 
-One crawl round:
+One crawl round (ONE distributed pass over the round's documents):
 
-  scheduler shards (actors)  --schedule-->  deterministic (vtime,url) sort
-    → rd.from_arrow → map_batches(FetchExtract actor pool)   [replay fetch]
-    → wide result (pages + list-typed side outputs), materialized once
-    → explodes: pages / links / emails / btc / candidates    [cheap maps]
-    → candidates: groupby(url).min(seq) exact round-dedup    [shuffle]
-    → RouteNew actor-pool stage: cuckoo-shard add_if_new (URL-seen) +
-      forward survivors to scheduler shards                  [actor RPC]
-    → RoundStore.commit_round(pages, links, …, seen/sched state, metrics)
+  scheduler shards (actors)  --schedule RPC-->  driver
+    → deterministic (vtime, url) Arrow sort + fetch_order assignment
+    → split by content bucket → bucket-pinned FetchWorker actors:
+        replay fetch + extract (O1-O11) [+ optional enrich: langid/
+        quality/simhash] + in-actor candidate min-seq merge + pages/
+        links/emails/btc parquet parts into the staged round dir
+    → drain_accepts: per-actor candidate burst → seen shards (cuckoo +
+      exact, in-actor min-seq resolution across actors)
+    → flush_to: seen shards push the new frontier actor→actor to the
+      scheduler shards
+    → finish_round: banned/schedule/metrics [+ interval-gated seen/sched
+      checkpoints] + manifest (the atomic commit)
 
 Determinism: the *schedule* (computed per-domain by actors, then sorted
 by (vtime, url)) defines crawl order before any parallel execution
-happens; discovery order is encoded in packed ``discovered_seq`` values
-so dedup's first-wins is a distributed groupby-min, not an arrival race.
+happens; discovery order is encoded in packed ``discovered_seq`` values,
+so first-discovery dedup is a min-seq merge that is independent of
+arrival order — crawl order and the URL-seen set are identical at any
+shard/actor/cpu count (golden-tested against the single-threaded
+oracle).
 
 Failure model: the round commit (write-then-manifest) is the atomicity
 unit. A mid-round crash leaves no manifest; resume restores actor state
-from the last committed round and re-runs the round from scratch —
-re-running is byte-identical because everything is deterministic.
+from the last checkpointed round and re-runs forward — re-running is
+byte-identical because everything is deterministic.
 
-Scale notes: the schedule concat/sort runs driver-side here (politeness
-caps bound it to ≤ per_round_domain_cap × active domains); on a real
-cluster replace with ds.sort + per-block offset assignment. RouteNew
-moves only (url, domain, depth, seq) rows; documents never leave the
-fetch stage except as extracted columns.
+Scale notes: the schedule merge is an Arrow sort on the driver, O(round
+size) — at 10^10-URL scale replace with a distributed sort + per-block
+offsets. Candidates/frontier rows move actor→actor in columnar payloads;
+documents never leave the fetch actors except as extracted columns.
 """
 
 from __future__ import annotations
@@ -87,41 +93,6 @@ def _sched_table(rows: list[tuple], base_order: int) -> pa.Table:
     )
 
 
-def explode_candidates(cfg: CrawlConfig, rnd: int):
-    """wide batch → candidate rows (url, domain, depth, priority, seq)."""
-
-    from ..functions.hashing import hash64_array
-
-    def fn(t: pa.Table) -> pa.Table:
-        urls, doms, depths, prios, seqs = [], [], [], [], []
-        orders = t["fetch_order"].to_numpy(zero_copy_only=False)
-        cu = t["cand_urls"].to_pylist()
-        cd = t["cand_domains"].to_pylist()
-        cdep = t["cand_depths"].to_pylist()
-        for i in range(t.num_rows):
-            f = int(orders[i])
-            for pos, (u, d, dep) in enumerate(zip(cu[i], cd[i], cdep[i])):
-                urls.append(u)
-                doms.append(d)
-                depths.append(dep)
-                prios.append(float(dep))
-                seqs.append(cfg.pack_seq(rnd, f, pos))
-        part = (hash64_array(urls) % 64).astype(np.int32) if urls else np.empty(0, np.int32)
-        return pa.Table.from_arrays(
-            [
-                pa.array(urls, pa.string()),
-                pa.array(doms, pa.string()),
-                pa.array(depths, pa.int32()),
-                pa.array(prios, pa.float32()),
-                pa.array(seqs, pa.int64()),
-                pa.array(part, pa.int32()),
-            ],
-            names=["url", "domain", "depth", "priority", "discovered_seq", "part"],
-        )
-
-    return fn
-
-
 def _split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Table]]:
     """Split a schedule table into (bucket, sub-table) pairs — one fetch
     RPC per content-store partition, routed to the worker that owns it.
@@ -133,34 +104,6 @@ def _split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Tabl
     for b in np.unique(buckets):
         out.append((int(b), sched.filter(pa.array(buckets == b))))
     return out
-
-
-def accept_candidates(t: pa.Table, *, seen_handles) -> pa.Table:
-    """Stream one candidate batch into the seen shards.
-
-    Local pre-dedup (min-seq per url within the batch, vectorized) cuts
-    RPC payload; the shard's in-actor accumulator resolves duplicates
-    across batches/rounds exactly. The stage blocks on the RPCs, so once
-    the dataset is consumed every candidate has been accepted — the
-    driver can flush."""
-    import ray
-
-    import pandas as pd
-
-    g = t.select(["url", "domain", "depth", "priority", "discovered_seq"]).to_pandas()
-    g = g.sort_values(["url", "discovered_seq"], kind="mergesort").drop_duplicates(
-        "url", keep="first"
-    )
-    n_shards = len(seen_handles)
-    part = hash64_array(list(g["url"])) % n_shards
-    futs = []
-    for s in range(n_shards):
-        sub = g[part == s]
-        if len(sub):
-            futs.append(seen_handles[s].accept.remote(list(sub.itertuples(index=False, name=None))))
-    if futs:
-        ray.get(futs)
-    return pa.Table.from_arrays([pa.array([t.num_rows], pa.int64())], names=["n_candidates"])
 
 
 class CrawlEngine:

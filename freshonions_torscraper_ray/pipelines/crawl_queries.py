@@ -360,6 +360,94 @@ def q_crawl_email_stats(sf_dir: str):
     return out.join(doms, join_type="inner", num_partitions=4, on=("address",))
 
 
+def q_crawl_open_ports(sf_dir: str):
+    """Portscan maintenance job (reference OpenPort side-car): probe the
+    crawled domain set → per-port domain counts."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .maintenance import build_universe_probe, portscan
+
+    edir = ensure_engine_fixture()
+    doms = (
+        rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"])
+        .groupby("domain")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["domain"])
+    )
+    ref = ray.put(build_universe_probe(SEED, N_DOMAINS))
+    ports = portscan(doms, ref)
+    return ports.groupby("port").aggregate(Count(alias_name="n_domains"))
+
+
+def q_crawl_ssh_groups(sf_dir: str):
+    """O21 SSH-fingerprint grouping: domains sharing a host key."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .maintenance import build_universe_probe, ssh_fingerprints
+
+    edir = ensure_engine_fixture()
+    doms = (
+        rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"])
+        .groupby("domain")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["domain"])
+    )
+    ref = ray.put(build_universe_probe(SEED, N_DOMAINS))
+    fps = ssh_fingerprints(doms, ref)
+    return fps.groupby("fingerprint").aggregate(Count(alias_name="n_domains"))
+
+
+def q_crawl_purged_domains(sf_dir: str):
+    """O32 purge: alive domains only (dead filtered out)."""
+    from .maintenance import purge_dead
+
+    ds = q_crawl_domain_stats(sf_dir)
+    return purge_dead(ds).select_columns(["domain", "pages_crawled"])
+
+
+def _ensure_probe_tables() -> str:
+    """Oracle-side port/ssh tables over the ORACLE's crawled domain set
+    (probe profile shared — like doc content — aggregation independent)."""
+    odir = ensure_oracle_fixture()
+    marker = os.path.join(odir, "_probe_done")
+    if os.path.exists(marker):
+        return odir
+    import pyarrow.parquet as _pq
+
+    from .maintenance import build_universe_probe
+
+    pages = _pq.read_table(os.path.join(odir, "pages.parquet"), columns=["domain"])
+    doms = sorted(set(pages["domain"].to_pylist()))
+    uni = build_universe_probe(SEED, N_DOMAINS)
+    pd_, pp = [], []
+    fd, ff = [], []
+    for d in doms:
+        prof = uni.get(d)
+        if not prof:
+            continue
+        for port in prof["ports"]:
+            pd_.append(d)
+            pp.append(port)
+        if prof["ssh_fp"]:
+            fd.append(d)
+            ff.append(prof["ssh_fp"])
+    _pq.write_table(
+        pa.Table.from_arrays([pa.array(pd_, pa.string()), pa.array(pp, pa.int32())], names=["domain", "port"]),
+        os.path.join(odir, "open_ports.parquet"),
+    )
+    _pq.write_table(
+        pa.Table.from_arrays([pa.array(fd, pa.string()), pa.array(ff, pa.string())], names=["domain", "fingerprint"]),
+        os.path.join(odir, "ssh_fps.parquet"),
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return odir
+
+
 CRAWL_QUERIES = {
     "crawl_pages": q_crawl_pages,
     "crawl_links": q_crawl_links,
@@ -375,6 +463,9 @@ CRAWL_QUERIES = {
     "seed_import": q_seed_import,
     "crawl_top_pages": q_crawl_top_pages,
     "crawl_email_stats": q_crawl_email_stats,
+    "crawl_open_ports": q_crawl_open_ports,
+    "crawl_ssh_groups": q_crawl_ssh_groups,
+    "crawl_purged_domains": q_crawl_purged_domains,
 }
 
 
@@ -441,5 +532,21 @@ def crawl_oracle_sql() -> dict[str, str]:
                    count(DISTINCT domain)::BIGINT AS n_domains
             FROM read_parquet('{p('emails.parquet')}')
             GROUP BY address
+        """,
+        "crawl_open_ports": f"""
+            SELECT port, count(*)::BIGINT AS n_domains
+            FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'open_ports.parquet')}')
+            GROUP BY port
+        """,
+        "crawl_ssh_groups": f"""
+            SELECT fingerprint, count(*)::BIGINT AS n_domains
+            FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'ssh_fps.parquet')}')
+            GROUP BY fingerprint
+        """,
+        "crawl_purged_domains": f"""
+            SELECT domain, count(*)::BIGINT AS pages_crawled
+            FROM read_parquet('{p('pages.parquet')}')
+            GROUP BY domain
+            HAVING sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) > 0
         """,
     }

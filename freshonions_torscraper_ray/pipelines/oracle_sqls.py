@@ -144,6 +144,29 @@ ORACLE_SQL: dict[str, str] = {
             SELECT o_custkey AS custkey FROM orders
         )
     """,
+    "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*)::BIGINT AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sessions": """
+        SELECT user_id, sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions
+        FROM (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM events
+        ) GROUP BY user_id
+    """,
+    "events_asof_purchase": """
+        SELECT e.event_id, e.user_id,
+               coalesce((
+                   SELECT s.event_id FROM events s
+                   WHERE s.user_id = e.user_id AND s.event_type = 'signup' AND s.ts <= e.ts
+                   ORDER BY s.ts DESC, s.event_id DESC LIMIT 1
+               ), -1) AS signup_event_id
+        FROM events e WHERE e.event_type = 'purchase'
+    """,
 }
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture

@@ -495,6 +495,72 @@ def q_union_sources(sf_dir: str):
     return u.groupby("custkey").aggregate(Count(alias_name="_n")).select_columns(["custkey"])
 
 
+# --------------------------------------------- streaming-shaped windows / as-of
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (1h) — the engine's windowed-aggregate
+    operator: event-time bucketing inside map_batches, then a small
+    groupby over (window, type) partials."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(t["ts"], unit="hour")
+        t = t.append_column("hour", hours)
+        return _to_cents(["value"])(t)
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    )
+    return out.map_batches(lambda t: _cents_to_value(t, ["total_value"]), batch_format="pyarrow")
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user → session count.
+    Ordering assumption: per-user event-time sort inside map_groups (the
+    engine's sessionization operator; SQL twin uses lag() + sum())."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
+        n = int((gaps > 1800).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def q_events_asof_purchase(sf_dir: str):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-equal signup (pd.merge_asof per user group — the engine's
+    as-of-join operator; partitioning assumption: both sides keyed and
+    sorted by (user_id, ts))."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        buys = g[g["event_type"] == "purchase"]
+        signups = g[g["event_type"] == "signup"]
+        if buys.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"), "user_id": pd.Series([], dtype="int64"), "signup_event_id": pd.Series([], dtype="int64")})
+        if signups.empty:
+            out = buys[["event_id", "user_id"]].copy()
+            out["signup_event_id"] = -1
+            return out
+        m = pd.merge_asof(
+            buys[["ts", "event_id", "user_id"]],
+            signups[["ts", "event_id"]].rename(columns={"event_id": "signup_event_id"}),
+            on="ts",
+            direction="backward",
+        )
+        m["signup_event_id"] = m["signup_event_id"].fillna(-1).astype("int64")
+        return m[["event_id", "user_id", "signup_event_id"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 # -------------------------------------------------------------- registry
 
 QUERIES = {
@@ -529,6 +595,9 @@ QUERIES = {
     "search_rank": q_search_rank,
     "random_sample_hash": q_random_sample_hash,
     "union_sources": q_union_sources,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "events_asof_purchase": q_events_asof_purchase,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

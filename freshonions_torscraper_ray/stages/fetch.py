@@ -142,29 +142,6 @@ class FetchExtract:
         return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
-def fetch_extract_batch(
-    batch: pa.Table,
-    *,
-    docs_dir: str,
-    n_buckets: int,
-    cfg: CrawlConfig,
-    seen_handles=None,
-    rnd: int | None = None,
-) -> pa.Table:
-    """Task-pool form of FetchExtract (worker-global store cache).
-
-    When ``seen_handles``/``rnd`` are given, candidate discovery is FUSED
-    into the same pass: the freshly extracted candidates are locally
-    min-seq-deduped and streamed to the seen shards (in-actor accumulator
-    resolves cross-batch duplicates exactly) — no second pipeline pass
-    over the round's output, no candidate shuffle.
-    """
-    wide = FetchExtract(docs_dir, n_buckets, cfg)(batch)
-    if seen_handles is not None and rnd is not None:
-        _accept_from_wide(wide, cfg, rnd, seen_handles)
-    return wide
-
-
 def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) -> int:
     """Merge a block's candidates into the per-actor accumulator
     (min discovered_seq wins). Returns the raw candidate count."""
@@ -182,27 +159,6 @@ def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) ->
             if cur is None or seq < cur[4]:
                 best[u] = (u, d, dep, float(dep), seq)
     return n
-
-
-def _accept_from_wide(wide: pa.Table, cfg: CrawlConfig, rnd: int, seen_handles) -> None:
-    """One-shot accept for the task-pool path (tests / non-actor use)."""
-    import ray
-
-    from ..functions.hashing import hash64_signed
-
-    best: dict[str, tuple] = {}
-    _merge_candidates(wide, cfg, rnd, best)
-    if not best:
-        return
-    n_shards = len(seen_handles)
-    by_shard: dict[int, list[tuple]] = {}
-    for u, row in best.items():
-        by_shard.setdefault(hash64_signed(u) % n_shards, []).append(row)
-    futs = []
-    for s, rows in by_shard.items():
-        cols = tuple(list(c) for c in zip(*rows))
-        futs.append(seen_handles[s].accept.remote(cols))
-    ray.get(futs)
 
 
 def _explode_links(wide: pa.Table) -> pa.Table:

@@ -61,6 +61,21 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
         robots = "User-agent: *\nDisallow: /\n"
     elif r < 0.10:
         robots = "User-agent: *\nDisallow: /p/1\n"
+    # portscan / ssh-fingerprint replay state (reference OpenPort /
+    # SSHFingerprint side-cars). Draws appended AFTER the ones above so
+    # earlier profiles (and all goldens) are unchanged.
+    ports = [80]
+    has_ssh = (not dead) and rng.random() < 0.3
+    if has_ssh:
+        ports.append(22)
+    if rng.random() < 0.25:
+        ports.append(443)
+    ssh_fp = ""
+    if has_ssh:
+        # small fingerprint-cluster space → some domains share a host key
+        # (the clone/mirror signal the reference's ssh side-car hunted)
+        fp_group = rng.randrange(max(4, n_domains // 8))
+        ssh_fp = "SHA256:" + base32_name(hash64(f"{seed}:sshfp:{fp_group}"), 32)
     return {
         "idx": idx,
         "domain": domain_name(seed, idx),
@@ -68,6 +83,8 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
         "dead": dead,
         "n_pages": 0 if dead else n_pages,
         "robots": robots,
+        "ports": [] if dead else ports,
+        "ssh_fp": ssh_fp,
     }
 
 

@@ -38,6 +38,13 @@ class CrawlConfig:
     # stored Domain.language — O10), quality scoring, simhash fingerprint.
     # Deterministic; adds pred_lang/n_tokens/stop_ratio/simhash columns.
     enrich: bool = False
+    # alive/dead re-check scheduling (reference cron alive-check, O32):
+    # a 404'd FRONTPAGE re-enters the frontier with depressed priority
+    # (1000 + retries) after a backoff of recheck_backoff*(retries+1)
+    # rounds, up to recheck_max_retries attempts.
+    recheck_dead: bool = False
+    recheck_backoff: int = 2
+    recheck_max_retries: int = 2
 
     # packed discovered_seq layout: (round << 44) | (fetch_order << 16) | pos
     ROUND_SHIFT: int = 44

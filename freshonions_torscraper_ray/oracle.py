@@ -61,7 +61,7 @@ def crawl_oracle(
     cfg: CrawlConfig,
 ) -> OracleResult:
     res = OracleResult()
-    # per-domain state: [vclock, fetched, {url: (priority, seq, depth)}]
+    # per-domain state: [vclock, fetched, {url: (priority, seq, depth, not_before, retries)}]
     dom: dict[str, list] = {}
     robots_cache: dict[str, list[str]] = {}
 
@@ -77,25 +77,31 @@ def crawl_oracle(
             continue
         res.seen.add(url)
         d = url_domain(url)
-        ensure(d)[2][url] = (0.0, cfg.pack_seq(0, i, 0), 0)
+        ensure(d)[2][url] = (0.0, cfg.pack_seq(0, i, 0), 0, 0, 0)
 
     fetch_order = 0
     for rnd in range(1, cfg.max_rounds + 1):
         # --- schedule phase (per-domain, independent) ---
-        schedule: list[tuple] = []  # (vtime, url, domain, depth, pr, seq)
+        schedule: list[tuple] = []  # (vtime, url, domain, depth, pr, seq, retries)
         for d in dom:
             st = dom[d]
             if not st[2]:
                 continue
-            items = sorted((pr, seq, url, depth) for url, (pr, seq, depth) in st[2].items())
+            items = sorted(
+                (pr, seq, url, depth, retries)
+                for url, (pr, seq, depth, nb, retries) in st[2].items()
+                if nb <= rnd
+            )
+            if not items:
+                continue
             if cfg.obey_robots and d in robots:
                 prefixes = robots_cache.setdefault(d, parse_disallow_prefixes(robots[d]))
                 kept = []
-                for pr, seq, url, depth in items:
+                for pr, seq, url, depth, retries in items:
                     rest = url.split("://", 1)[1]
                     path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
                     if allowed(path, prefixes):
-                        kept.append((pr, seq, url, depth))
+                        kept.append((pr, seq, url, depth, retries))
                     else:
                         res.banned.append(url)
                         del st[2][url]
@@ -104,18 +110,23 @@ def crawl_oracle(
             if cap <= 0:
                 continue
             take = items[:cap]
-            for j, (pr, seq, url, depth) in enumerate(take):
-                schedule.append((st[0] + cfg.download_delay * j, url, d, depth, pr, seq))
+            for j, (pr, seq, url, depth, retries) in enumerate(take):
+                schedule.append((st[0] + cfg.download_delay * j, url, d, depth, pr, seq, retries))
                 del st[2][url]
             st[0] += cfg.download_delay * len(take)
             st[1] += len(take)
         if not schedule:
+            # same rule as the engine: backing-off re-checks with budget
+            # left consume an idle round instead of terminating
+            cap = cfg.max_pages_per_domain
+            if any(st[2] and st[1] < cap for st in dom.values()):
+                continue
             break
         res.rounds = rnd
         schedule.sort(key=lambda t: (t[0], t[1]))
 
         # --- fetch + extract + frontier update (in schedule order) ---
-        for vtime, url, d, depth, pr, seq in schedule:
+        for vtime, url, d, depth, pr, seq, retries in schedule:
             f = fetch_order
             fetch_order += 1
             res.crawl_order.append(url)
@@ -124,6 +135,20 @@ def crawl_oracle(
                 res.pages.append(
                     {"url": url, "domain": d, "status": 404, "round": rnd, "vtime": vtime, "fetch_order": f, "clone_fp": 0, "title": "", "text": "", "size": 0, "depth": depth}
                 )
+                # O32 alive re-check: dead frontpages re-enter the
+                # frontier with depressed priority and backoff
+                if (
+                    cfg.recheck_dead
+                    and url.endswith(".onion/")
+                    and retries < cfg.recheck_max_retries
+                ):
+                    ensure(d)[2][url] = (
+                        1000.0 + retries,
+                        seq,
+                        depth,
+                        rnd + cfg.recheck_backoff * (retries + 1),
+                        retries + 1,
+                    )
                 continue
             ex = extract_doc(url, spans, depth, cfg.max_depth)
             res.pages.append(
@@ -155,8 +180,10 @@ def crawl_oracle(
                     float(cand_depth),
                     cfg.pack_seq(rnd, f, pos),
                     cand_depth,
+                    0,
+                    0,
                 )
     for d, st in dom.items():
-        for url, (_pr, _seq, depth) in st[2].items():
+        for url, (_pr, _seq, depth, _nb, _re) in st[2].items():
             res.frontier_residue.append((url, d, depth))
     return res

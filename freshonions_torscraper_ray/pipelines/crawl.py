@@ -58,6 +58,7 @@ SCHED_FIELDS = [
     ("priority", pa.float32()),
     ("discovered_seq", pa.int64()),
     ("vtime", pa.float64()),
+    ("retries", pa.int32()),
     ("fetch_order", pa.int64()),
 ]
 
@@ -71,7 +72,7 @@ def _sched_table(rows: list[tuple], base_order: int) -> pa.Table:
     driver-side merge stays negligible at fat-round sizes; on a
     multi-node cluster this becomes ds.sort + per-block offsets.
     """
-    cols = list(zip(*rows)) if rows else [[] for _ in range(6)]
+    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
     n = len(rows)
     unsorted = pa.Table.from_arrays(
         [
@@ -81,8 +82,9 @@ def _sched_table(rows: list[tuple], base_order: int) -> pa.Table:
             pa.array(cols[3], pa.float32()),
             pa.array(cols[4], pa.int64()),
             pa.array(cols[5], pa.float64()),
+            pa.array(cols[6], pa.int32()),
         ],
-        names=[n_ for n_, _ in SCHED_FIELDS[:6]],
+        names=[n_ for n_, _ in SCHED_FIELDS[:7]],
     )
     idx = pa.compute.sort_indices(
         unsorted, sort_keys=[("vtime", "ascending"), ("url", "ascending")]
@@ -227,7 +229,7 @@ class CrawlEngine:
         cfg = self.cfg
         rnd = self.round + 1
         t0 = time.monotonic()
-        results = ray.get([h.schedule.remote() for h in self.sched_handles])
+        results = ray.get([h.schedule.remote(rnd) for h in self.sched_handles])
         sched_rows = [r for scheduled, _ in results for r in scheduled]
         banned_rows = [b for _, banned in results for b in banned]
         if not sched_rows:
@@ -250,10 +252,11 @@ class CrawlEngine:
             pool[b % len(pool)].process.remote(block, rnd, tmp_dir) for b, block in blocks
         ]
         res = ray.get(futs)
-        # drain per-actor candidate accumulators into the seen shards
-        # (one burst per fetch actor per round), then flush survivors to
-        # the scheduler shards, actor→actor
+        # drain per-actor candidate accumulators into the seen shards and
+        # re-check retries into the schedulers (one burst per fetch actor
+        # per round), then flush survivors to the scheduler shards
         ray.get([w.drain_accepts.remote() for w in self.fetch_pool])
+        ray.get([w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool])
         t_pipe = time.monotonic()
         n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
         n_cand = sum(c for _, c in res)
@@ -328,6 +331,14 @@ class CrawlEngine:
         while self.round < self.cfg.max_rounds:
             n = self.run_round()
             if n == 0:
+                # nothing due THIS round; if backing-off re-checks still
+                # hold budgeted pending work, the round is consumed idle
+                # (same rule as the oracle — keeps round numbering equal)
+                import ray
+
+                if any(ray.get([h.has_work.remote() for h in self.sched_handles])):
+                    self.round += 1
+                    continue
                 break
             total += n
         return {"rounds": self.round, "fetched_total": self.fetch_order, "fetched_this_run": total}

@@ -401,6 +401,25 @@ def q_crawl_ssh_groups(sf_dir: str):
     return fps.groupby("fingerprint").aggregate(Count(alias_name="n_domains"))
 
 
+def q_crawl_soft404(sf_dir: str):
+    """O16 soft-404 probe over crawled alive domains → useful_404 flags."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .maintenance import build_universe_probe, soft404_probe
+
+    edir = ensure_engine_fixture()
+    doms = (
+        rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"])
+        .groupby("domain")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["domain"])
+    )
+    ref = ray.put(build_universe_probe(SEED, N_DOMAINS))
+    return soft404_probe(doms, ref)
+
+
 def q_crawl_purged_domains(sf_dir: str):
     """O32 purge: alive domains only (dead filtered out)."""
     from .maintenance import purge_dead
@@ -413,7 +432,7 @@ def _ensure_probe_tables() -> str:
     """Oracle-side port/ssh tables over the ORACLE's crawled domain set
     (probe profile shared — like doc content — aggregation independent)."""
     odir = ensure_oracle_fixture()
-    marker = os.path.join(odir, "_probe_done")
+    marker = os.path.join(odir, "_probe_done_v2")
     if os.path.exists(marker):
         return odir
     import pyarrow.parquet as _pq
@@ -425,8 +444,11 @@ def _ensure_probe_tables() -> str:
     uni = build_universe_probe(SEED, N_DOMAINS)
     pd_, pp = [], []
     fd, ff = [], []
+    sd, sflag = [], []
     for d in doms:
         prof = uni.get(d)
+        sd.append(d)
+        sflag.append(bool(prof and prof.get("soft404")))
         if not prof:
             continue
         for port in prof["ports"]:
@@ -442,6 +464,10 @@ def _ensure_probe_tables() -> str:
     _pq.write_table(
         pa.Table.from_arrays([pa.array(fd, pa.string()), pa.array(ff, pa.string())], names=["domain", "fingerprint"]),
         os.path.join(odir, "ssh_fps.parquet"),
+    )
+    _pq.write_table(
+        pa.Table.from_arrays([pa.array(sd, pa.string()), pa.array(sflag, pa.bool_())], names=["domain", "useful_404"]),
+        os.path.join(odir, "soft404.parquet"),
     )
     with open(marker, "w") as f:
         f.write("ok")
@@ -466,6 +492,7 @@ CRAWL_QUERIES = {
     "crawl_open_ports": q_crawl_open_ports,
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
+    "crawl_soft404": q_crawl_soft404,
 }
 
 
@@ -548,5 +575,9 @@ def crawl_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{p('pages.parquet')}')
             GROUP BY domain
             HAVING sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) > 0
+        """,
+        "crawl_soft404": f"""
+            SELECT domain, useful_404
+            FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'soft404.parquet')}')
         """,
     }

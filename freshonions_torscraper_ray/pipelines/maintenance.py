@@ -26,7 +26,7 @@ def build_universe_probe(seed: int, n_domains: int) -> dict[str, dict]:
     out = {}
     for i in range(n_domains):
         p = domain_profile(seed, i, n_domains)
-        out[p["domain"]] = {"ports": p["ports"], "ssh_fp": p["ssh_fp"]}
+        out[p["domain"]] = {"ports": p["ports"], "ssh_fp": p["ssh_fp"], "soft404": p["soft404"]}
     return out
 
 
@@ -73,6 +73,37 @@ class SshFingerprinter:
             [pa.array(doms_out, pa.string()), pa.array(fps_out, pa.string())],
             schema=SSH_FP_SCHEMA,
         )
+
+
+class Soft404Prober:
+    """O16 soft-404 probe: request a deliberately nonexistent path per
+    domain; a 200 answer marks the domain useful_404 (its 404s look like
+    real pages — the reference cached this on Domain.useful_404*).
+    Replay: the universe profile answers the probe."""
+
+    def __init__(self, universe_ref):
+        import ray
+
+        self.universe = ray.get(universe_ref) if not isinstance(universe_ref, dict) else universe_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doms = batch["domain"].to_pylist()
+        flags = []
+        for d in doms:
+            prof = self.universe.get(d)
+            flags.append(bool(prof and prof.get("soft404")))
+        return pa.Table.from_arrays(
+            [pa.array(doms, pa.string()), pa.array(flags, pa.bool_())],
+            names=["domain", "useful_404"],
+        )
+
+
+def soft404_probe(domains_ds, universe_ref, concurrency: int = 2):
+    """O16: per-domain soft-404 probe → useful_404 flags."""
+    return domains_ds.map_batches(
+        Soft404Prober, fn_constructor_args=(universe_ref,), batch_format="pyarrow",
+        batch_size=2048, concurrency=concurrency,
+    )
 
 
 def portscan(domains_ds, universe_ref, concurrency: int = 2):

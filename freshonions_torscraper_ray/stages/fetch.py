@@ -37,6 +37,7 @@ RESULT_FIELDS = [
     ("discovered_seq", pa.int64()),
     ("vtime", pa.float64()),
     ("fetch_order", pa.int64()),
+    ("retries", pa.int32()),
     ("link_dsts", pa.list_(pa.string())),
     ("link_dst_domains", pa.list_(pa.string())),
     ("link_anchors", pa.list_(pa.string())),
@@ -83,6 +84,11 @@ class FetchExtract:
         seqs = batch["discovered_seq"].to_numpy(zero_copy_only=False)
         vtimes = batch["vtime"].to_numpy(zero_copy_only=False)
         orders = batch["fetch_order"].to_numpy(zero_copy_only=False)
+        retries = (
+            batch["retries"].to_numpy(zero_copy_only=False)
+            if "retries" in batch.column_names
+            else np.zeros(len(urls), dtype=np.int32)
+        )
 
         docs, hit = self.store.lookup(list(urls), list(domains))
         hit_iter = iter(range(docs.num_rows))
@@ -104,6 +110,7 @@ class FetchExtract:
             cols["discovered_seq"].append(int(seqs[i]))
             cols["vtime"].append(float(vtimes[i]))
             cols["fetch_order"].append(int(orders[i]))
+            cols["retries"].append(int(retries[i]))
             if i in doc_pos:
                 ex = extract_doc(u, spans_col[doc_pos[i]], int(depths[i]), self.cfg.max_depth)
                 cols["status"].append(200)
@@ -274,6 +281,7 @@ def make_fetch_worker():
             self.cfg = cfg
             self.seen = seen_handles
             self._cand_acc: dict = {}
+            self._retry_rows: list[tuple] = []
 
         def process(self, block: pa.Table, rnd: int, out_dir: str) -> tuple[int, int]:
             """Fetch+extract+write one bucket-block; candidates are
@@ -283,10 +291,58 @@ def make_fetch_worker():
             one per block."""
             wide = self.fe(block)
             n_cand = _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
+            if getattr(self.cfg, "recheck_dead", False):
+                self._collect_retries(wide, rnd)
             stats = write_round_outputs(
                 wide, base_dir=out_dir, rnd=rnd, enrich=getattr(self.cfg, "enrich", False)
             )
             return (int(stats["n_pages"][0].as_py()), n_cand)
+
+        def _collect_retries(self, wide: pa.Table, rnd: int) -> None:
+            cfg = self.cfg
+            mask = [
+                s != 200 and fp and r < cfg.recheck_max_retries
+                for s, fp, r in zip(
+                    wide["status"].to_pylist(),
+                    wide["is_frontpage"].to_pylist(),
+                    wide["retries"].to_pylist(),
+                )
+            ]
+            if not any(mask):
+                return
+            sub = wide.filter(pa.array(mask))
+            for u, d, dep, seq, r in zip(
+                sub["url"].to_pylist(),
+                sub["domain"].to_pylist(),
+                sub["depth"].to_pylist(),
+                sub["discovered_seq"].to_pylist(),
+                sub["retries"].to_pylist(),
+            ):
+                self._retry_rows.append(
+                    (u, d, dep, 1000.0 + r, seq, rnd + cfg.recheck_backoff * (r + 1), r + 1)
+                )
+
+        def drain_retries(self, sched_handles) -> int:
+            """Route accumulated alive re-check entries to the scheduler
+            shards (O32); called once per round."""
+            import ray as _ray
+
+            from ..functions.hashing import hash64_signed
+
+            rows = self._retry_rows
+            self._retry_rows = []
+            if not rows:
+                return 0
+            n_sched = len(sched_handles)
+            by_shard: dict[int, list[tuple]] = {}
+            for row in rows:
+                by_shard.setdefault(hash64_signed(row[1]) % n_sched, []).append(row)
+            futs = []
+            for s, rws in by_shard.items():
+                cols = tuple(list(c) for c in zip(*rws))
+                futs.append(sched_handles[s].add_retry_cols.remote(cols))
+            _ray.get(futs)
+            return len(rows)
 
         def drain_accepts(self) -> int:
             """Route this round's accumulated candidates to the seen

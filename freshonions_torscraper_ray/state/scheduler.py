@@ -9,7 +9,9 @@ that is what makes crawl order independent of parallelism.
 
 Round semantics (shared verbatim with oracle.py — the contract):
 
-- pending URLs of a domain are ordered by (priority, discovered_seq, url)
+- pending URLs of a domain are ordered by (priority, discovered_seq, url);
+  an entry may carry (not_before_round, retries) for alive re-checks —
+  it is invisible to scheduling until ``not_before_round``
 - robots-disallowed URLs are banned at schedule time (stay in the seen
   set, never fetch)
 - a round schedules at most ``per_round_domain_cap`` URLs per domain and
@@ -36,7 +38,8 @@ class DomainState:
     def __init__(self):
         self.vclock = 0.0
         self.fetched = 0
-        self.pending: dict[str, tuple[float, int, int]] = {}  # url -> (priority, seq, depth)
+        # url -> (priority, seq, depth, not_before_round, retries)
+        self.pending: dict[str, tuple[float, int, int, int, int]] = {}
         self.robots_prefixes: list[str] | None = None
         self.banned_count = 0
 
@@ -60,7 +63,7 @@ class SchedulerShardState:
             if d is None:
                 d = self.domains[domain] = DomainState()
             if url not in d.pending:
-                d.pending[url] = (priority, seq, depth)
+                d.pending[url] = (priority, seq, depth, 0, 0)
 
     def add_urls_cols(self, cols: tuple) -> None:
         """Columnar form of :meth:`add_urls` (cheaper RPC payloads)."""
@@ -73,7 +76,21 @@ class SchedulerShardState:
                 d = self.domains[domain] = DomainState()
             url = urls[i]
             if url not in d.pending:
-                d.pending[url] = (priorities[i], seqs[i], depths[i])
+                d.pending[url] = (priorities[i], seqs[i], depths[i], 0, 0)
+
+    def add_retry_cols(self, cols: tuple) -> None:
+        """Re-check insertions (url, domain, depth, priority, seq,
+        not_before_round, retries) — the URL is already in the seen set,
+        it re-enters pending directly (O32 alive re-check)."""
+        urls, domains, depths, priorities, seqs, nbs, retries = cols
+        for i in range(len(urls)):
+            domain = domains[i]
+            d = self.domains.get(domain)
+            if d is None:
+                d = self.domains[domain] = DomainState()
+            url = urls[i]
+            if url not in d.pending:
+                d.pending[url] = (priorities[i], seqs[i], depths[i], nbs[i], retries[i])
 
     def _robots_for(self, domain: str, dstate: DomainState) -> list[str]:
         if dstate.robots_prefixes is None:
@@ -81,12 +98,15 @@ class SchedulerShardState:
             dstate.robots_prefixes = parse_disallow_prefixes(body) if body else []
         return dstate.robots_prefixes
 
-    def schedule(self) -> tuple[list[tuple], list[tuple]]:
+    def schedule(self, current_round: int = 1 << 30) -> tuple[list[tuple], list[tuple]]:
         """One round for this shard.
 
         Returns (scheduled, banned):
-          scheduled: (url, domain, depth, priority, seq, vtime)
+          scheduled: (url, domain, depth, priority, seq, vtime, retries)
           banned:    (url, domain, depth, priority, seq)
+
+        Entries whose ``not_before_round`` exceeds ``current_round`` stay
+        invisible (re-check backoff).
         """
         cfg = self.cfg
         scheduled: list[tuple] = []
@@ -96,16 +116,20 @@ class SchedulerShardState:
             if not d.pending:
                 continue
             items = sorted(
-                ((pr, seq, url, depth) for url, (pr, seq, depth) in d.pending.items())
+                (pr, seq, url, depth, retries)
+                for url, (pr, seq, depth, nb, retries) in d.pending.items()
+                if nb <= current_round
             )
+            if not items:
+                continue
             if cfg.obey_robots:
                 prefixes = self._robots_for(domain, d)
                 if prefixes:
                     kept = []
-                    for pr, seq, url, depth in items:
+                    for pr, seq, url, depth, retries in items:
                         path = "/" + url.split("://", 1)[1].split("/", 1)[1] if "/" in url.split("://", 1)[1] else "/"
                         if allowed(path, prefixes):
-                            kept.append((pr, seq, url, depth))
+                            kept.append((pr, seq, url, depth, retries))
                         else:
                             banned.append((url, domain, depth, pr, seq))
                             del d.pending[url]
@@ -115,9 +139,9 @@ class SchedulerShardState:
             if cap <= 0:
                 continue
             take = items[:cap]
-            for j, (pr, seq, url, depth) in enumerate(take):
+            for j, (pr, seq, url, depth, retries) in enumerate(take):
                 vtime = d.vclock + cfg.download_delay * j
-                scheduled.append((url, domain, depth, pr, seq, vtime))
+                scheduled.append((url, domain, depth, pr, seq, vtime, retries))
                 del d.pending[url]
             d.vclock += cfg.download_delay * len(take)
             d.fetched += len(take)
@@ -126,11 +150,16 @@ class SchedulerShardState:
     def pending_count(self) -> int:
         return sum(len(d.pending) for d in self.domains.values())
 
+    def has_work(self) -> bool:
+        """Any budgeted pending entry (due now or backing off)?"""
+        cap = self.cfg.max_pages_per_domain
+        return any(d.pending and d.fetched < cap for d in self.domains.values())
+
     def frontier_rows(self) -> list[tuple]:
         """Pending residue as frontier rows (url, domain, depth, priority, seq)."""
         out = []
         for domain, d in self.domains.items():
-            for url, (pr, seq, depth) in d.pending.items():
+            for url, (pr, seq, depth, _nb, _re) in d.pending.items():
                 out.append((url, domain, depth, pr, seq))
         return out
 
@@ -183,11 +212,18 @@ def make_scheduler_actor():
             self.s.add_urls_cols(cols)
             return len(cols[0])
 
-        def schedule(self):
-            return self.s.schedule()
+        def schedule(self, current_round: int = 1 << 30):
+            return self.s.schedule(current_round)
+
+        def add_retry_cols(self, cols):
+            self.s.add_retry_cols(cols)
+            return len(cols[0])
 
         def pending_count(self):
             return self.s.pending_count()
+
+        def has_work(self):
+            return self.s.has_work()
 
         def frontier_rows(self):
             return self.s.frontier_rows()

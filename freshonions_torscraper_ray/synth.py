@@ -76,6 +76,9 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
         # (the clone/mirror signal the reference's ssh side-car hunted)
         fp_group = rng.randrange(max(4, n_domains // 8))
         ssh_fp = "SHA256:" + base32_name(hash64(f"{seed}:sshfp:{fp_group}"), 32)
+    # soft-404 behavior (O16): ~7% of alive domains answer 200 for any
+    # path ("useful 404" in the reference's Domain fields)
+    soft404 = (not dead) and rng.random() < 0.07
     return {
         "idx": idx,
         "domain": domain_name(seed, idx),
@@ -85,6 +88,7 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
         "robots": robots,
         "ports": [] if dead else ports,
         "ssh_fp": ssh_fp,
+        "soft404": soft404,
     }
 
 

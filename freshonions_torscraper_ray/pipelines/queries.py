@@ -241,6 +241,23 @@ def q_ann_topk(sf_dir: str):
     ).select_columns(["query_id", "vec_id", "cos"])
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN (rows-only): k-means coarse quantization on a sample,
+    probe nprobe lists, exact-score candidates. The scale path for
+    similarity search; recall vs brute force asserted in tests."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk, kmeans_centroids
+
+    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = sim._to_matrix(sample["embedding"].combine_chunks()).astype(np.float64)
+    cents = kmeans_centroids(mat[: min(2000, len(mat))], k=16)
+    qvec = mat[0]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res, _probe = ivf_topk(ds, qvec, cents, k=10, nprobe=4)
+    return res
+
+
 def q_ann_multi(sf_dir: str):
     """Multi-query ANN (rows-only; exercises the broadcast-query path)."""
     import pyarrow.parquet as pq
@@ -578,6 +595,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "ann_multi": q_ann_multi,
     "events_latest_per_user": q_events_latest_per_user,
     "events_first_per_type": q_events_first_per_type,

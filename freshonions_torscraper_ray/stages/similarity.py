@@ -117,6 +117,86 @@ class HyperplaneLSH:
         )
 
 
+def kmeans_centroids(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means for IVF coarse quantization (numpy, driver-side
+    over a SAMPLE — centroids are a small broadcastable model)."""
+    rng = np.random.RandomState(seed)
+    m = _normalize(sample.astype(np.float64))
+    cents = m[rng.choice(len(m), size=min(k, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = (m @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+class IVFAssign:
+    """map_batches stage: embedding → nearest-centroid list id (IVF
+    bucketing; the scale path for ANN — candidate generation shuffles
+    only (list_id, vec_id) rows, search probes nprobe lists)."""
+
+    def __init__(self, centroids_ref, id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        c = centroids_ref
+        self.centroids = ray.get(c) if not isinstance(c, np.ndarray) else c
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(batch[self.emb_col]).astype(np.float64))
+        lists = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        ids = batch[self.id_col]
+        return pa.Table.from_arrays(
+            [
+                ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                pa.array(lists, pa.int32()),
+                batch[self.emb_col].combine_chunks() if isinstance(batch[self.emb_col], pa.ChunkedArray) else batch[self.emb_col],
+            ],
+            names=["vec_id", "list_id", "embedding"],
+        )
+
+
+def ivf_topk(ds, query_vec: np.ndarray, centroids: np.ndarray, k: int = 10, nprobe: int = 4):
+    """IVF ANN search: assign corpus to inverted lists (once per query
+    set in this simple form; a persisted index at scale), probe the
+    ``nprobe`` closest lists, exact-score only those candidates.
+
+    Returns (result_dataset, probed_list_ids). Recall < 1.0 by design —
+    compare against ``ann_topk`` brute force to measure it."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ qn))[:nprobe].astype(np.int32)
+    probe_set = set(int(x) for x in probe)
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(IVFAssign(cref), batch_format="pyarrow", batch_size=4096)
+
+    import pyarrow.compute as _pc
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pa.array([int(x) in probe_set for x in t["list_id"].to_pylist()])
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
+            )
+        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
+        cos = np.round(m @ qn, 4)
+        ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
+        return pa.Table.from_arrays(
+            [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
+        )
+
+    scored = assigned.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k), probe
+
+
 def embedding_near_dups(ds, dim: int, threshold: float = 0.97, nbits: int = 10, seed: int = 42):
     """Embedding-cosine near-dup pairs via LSH bucketing + in-bucket verify.
 

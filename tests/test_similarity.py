@@ -1,0 +1,50 @@
+"""ANN: brute-force correctness and IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from freshonions_torscraper_ray.stages.similarity import (
+    ann_topk,
+    ivf_topk,
+    kmeans_centroids,
+)
+
+
+def _corpus(n=400, d=16, seed=7):
+    rng = np.random.RandomState(seed)
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    t = pa.Table.from_arrays(
+        [pa.array(range(n), pa.int64()), pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"],
+    )
+    return t, mat
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_brute_force_topk_matches_numpy():
+    import ray.data as rd
+
+    t, mat = _corpus()
+    ds = rd.from_arrow(t)
+    out = ann_topk(ds, [0], mat[[0]], k=5).to_pandas().sort_values("cos", ascending=False)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = np.argsort(-(m @ m[0]))[:5]
+    assert list(out["vec_id"]) == list(expect)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_reasonable():
+    import ray.data as rd
+
+    t, mat = _corpus()
+    ds = rd.from_arrow(t)
+    cents = kmeans_centroids(mat.astype(np.float64), k=8)
+    q = mat[3].astype(np.float64)
+    res, probed = ivf_topk(ds, q, cents, k=10, nprobe=4)
+    got = set(res.to_pandas()["vec_id"])
+    m = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(np.float64)
+    truth = set(np.argsort(-(m @ (q / np.linalg.norm(q))))[:10])
+    recall = len(got & truth) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 lists
+    assert len(probed) == 4

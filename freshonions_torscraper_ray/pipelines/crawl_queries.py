@@ -31,11 +31,20 @@ from ..config import CrawlConfig
 from ..oracle import build_content, build_robots, crawl_oracle
 from ..synth import domain_name, write_synth_web
 
-FIX_DIR = "/tmp/onionray_crawlq_v1"
+FIX_DIR = "/tmp/onionray_crawlq_v2"
 N_DOMAINS = 60
 SEED = 42
-# 6 rounds stops mid-crawl → non-empty frontier residue gets compared too
-CFG = CrawlConfig(max_rounds=6, num_scheduler_shards=3, num_cuckoo_shards=4)
+# 8 rounds with alive re-checks enabled: the driver gate also covers the
+# backoff/retry scheduling path; budget-capped tails keep the frontier
+# residue non-empty for comparison
+CFG = CrawlConfig(
+    max_rounds=8,
+    num_scheduler_shards=3,
+    num_cuckoo_shards=4,
+    recheck_dead=True,
+    recheck_backoff=2,
+    recheck_max_retries=1,
+)
 
 PAGE_QCOLS = [
     "url", "domain", "status", "size", "title", "text", "is_frontpage",

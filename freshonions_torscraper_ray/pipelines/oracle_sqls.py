@@ -144,6 +144,19 @@ ORACLE_SQL: dict[str, str] = {
             SELECT o_custkey AS custkey FROM orders
         )
     """,
+    "brand_revenue": """
+        SELECT p_brand,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0, 4) AS revenue,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    "order_priority_count": """
+        SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+    """,
     "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
                count(*)::BIGINT AS n,

@@ -396,6 +396,65 @@ def q_link_degree(sf_dir: str):
     return ds.groupby("l_partkey").aggregate(Count(alias_name="n_lines"))
 
 
+def q_brand_revenue(sf_dir: str):
+    """O18/O26: lineitem ⋈ part (broadcast dimension) → per-brand revenue
+    (discounted, int-cents exact)."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    lookup = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class AddBrand:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+            brands = [self.lookup.get(k, "") for k in keys]
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            rev_cents = round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)
+            out = pa.Table.from_arrays(
+                [pa.array(brands, pa.string()), pa.array(rev_cents, pa.int64())],
+                names=["p_brand", "revenue"],
+            )
+            return out.group_by("p_brand").aggregate([("revenue", "sum"), ("revenue", "count")])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    partials = li.map_batches(AddBrand, batch_format="pyarrow", concurrency=2)
+    out = partials.groupby("p_brand").aggregate(
+        Sum("revenue_sum", alias_name="revenue"), Sum("revenue_count", alias_name="n_lines")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = _cents_to_value(t, ["revenue"])
+        return t.set_column(
+            t.schema.get_field_index("n_lines"), "n_lines", pc.cast(t["n_lines"], pa.int64())
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def q_order_priority_count(sf_dir: str):
+    """Filter + rollup: order counts per priority within a date window."""
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1997, 1, 1)
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo, pa.timestamp("us"))),
+                pc.less(t["o_orderdate"], pa.scalar(hi, pa.timestamp("us"))),
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders"))
+
+
 # ----------------------------------------------------- aggregates / topk / misc
 
 
@@ -602,6 +661,8 @@ QUERIES = {
     "events_per_user_stats": q_events_per_user_stats,
     "events_recent": q_events_recent,
     "orders_by_segment": q_orders_by_segment,
+    "brand_revenue": q_brand_revenue,
+    "order_priority_count": q_order_priority_count,
     "customer_order_counts": q_customer_order_counts,
     "supplier_region": q_supplier_region,
     "link_degree": q_link_degree,

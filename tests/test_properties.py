@@ -1,0 +1,111 @@
+"""Property tests (hypothesis) for the correctness-critical kernels."""
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from freshonions_torscraper_ray.config import CrawlConfig
+from freshonions_torscraper_ray.functions.regexes import canonicalize_url
+from freshonions_torscraper_ray.functions.robots import allowed, parse_disallow_prefixes
+from freshonions_torscraper_ray.state.cuckoo import CuckooFilter, SeenShardState
+from freshonions_torscraper_ray.state.scheduler import SchedulerShardState
+
+B32 = "abcdefghijklmnopqrstuvwxyz234567"
+host = st.text(alphabet=B32, min_size=16, max_size=16).map(lambda s: s + ".onion")
+path = st.text(alphabet=string.ascii_lowercase + "/0123456789", max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP"]),
+    h=host,
+    port=st.one_of(st.none(), st.integers(0, 65535)),
+    p=path,
+)
+def test_canonicalize_idempotent_and_valid(scheme, h, port, p):
+    raw = f"{scheme}://{h}" + (f":{port}" if port is not None else "") + ("/" + p if p else "")
+    c = canonicalize_url(raw)
+    if c is not None:
+        assert canonicalize_url(c) == c  # idempotent
+        assert c.startswith(("http://", "https://"))
+        assert "#" not in c
+
+
+@settings(max_examples=100, deadline=None)
+@given(prefixes=st.lists(st.text(alphabet="/abcp12", min_size=1, max_size=6).map(lambda s: "/" + s.lstrip("/")), max_size=4), p=path)
+def test_robots_prefix_semantics(prefixes, p):
+    body = "User-agent: *\n" + "\n".join(f"Disallow: {x}" for x in prefixes)
+    parsed = parse_disallow_prefixes(body)
+    assert parsed == prefixes
+    pp = "/" + p
+    assert allowed(pp, parsed) == (not any(pp.startswith(x) for x in prefixes))
+
+
+@settings(max_examples=20, deadline=None)
+@given(keys=st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=300, unique=True))
+def test_cuckoo_never_false_negative(keys):
+    f = CuckooFilter(capacity=1 << 11)
+    inserted = [k for k in keys if f.insert_hash(k)]
+    assert all(f.contains_hash(k) for k in inserted)
+
+
+@settings(max_examples=20, deadline=None)
+@given(urls=st.lists(st.text(alphabet=B32, min_size=4, max_size=10), min_size=1, max_size=200))
+def test_seen_shard_matches_model_set(urls):
+    s = SeenShardState(0, capacity=1 << 6)  # tiny filter → degraded path exercised
+    model: set[str] = set()
+    for batch_start in range(0, len(urls), 17):
+        batch = urls[batch_start : batch_start + 17]
+        got = s.add_if_new(batch)
+        for u, is_new in zip(batch, got):
+            assert is_new == (u not in model)
+            model.add(u)
+    assert len(s) == len(model)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    a=st.tuples(st.integers(0, 1000), st.integers(0, 1 << 20), st.integers(0, 100)),
+    b=st.tuples(st.integers(0, 1000), st.integers(0, 1 << 20), st.integers(0, 100)),
+)
+def test_pack_seq_preserves_lexicographic_order(a, b):
+    cfg = CrawlConfig()
+    if a < b:
+        assert cfg.pack_seq(*a) < cfg.pack_seq(*b)
+    elif a > b:
+        assert cfg.pack_seq(*a) > cfg.pack_seq(*b)
+    else:
+        assert cfg.pack_seq(*a) == cfg.pack_seq(*b)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_urls=st.integers(1, 30),
+    cap=st.integers(1, 5),
+    budget=st.integers(1, 8),
+    order=st.permutations(list(range(30))),
+)
+def test_scheduler_invariants_under_any_insertion_order(n_urls, cap, budget, order):
+    """Budget/politeness invariants hold and schedule is insertion-order
+    independent (dedup ∘ union commutes with arrival order)."""
+    cfg = CrawlConfig(per_round_domain_cap=cap, max_pages_per_domain=budget)
+    dom = "f" * 16 + ".onion"
+    rows = [
+        (f"http://{dom}/p/{i}", dom, 1, 1.0, 1000 + i) for i in range(n_urls)
+    ]
+    s1 = SchedulerShardState(0, cfg, {})
+    s1.add_urls(rows)
+    s2 = SchedulerShardState(0, cfg, {})
+    s2.add_urls([rows[i % n_urls] for i in order] + rows)  # dups + shuffled
+    fetched = 0
+    while True:
+        a, _ = s1.schedule(1 << 29)
+        b, _ = s2.schedule(1 << 29)
+        assert a == b  # arrival order never changes the schedule
+        if not a:
+            break
+        assert len(a) <= cap
+        fetched += len(a)
+        vts = [t[5] for t in a]
+        assert vts == sorted(vts)
+    assert fetched == min(n_urls, budget)

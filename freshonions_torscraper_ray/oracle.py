@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 
 from .config import CrawlConfig
 from .functions.doc_extract import extract_doc
-from .functions.regexes import url_domain
+from .functions.regexes import canonicalize_url, url_domain
 from .functions.robots import allowed, parse_disallow_prefixes
 from .synth import domain_profile, gen_domain_docs
 
@@ -71,9 +71,11 @@ def crawl_oracle(
             st = dom[d] = [0.0, 0, {}]
         return st
 
-    # seed insertion: canonical order = seed file order, first occurrence wins
-    for i, url in enumerate(seeds):
-        if url in res.seen:
+    # seed insertion: canonicalize (mirrors the engine), order = seed
+    # file order, first canonical occurrence wins
+    for i, raw in enumerate(seeds):
+        url = canonicalize_url(raw)
+        if url is None or url in res.seen:
             continue
         res.seen.add(url)
         d = url_domain(url)

@@ -46,7 +46,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from ..functions.hashing import hash64_array, hash64_signed
-from ..stages.fetch import PAGE_COLS, FetchExtract, make_fetch_worker, write_round_outputs
+from ..stages.fetch import make_fetch_worker
 from ..state.cuckoo import make_seen_actor
 from ..state.scheduler import make_scheduler_actor
 from ..store import RoundStore
@@ -155,14 +155,18 @@ class CrawlEngine:
         self.sched_handles = [
             Sched.remote(i, cfg, robots_shards[i]) for i in range(cfg.num_scheduler_shards)
         ]
-        # seed insertion (S2/O31): canonical order = file order, first wins
+        # seed insertion (S2/O31): canonicalize (O1 — seed lists are
+        # tolerant free-form input), order = file order, first wins
         import ray
 
-        seeds = pq.read_table(os.path.join(self.web_dir, "seeds.parquet"))["url"].to_pylist()
+        from ..functions.regexes import canonicalize_url
+
+        raw_seeds = pq.read_table(os.path.join(self.web_dir, "seeds.parquet"))["url"].to_pylist()
         seen_rpc: dict[int, list[str]] = {}
         order: dict[str, int] = {}
-        for i, u in enumerate(seeds):
-            if u not in order:
+        for i, raw in enumerate(raw_seeds):
+            u = canonicalize_url(raw)
+            if u is not None and u not in order:
                 order[u] = i
                 seen_rpc.setdefault(hash64_signed(u) % cfg.num_cuckoo_shards, []).append(u)
         masks = ray.get(
@@ -174,7 +178,7 @@ class CrawlEngine:
                 if is_new:
                     from ..functions.regexes import url_domain
 
-                    d = url_domain(u)
+                    d = url_domain(u)  # u is canonical here
                     adds.setdefault(hash64_signed(d) % cfg.num_scheduler_shards, []).append(
                         (u, d, 0, 0.0, cfg.pack_seq(0, order[u], 0))
                     )
@@ -190,8 +194,14 @@ class CrawlEngine:
             return False
         # with checkpoint_interval > 1, walk back to the latest round that
         # carries actor state; later committed rounds are re-run (exact:
-        # rounds are deterministic)
-        while last > 0 and not self.store.read_manifest(last)["meta"].get("has_ckpt", True):
+        # rounds are deterministic). Idle rounds leave manifest GAPS —
+        # skip them rather than crash.
+        while last > 0:
+            try:
+                if self.store.read_manifest(last)["meta"].get("has_ckpt", True):
+                    break
+            except FileNotFoundError:
+                pass
             last -= 1
         if last == 0:
             return False
@@ -215,8 +225,9 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- rounds
 
-    def run_round(self) -> int:
-        """Execute one crawl round; returns #urls fetched (0 = done).
+    def run_round(self) -> int | None:
+        """Execute one crawl round; returns #urls fetched, or None if the
+        round had nothing at all (no fetches AND no bans → not committed).
 
         ONE dataset execution per round: schedule → fetch+extract (with
         candidate accept fused in — seen shards accumulate) → per-batch
@@ -232,34 +243,43 @@ class CrawlEngine:
         results = ray.get([h.schedule.remote(rnd) for h in self.sched_handles])
         sched_rows = [r for scheduled, _ in results for r in scheduled]
         banned_rows = [b for _, banned in results for b in banned]
-        if not sched_rows:
-            return 0
+        if not sched_rows and not banned_rows:
+            return None  # nothing happened; caller decides idle-advance vs stop
         sched = _sched_table(sched_rows, self.fetch_order)
         n = sched.num_rows
         t_sched = time.monotonic()
 
         tmp_dir = self.store.begin_round(rnd)
-        # bucket-affine fetch: each (bucket, block) goes to the FetchWorker
-        # that OWNS that content partition — buckets are parsed once per
-        # run, served from actor memory across all rounds. fetch + extract
-        # + candidate accept + output writes all happen inside the actor.
-        pool = self.fetch_pool
-        blocks = _split_by_bucket(sched, self.web_meta["n_buckets"])
-        # largest-first submission: each actor's queue starts with its
-        # biggest blocks, shrinking the end-of-round straggler tail
-        blocks.sort(key=lambda bt: -bt[1].num_rows)
-        futs = [
-            pool[b % len(pool)].process.remote(block, rnd, tmp_dir) for b, block in blocks
-        ]
-        res = ray.get(futs)
-        # drain per-actor candidate accumulators into the seen shards and
-        # re-check retries into the schedulers (one burst per fetch actor
-        # per round), then flush survivors to the scheduler shards
-        ray.get([w.drain_accepts.remote() for w in self.fetch_pool])
-        ray.get([w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool])
-        t_pipe = time.monotonic()
-        n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
-        n_cand = sum(c for _, c in res)
+        if sched_rows:
+            # bucket-affine fetch: each (bucket, block) goes to the
+            # FetchWorker that OWNS that content partition — buckets are
+            # parsed once per run, served from actor memory across all
+            # rounds. fetch + extract + candidate accept + output writes
+            # all happen inside the actor.
+            pool = self.fetch_pool
+            blocks = _split_by_bucket(sched, self.web_meta["n_buckets"])
+            # largest-first submission: each actor's queue starts with its
+            # biggest blocks, shrinking the end-of-round straggler tail
+            blocks.sort(key=lambda bt: -bt[1].num_rows)
+            futs = [
+                pool[b % len(pool)].process.remote(block, rnd, tmp_dir) for b, block in blocks
+            ]
+            res = ray.get(futs)
+            # drain per-actor candidate accumulators into the seen shards
+            # and re-check retries into the schedulers (one burst per
+            # fetch actor per round), then flush survivors
+            ray.get([w.drain_accepts.remote() for w in self.fetch_pool])
+            ray.get([w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool])
+            t_pipe = time.monotonic()
+            n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
+            n_cand = sum(c for _, c in res)
+        else:
+            # banned-only round: nothing to fetch, but the bans must be
+            # PERSISTED — they belong to the URL-seen set (the oracle keeps
+            # them in seen; dropping them would diverge crawl_seen)
+            t_pipe = time.monotonic()
+            n_new = 0
+            n_cand = 0
         t_flush = time.monotonic()
 
         banned = pa.Table.from_arrays(
@@ -330,7 +350,7 @@ class CrawlEngine:
         total = 0
         while self.round < self.cfg.max_rounds:
             n = self.run_round()
-            if n == 0:
+            if n is None:
                 # nothing due THIS round; if backing-off re-checks still
                 # hold budgeted pending work, the round is consumed idle
                 # (same rule as the oracle — keeps round numbering equal)

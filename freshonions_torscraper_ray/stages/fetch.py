@@ -91,7 +91,6 @@ class FetchExtract:
         )
 
         docs, hit = self.store.lookup(list(urls), list(domains))
-        hit_iter = iter(range(docs.num_rows))
         spans_col = docs["spans"].to_pylist() if docs.num_rows else []
         doc_pos = {}
         j = 0
@@ -219,8 +218,12 @@ def enrich_pages(pages: pa.Table) -> pa.Table:
     pages = quality_scores(pages, "text")
     pages = LangId()(pages)
     texts = pages["text"].to_numpy(zero_copy_only=False)
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v  # same two's-complement
+        # conversion as dedup.SimHasher — fingerprints must join across tables
+
     sims = np.fromiter(
-        ((simhash64(t) & ((1 << 63) - 1)) for t in texts), dtype=np.int64, count=len(texts)
+        (_signed(simhash64(t)) for t in texts), dtype=np.int64, count=len(texts)
     )
     return pages.append_column("simhash", pa.array(sims))
 

@@ -172,12 +172,13 @@ class SeenShardState:
         exact = self.exact
         for i in range(len(urls)):
             url = urls[i]
-            if url_digest(url) in exact:
+            dg = url_digest(url)
+            if dg in exact:
                 continue
             seq = seqs[i]
             cur = acc.get(url)
             if cur is None or seq < cur[3]:
-                acc[url] = (domains[i], depths[i], priorities[i], seq)
+                acc[url] = (domains[i], depths[i], priorities[i], seq, dg)
                 n += 1
         return n
 
@@ -197,8 +198,8 @@ class SeenShardState:
             self.round_acc = {}
             return []
         out = []
-        for url, (domain, depth, priority, seq) in acc.items():
-            self.exact.add(url_digest(url))
+        for url, (domain, depth, priority, seq, dg) in acc.items():
+            self.exact.add(dg)
             self._insert_filter(hash64(url))
             out.append((url, domain, depth, priority, seq))
         self.round_acc = {}
@@ -213,8 +214,8 @@ class SeenShardState:
             return None
         urls, domains, depths, prios, seqs = [], [], [], [], []
         exact_add = self.exact.add
-        for url, (domain, depth, priority, seq) in acc.items():
-            exact_add(url_digest(url))
+        for url, (domain, depth, priority, seq, dg) in acc.items():
+            exact_add(dg)
             self._insert_filter(hash64(url))
             urls.append(url)
             domains.append(domain)
@@ -229,13 +230,12 @@ class SeenShardState:
 
     def state_bytes(self) -> bytes:
         # set iteration order is process-dependent but checkpoint equality
-        # is semantic (membership), not byte-level — skip the O(n log n) sort
-        digests = np.frombuffer(b"".join(self.exact), dtype=np.uint8) if self.exact else np.empty(0, np.uint8)
+        # is semantic (membership), not byte-level — no sort needed
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
                 "cuckoo": self.cuckoo.to_bytes(),
-                "digests": digests.tobytes(),
+                "digests": b"".join(self.exact),
                 "degraded": self.degraded,
             }
         )

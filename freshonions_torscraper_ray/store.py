@@ -31,6 +31,13 @@ import pyarrow.parquet as pq
 from .functions.hashing import hash64_signed
 
 
+def _write_manifest_atomic(rdir: str, manifest: dict) -> None:
+    mpath = os.path.join(rdir, "manifest.json")
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(mpath + ".tmp", mpath)
+
+
 class RoundStore:
     """Directory-per-round versioned store with atomic manifests."""
 
@@ -78,8 +85,7 @@ class RoundStore:
             pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
             manifest["tables"][name] = {"rows": table.num_rows}
         os.rename(tmp, rdir)
-        with open(os.path.join(rdir, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        _write_manifest_atomic(rdir, manifest)
 
     def commit_round(self, rnd: int, tables: dict[str, object], meta: dict | None = None) -> None:
         """Write all tables then the manifest (atomic commit point).
@@ -109,9 +115,9 @@ class RoundStore:
                 table.write_parquet(tdir)
                 manifest["tables"][name] = {"rows": -1}
         os.rename(tmp, rdir)
-        # manifest written last = the commit
-        with open(os.path.join(rdir, "manifest.json"), "w") as f:
-            json.dump(manifest, f)
+        # manifest written last = the commit (atomically: tmp + rename,
+        # so a torn write can never masquerade as a committed round)
+        _write_manifest_atomic(rdir, manifest)
 
     def read(self, rnd: int, name: str) -> pa.Table:
         tdir = os.path.join(self._round_dir(rnd), name)

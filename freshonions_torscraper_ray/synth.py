@@ -142,8 +142,9 @@ def gen_domain_docs(seed: int, idx: int, n_domains: int, span_scale: int = 1) ->
                 add("text", " ".join(words), "")
             elif r < 0.80:  # link span
                 if rng.random() < 0.7 and prof["n_pages"] > 1:
-                    tk = rng.randrange(1, prof["n_pages"] + 1)  # +1 → occasional 404 path
-                    target = f"http://{dom}/" if tk == 0 else f"http://{dom}/p/{tk}"
+                    # tk == n_pages is an occasional 404 path (pages run 1..n_pages-1)
+                    tk = rng.randrange(1, prof["n_pages"] + 1)
+                    target = f"http://{dom}/p/{tk}"
                 else:
                     tdom = domain_name(seed, _pick_target_domain(rng, idx, n_domains))
                     target = f"http://{tdom}/"

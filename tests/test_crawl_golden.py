@@ -106,7 +106,7 @@ def test_resume_equals_uninterrupted(web_dir, tmp_path_factory, engine, ray_sess
     eng2 = CrawlEngine(web_dir, str(store), CFG)
     assert eng2.resume()
     while eng2.round < CFG.max_rounds:
-        if eng2.run_round() == 0:
+        if eng2.run_round() is None:
             break
     try:
         assert eng2.crawl_order() == engine.crawl_order()

@@ -34,6 +34,11 @@ class CrawlConfig:
     # resume replays from the last checkpointed round, which is exact
     # because rounds are deterministic)
     checkpoint_interval: int = 1
+    # every Nth checkpoint serializes the FULL seen-set; the ones between
+    # write only the (digest, hash) delta since the previous checkpoint —
+    # the exact set grows monotonically, so full-per-round is the scale
+    # blocker. The first checkpoint of a run is always full.
+    checkpoint_full_every: int = 4
     # per-page enrichment in the fetch stage: language ID (the reference
     # stored Domain.language — O10), quality scoring, simhash fingerprint.
     # Deterministic; adds pred_lang/n_tokens/stop_ratio/simhash columns.

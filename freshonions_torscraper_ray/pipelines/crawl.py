@@ -196,12 +196,16 @@ class CrawlEngine:
         # carries actor state; later committed rounds are re-run (exact:
         # rounds are deterministic). Idle rounds leave manifest GAPS —
         # skip them rather than crash.
-        while last > 0:
+        def _meta(r):
             try:
-                if self.store.read_manifest(last)["meta"].get("has_ckpt", True):
-                    break
+                return self.store.read_manifest(r)["meta"]
             except FileNotFoundError:
-                pass
+                return None
+
+        while last > 0:
+            m = _meta(last)
+            if m is not None and m.get("has_ckpt", True):
+                break
             last -= 1
         if last == 0:
             return False
@@ -209,11 +213,32 @@ class CrawlEngine:
 
         Seen = make_seen_actor()
         Sched = make_scheduler_actor()
-        seen_t = self.store.read(last, "seen_ckpt")
+        # seen shards: collect the delta chain back to the newest FULL
+        # checkpoint, then replay deltas over the full base (incremental
+        # checkpoints — the seen set is only ever fully serialized every
+        # checkpoint_full_every intervals)
+        chain: list[int] = []
+        r = last
+        while r > 0:
+            m = _meta(r)
+            if m is not None and m.get("has_ckpt", True):
+                chain.append(r)
+                if m.get("ckpt_kind") in (None, "full"):
+                    break  # reached a full base (legacy manifests = full)
+            r -= 1
+        chain.reverse()  # full base first
+        if not chain or (_meta(chain[0]) or {}).get("ckpt_kind") not in (None, "full"):
+            return False  # no full base found — cannot reconstruct
+        base_t = self.store.read(chain[0], "seen_ckpt")
+        delta_blobs: dict[int, list[bytes]] = {i: [] for i in range(self.cfg.num_cuckoo_shards)}
+        for dr in chain[1:]:
+            dt = self.store.read(dr, "seen_ckpt")
+            for sid, blob in zip(dt["shard_id"].to_pylist(), dt["filter_bytes"].to_pylist()):
+                delta_blobs[sid].append(blob)
         sched_t = self.store.read(last, "sched_ckpt")
         self.seen_handles = [None] * self.cfg.num_cuckoo_shards
-        for sid, blob in zip(seen_t["shard_id"].to_pylist(), seen_t["filter_bytes"].to_pylist()):
-            self.seen_handles[sid] = Seen.remote(sid, state=blob)
+        for sid, blob in zip(base_t["shard_id"].to_pylist(), base_t["filter_bytes"].to_pylist()):
+            self.seen_handles[sid] = Seen.remote(sid, state=blob, deltas=delta_blobs[sid])
         self.sched_handles = [None] * self.cfg.num_scheduler_shards
         for sid, blob in zip(sched_t["shard_id"].to_pylist(), sched_t["state_bytes"].to_pylist()):
             self.sched_handles[sid] = Sched.remote(sid, self.cfg, {}, state=blob)
@@ -289,10 +314,21 @@ class CrawlEngine:
             ],
             names=["url", "domain"],
         )
-        do_ckpt = cfg.checkpoint_interval <= 1 or rnd % cfg.checkpoint_interval == 0
+        interval = max(cfg.checkpoint_interval, 1)
+        do_ckpt = rnd % interval == 0 or cfg.checkpoint_interval <= 1
+        # full seen-set checkpoint on the first checkpoint and every
+        # checkpoint_full_every-th one; deltas (new digests only) between
+        ckpt_kind = (
+            "full"
+            if rnd <= interval or rnd % (interval * max(cfg.checkpoint_full_every, 1)) == 0
+            else "delta"
+        )
         small_tables = {}
         if do_ckpt:
-            seen_states = ray.get([h.state_bytes.remote() for h in self.seen_handles])
+            if ckpt_kind == "full":
+                seen_states = ray.get([h.state_bytes.remote() for h in self.seen_handles])
+            else:
+                seen_states = ray.get([h.delta_bytes.remote() for h in self.seen_handles])
             seen_sizes = ray.get([h.size.remote() for h in self.seen_handles])
             sched_states = ray.get([h.state_bytes.remote() for h in self.sched_handles])
             small_tables["seen_ckpt"] = pa.Table.from_arrays(
@@ -301,8 +337,9 @@ class CrawlEngine:
                     pa.array(seen_states, pa.large_binary()),
                     pa.array(seen_sizes, pa.int64()),
                     pa.array([rnd] * len(seen_states), pa.int32()),
+                    pa.array([ckpt_kind] * len(seen_states), pa.string()),
                 ],
-                names=["shard_id", "filter_bytes", "count", "round"],
+                names=["shard_id", "filter_bytes", "count", "round", "kind"],
             )
             small_tables["sched_ckpt"] = pa.Table.from_arrays(
                 [
@@ -329,7 +366,12 @@ class CrawlEngine:
         self.store.finish_round(
             rnd,
             small_tables,
-            meta={"next_fetch_order": self.fetch_order + n, "round": rnd, "has_ckpt": do_ckpt},
+            meta={
+                "next_fetch_order": self.fetch_order + n,
+                "round": rnd,
+                "has_ckpt": do_ckpt,
+                "ckpt_kind": ckpt_kind if do_ckpt else None,
+            },
         )
         if os.environ.get("ONIONRAY_PROFILE"):
             import sys

@@ -125,6 +125,11 @@ class SeenShardState:
         # every lookup must consult the exact set. Size capacity so this
         # never trips in production; correctness survives if it does.
         self.degraded = False
+        # (digest, hash64) pairs added since the last checkpoint — the
+        # incremental-checkpoint unit. The exact set grows monotonically
+        # (160 GB at 10^10 URLs), so serializing it fully per round is the
+        # scale blocker; deltas are O(new URLs per interval).
+        self._delta: list[tuple[bytes, int]] = []
 
     def add_if_new(self, urls: list[str]) -> list[bool]:
         """For each url (this shard's partition): True if newly added.
@@ -141,11 +146,14 @@ class SeenShardState:
                     out.append(False)
                     continue
                 self.exact.add(d)
+                self._delta.append((d, h))
                 self._insert_filter(h)
                 out.append(True)
             else:
                 self._insert_filter(h)
-                self.exact.add(url_digest(u))
+                d = url_digest(u)
+                self.exact.add(d)
+                self._delta.append((d, h))
                 out.append(True)
         return out
 
@@ -199,8 +207,10 @@ class SeenShardState:
             return []
         out = []
         for url, (domain, depth, priority, seq, dg) in acc.items():
+            h = hash64(url)
             self.exact.add(dg)
-            self._insert_filter(hash64(url))
+            self._delta.append((dg, h))
+            self._insert_filter(h)
             out.append((url, domain, depth, priority, seq))
         self.round_acc = {}
         return out
@@ -215,8 +225,10 @@ class SeenShardState:
         urls, domains, depths, prios, seqs = [], [], [], [], []
         exact_add = self.exact.add
         for url, (domain, depth, priority, seq, dg) in acc.items():
+            h = hash64(url)
             exact_add(dg)
-            self._insert_filter(hash64(url))
+            self._delta.append((dg, h))
+            self._insert_filter(h)
             urls.append(url)
             domains.append(domain)
             depths.append(depth)
@@ -229,6 +241,8 @@ class SeenShardState:
         return len(self.exact)
 
     def state_bytes(self) -> bytes:
+        # full checkpoint supersedes any pending delta
+        self._delta = []
         # set iteration order is process-dependent but checkpoint equality
         # is semantic (membership), not byte-level — no sort needed
         return pickle.dumps(
@@ -240,8 +254,28 @@ class SeenShardState:
             }
         )
 
+    def delta_bytes(self) -> bytes:
+        """Incremental checkpoint: (digest, hash) pairs added since the
+        last full/delta checkpoint. Resets the delta buffer — the caller
+        commits this blob in the same round manifest."""
+        digests = b"".join(d for d, _ in self._delta)
+        hashes = np.array([h for _, h in self._delta], dtype=np.uint64)
+        self._delta = []
+        return pickle.dumps(
+            {"shard_id": self.shard_id, "digests": digests, "hashes": hashes.tobytes(), "degraded": self.degraded}
+        )
+
+    def apply_delta_bytes(self, data: bytes) -> None:
+        d = pickle.loads(data)
+        raw = d["digests"]
+        for i in range(0, len(raw), 16):
+            self.exact.add(raw[i : i + 16])
+        for h in np.frombuffer(d["hashes"], dtype=np.uint64):
+            self._insert_filter(int(h))
+        self.degraded = self.degraded or d.get("degraded", False)
+
     @classmethod
-    def from_state_bytes(cls, data: bytes) -> "SeenShardState":
+    def from_state_bytes(cls, data: bytes, deltas: list[bytes] | None = None) -> "SeenShardState":
         d = pickle.loads(data)
         s = cls.__new__(cls)
         s.shard_id = d["shard_id"]
@@ -249,6 +283,9 @@ class SeenShardState:
         raw = d["digests"]
         s.exact = {raw[i : i + 16] for i in range(0, len(raw), 16)}
         s.degraded = d.get("degraded", False)
+        s._delta = []
+        for blob in deltas or []:
+            s.apply_delta_bytes(blob)
         return s
 
 
@@ -259,9 +296,9 @@ def make_seen_actor():
 
     @ray.remote(num_cpus=0.1)
     class SeenShard:
-        def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 42, state: bytes | None = None):
+        def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 42, state: bytes | None = None, deltas=None):
             if state is not None:
-                self.s = SeenShardState.from_state_bytes(state)
+                self.s = SeenShardState.from_state_bytes(state, deltas)
             else:
                 self.s = SeenShardState(shard_id, capacity, seed)
 
@@ -309,5 +346,8 @@ def make_seen_actor():
 
         def state_bytes(self) -> bytes:
             return self.s.state_bytes()
+
+        def delta_bytes(self) -> bytes:
+            return self.s.delta_bytes()
 
     return SeenShard

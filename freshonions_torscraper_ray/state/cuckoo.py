@@ -13,10 +13,11 @@ O13), while the north rule mandates a bloom/cuckoo structure for the
   drop a genuinely new URL — the final seen set is exactly the
   reference's.
 
-Sharding: ``hash64(url) % num_shards`` — the dedup stage groups each
-batch by shard and issues one ``add_if_new`` RPC per shard per batch.
-Checkpoint = (filter table bytes, digest array bytes) per shard, written
-into the round commit; restore is the inverse.
+Sharding: ``hash64_signed(url) % num_shards`` — the fetch actors group
+candidates by shard and issue ``accept`` RPCs; ``flush_round`` commits a
+round's accepted URLs. Checkpoints are incremental: full (filter table +
+digest bytes) on a periodic base, (digest, hash) deltas between; restore
+replays deltas over the newest full base.
 """
 
 from __future__ import annotations

@@ -3,7 +3,7 @@
 Ray-Data-native replacement for Scrapy's downloader slots +
 DOWNLOAD_DELAY + CONCURRENT_REQUESTS_PER_DOMAIN + page-limit middleware
 (SURVEY.md §2.3 O12/O14/O16). The frontier is hash-partitioned by domain
-(``hash64(domain) % num_shards``); each shard actor owns ALL state for
+(``hash64_signed(domain) % num_shards``); each shard actor owns ALL state for
 its domains, so any shard count yields identical per-domain decisions —
 that is what makes crawl order independent of parallelism.
 

@@ -62,8 +62,19 @@ class CrawlConfig:
         fetch_order of the discovering page, position within that page)
         avoids a driver-side counter so dedup's "first discovery wins"
         becomes a distributed groupby-min (SURVEY.md §2.5 O22).
+
+        Determinism envelope (int64 layout): rnd < 2^19 (~524k rounds),
+        fetch_order < 2^28 (~268M pages), pos < 2^16 links/page. A
+        silent clamp would make first-discovery resolution arrival-order
+        dependent past those bounds, so overflow FAILS LOUDLY instead
+        (widen to a two-int64 seq if a deployment ever needs more).
         """
-        return (rnd << self.ROUND_SHIFT) | (min(fetch_order, (1 << 28) - 1) << self.FETCH_SHIFT) | min(pos, (1 << 16) - 1)
+        if rnd >= (1 << (63 - self.ROUND_SHIFT)) or fetch_order >= (1 << (self.ROUND_SHIFT - self.FETCH_SHIFT)) or pos >= (1 << self.FETCH_SHIFT):
+            raise OverflowError(
+                f"pack_seq overflow (rnd={rnd}, fetch_order={fetch_order}, pos={pos}); "
+                "exceeds the int64 determinism envelope (2^19 rounds / 2^28 pages / 2^16 links-per-page)"
+            )
+        return (rnd << self.ROUND_SHIFT) | (fetch_order << self.FETCH_SHIFT) | pos
 
 
 DEFAULT_CONFIG = CrawlConfig()

@@ -139,6 +139,15 @@ class CrawlEngine:
             for i in range(size)
         ]
 
+    def _cfg_fp(self) -> str:
+        """Fingerprint of everything that influences crawl ordering —
+        persisted in every manifest; resume fails loudly on mismatch."""
+        import dataclasses
+        import hashlib
+
+        d = dataclasses.asdict(self.cfg)
+        return hashlib.md5(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:12]
+
     def _robots_by_shard(self) -> list[dict[str, str]]:
         robots = pq.read_table(os.path.join(self.web_dir, "robots.parquet"))
         shards: list[dict[str, str]] = [dict() for _ in range(self.cfg.num_scheduler_shards)]
@@ -147,6 +156,10 @@ class CrawlEngine:
         return shards
 
     def start_fresh(self) -> None:
+        # fence off any prior run's rounds: a fresh (or shorter/different-
+        # config) run into an existing store_dir must not leave stale
+        # committed rounds that pages_table()/resume would later mix in
+        self.store.reset_rounds()
         Seen = make_seen_actor()
         Sched = make_scheduler_actor()
         cfg = self.cfg
@@ -209,6 +222,17 @@ class CrawlEngine:
             last -= 1
         if last == 0:
             return False
+        # config guard: a resume under a different config would be
+        # silently half-applied (restored shards carry the pickled cfg,
+        # the driver loop uses the new one) — fail loudly instead
+        meta0 = _meta(last) or {}
+        want_fp = meta0.get("cfg_fp")
+        if want_fp is not None and want_fp != self._cfg_fp():
+            raise ValueError(
+                f"resume config mismatch: checkpoint written with cfg_fp={want_fp}, "
+                f"current cfg_fp={self._cfg_fp()} — resume with the original CrawlConfig "
+                "or start_fresh()"
+            )
         import ray
 
         Seen = make_seen_actor()
@@ -371,6 +395,7 @@ class CrawlEngine:
                 "round": rnd,
                 "has_ckpt": do_ckpt,
                 "ckpt_kind": ckpt_kind if do_ckpt else None,
+                "cfg_fp": self._cfg_fp(),
             },
         )
         if os.environ.get("ONIONRAY_PROFILE"):

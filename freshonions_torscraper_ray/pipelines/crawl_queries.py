@@ -15,7 +15,7 @@ reference semantics — the same assertion as the pytest goldens, but
 visible to the driver's CORRECTNESS report.
 
 Fixture: seeded synthetic web (60 domains), CrawlConfig below; built
-lazily and cached under /tmp/onionray_crawlq_v1 (both sides are
+lazily and cached under the FIX_DIR below (both sides are
 deterministic, so rebuilds are byte-identical).
 """
 

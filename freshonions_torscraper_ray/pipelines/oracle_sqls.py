@@ -105,7 +105,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 4) AS sum_qty,
                round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 4) AS sum_price,
-               round(avg(l_discount), 4) AS avg_disc,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*), 4) AS avg_disc,
                count(*)::BIGINT AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,

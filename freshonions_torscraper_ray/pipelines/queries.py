@@ -169,26 +169,12 @@ def q_clone_groups(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup candidate pairs + exact-Jaccard verification
-    (rows-only: sketching isn't SQL-expressible)."""
-    import ray
-
+    (rows-only: sketching isn't SQL-expressible). Verification is the
+    scale-true path: semi-filter + distributed hash-join of the tiny pair
+    table against documents — no corpus text ever touches the driver."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(ds)
-    ttab = _texts_table(sf_dir)
-    texts = dict(zip(ttab["doc_id"].to_pylist(), ttab["text"].to_pylist()))
-    ref = ray.put(texts)
-    return pairs.map_batches(
-        dd.ExactJaccardVerifier,
-        fn_constructor_args=(ref,),
-        batch_format="pyarrow",
-        concurrency=2,
-    )
-
-
-def _texts_table(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-
-    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dd.verify_pairs_distributed(pairs, ds)
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -242,20 +228,17 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (rows-only): k-means coarse quantization on a sample,
-    probe nprobe lists, exact-score candidates. The scale path for
-    similarity search; recall vs brute force asserted in tests."""
+    """IVF ANN (rows-only): persisted index (built once: limit-sample →
+    k-means → distributed assign → hive-partitioned parquet by list_id),
+    then a partition-pruned probe — no full-table driver read anywhere,
+    and the second query skips the build entirely."""
     import pyarrow.parquet as pq
 
-    from ..stages.similarity import ivf_topk, kmeans_centroids
-
-    sample = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    mat = sim._to_matrix(sample["embedding"].combine_chunks()).astype(np.float64)
-    cents = kmeans_centroids(mat[: min(2000, len(mat))], k=16)
-    qvec = mat[0]
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    res, _probe = ivf_topk(ds, qvec, cents, k=10, nprobe=4)
-    return res
+    path = f"{sf_dir}/embeddings.parquet"
+    idx, cents = sim.build_or_load_ivf(path, k=16, sample_n=2000)
+    qrow = pq.read_table(path, columns=["embedding"], filters=[("vec_id", "==", 0)])
+    qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
+    return sim.ivf_index_topk(idx, cents, qvec, k=10, nprobe=4)
 
 
 def q_ann_multi(sf_dir: str):
@@ -335,11 +318,12 @@ def q_orders_by_segment(sf_dir: str):
 
     class AddSegment:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            lookup = ray.get(ref)
+            self.s = pd.Series(list(lookup.values()), index=list(lookup.keys()))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = [self.lookup.get(k, "") for k in keys]
+            seg = self.s.reindex(keys).fillna("").to_numpy()
             return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -375,12 +359,14 @@ def q_supplier_region(sf_dir: str):
     region = pq.read_table(f"{sf_dir}/region.parquet")
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    # compose both dimension hops into one vectorized nationkey→r_name map
+    n2rname = pd.Series({nk: r2name[rk] for nk, rk in n2r.items()})
 
     sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
 
     def add_region(t: pa.Table) -> pa.Table:
         nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
-        rname = [r2name[n2r[int(k)]] for k in nk]
+        rname = n2rname.reindex(nk).to_numpy()
         return t.append_column("r_name", pa.array(rname, pa.string()))
 
     return (
@@ -409,11 +395,12 @@ def q_brand_revenue(sf_dir: str):
 
     class AddBrand:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            lookup = ray.get(ref)
+            self.s = pd.Series(list(lookup.values()), index=list(lookup.keys()))
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t["l_partkey"].to_numpy(zero_copy_only=False)
-            brands = [self.lookup.get(k, "") for k in keys]
+            brands = self.s.reindex(keys).fillna("").to_numpy()
             price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
             disc = t["l_discount"].to_numpy(zero_copy_only=False)
             rev_cents = round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)

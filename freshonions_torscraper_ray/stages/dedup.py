@@ -29,6 +29,35 @@ from ..functions.hashing import hash64
 from ..functions.regexes import WORD_PATTERN
 
 _MERSENNE = (1 << 61) - 1
+_P64 = np.uint64(_MERSENNE)
+_MASK31 = np.uint64(0x7FFFFFFF)
+_MASK30 = np.uint64(0x3FFFFFFF)
+
+
+def _fold_p(v: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values < 2^63-ish mod 2^61-1 (2^61 ≡ 1 mod P)."""
+    v = (v >> np.uint64(61)) + (v & _P64)
+    return np.where(v >= _P64, v - _P64, v)
+
+
+def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(a*x) mod (2^61-1) without 64-bit wrap, vectorized uint64.
+
+    Both operands must already be < 2^61. Splits each into 31/30-bit
+    halves so every partial product fits in 64 bits; 2^61 ≡ 1 (mod P)
+    collapses the shifted terms. This is the exact universal hash family
+    (a·x+b mod P) — a plain ``a*x`` in uint64 wraps mod 2^64 first and
+    breaks min-wise independence (round-1 ADVICE fix).
+    """
+    a_hi, a_lo = a >> np.uint64(31), a & _MASK31
+    x_hi, x_lo = x >> np.uint64(31), x & _MASK31
+    # a*x = a_hi*x_hi*2^62 + (a_hi*x_lo + a_lo*x_hi)*2^31 + a_lo*x_lo
+    t1 = (a_hi * x_hi) * np.uint64(2)  # 2^62 ≡ 2 (mod P); < 2^61 so < P+1
+    t1 = np.where(t1 >= _P64, t1 - _P64, t1)
+    c = _fold_p(a_hi * x_lo + a_lo * x_hi)
+    t2 = _fold_p((c >> np.uint64(30)) + ((c & _MASK30) << np.uint64(31)))
+    t3 = _fold_p(a_lo * x_lo)
+    return t1 + t2 + t3  # each < P; caller folds after adding b
 
 
 @dataclass(frozen=True)
@@ -112,8 +141,9 @@ class MinHasher:
         sh = shingle_hashes(text, self.p.shingle_k)
         if sh.size == 0:
             return np.full(self.p.num_perms, np.uint64(_MERSENNE), dtype=np.uint64)
-        # h_i(x) = (a_i * x + b_i) mod M, vectorized (num_perms, n_shingles)
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        # h_i(x) = (a_i * x + b_i) mod P, exact split-multiply (no wrap)
+        x = _fold_p(sh)
+        vals = _fold_p(_mulmod_p(self.a[:, None], x[None, :]) + self.b[:, None])
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -201,15 +231,87 @@ def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
-class ExactJaccardVerifier:
-    """Verify candidate pairs with true n-gram Jaccard.
+def _exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    denom = sa.size + sb.size - inter
+    return round(inter / denom, 4) if denom else 0.0
 
-    Test-scale path: the full id→text mapping is broadcast via
-    ``ray.put`` once and each actor materializes shingle sets lazily.
-    Cluster-scale path (documented contract): replace the broadcast with
-    a hash-join of pairs against documents on doc_id — the pair table is
-    tiny relative to the corpus.
+
+def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8):
+    """Scale-true exact-Jaccard verification of candidate pairs.
+
+    Never materializes corpus text on the driver (the round-1
+    scale-killer). Instead:
+
+    1. collect ONLY the distinct candidate doc ids (O(pairs) ints) and
+       broadcast them once via ``ray.put``;
+    2. semi-filter ``docs`` with a vectorized ``pc.is_in`` — only
+       candidate texts survive the map stage, so the join below shuffles
+       O(pairs) rows, independent of corpus size;
+    3. distributed hash-join pairs ⋈ texts on doc_a then doc_b;
+    4. shingle + exact Jaccard in-batch (per-batch shingle cache since a
+       hot doc appears in many pairs).
+
+    Returns a Dataset of (doc_a, doc_b, est_jaccard, jaccard).
     """
+    import ray
+    import pyarrow.compute as _pc
+
+    pairs_mat = pairs.materialize()  # tiny by construction (candidates)
+    cand_ids: set = set()
+    for b in pairs_mat.iter_batches(batch_format="pyarrow", batch_size=65536):
+        cand_ids.update(b["doc_a"].to_pylist())
+        cand_ids.update(b["doc_b"].to_pylist())
+    if not cand_ids:
+        return pairs_mat.map_batches(
+            lambda t: t.append_column("jaccard", pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
+    ids_ref = ray.put(pa.array(sorted(cand_ids)))
+
+    def keep_side(side: str):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(_pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
+            return pa.Table.from_arrays(
+                [t[id_col].combine_chunks(), t[text_col].combine_chunks()],
+                names=[f"id_{side}", f"text_{side}"],
+            )
+
+        return fn
+
+    cand_a = docs.map_batches(keep_side("a"), batch_format="pyarrow")
+    cand_b = docs.map_batches(keep_side("b"), batch_format="pyarrow")
+    j = pairs_mat.join(cand_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",), right_on=("id_a",))
+    j = j.join(cand_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",), right_on=("id_b",))
+
+    def score(t: pa.Table) -> pa.Table:
+        a_ids = t["doc_a"].to_numpy(zero_copy_only=False)
+        b_ids = t["doc_b"].to_numpy(zero_copy_only=False)
+        a_txt = t["text_a"].to_numpy(zero_copy_only=False)
+        b_txt = t["text_b"].to_numpy(zero_copy_only=False)
+        cache: dict = {}
+
+        def sh(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = shingle_hashes(text, shingle_k)
+            return s
+
+        jac = np.empty(len(a_ids), dtype=np.float64)
+        for i in range(len(a_ids)):
+            jac[i] = _exact_jaccard(sh(a_ids[i], a_txt[i]), sh(b_ids[i], b_txt[i]))
+        keep = [c for c in t.column_names if c not in ("id_a", "id_b", "text_a", "text_b")]
+        return t.select(keep).append_column("jaccard", pa.array(jac))
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+class ExactJaccardVerifier:
+    """Verify candidate pairs with true n-gram Jaccard via a broadcast
+    id→text dict (small-corpus path; prefer ``verify_pairs_distributed``
+    — the scale path used by ``q_dedup_minhash``)."""
 
     def __init__(self, texts_ref, shingle_k: int = 3):
         import ray

@@ -49,6 +49,14 @@ class RoundStore:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.rounds_dir, f"round_{rnd:05d}")
 
+    def reset_rounds(self) -> None:
+        """Delete every committed/staged round (fresh-run fencing): a
+        fresh run into an existing store_dir must not inherit a longer
+        prior run's rounds — ``latest_round``/``read_all_rounds`` would
+        silently mix the two runs otherwise."""
+        shutil.rmtree(self.rounds_dir, ignore_errors=True)
+        os.makedirs(self.rounds_dir, exist_ok=True)
+
     def latest_round(self) -> int | None:
         """Highest round with a committed manifest, or None."""
         best = None

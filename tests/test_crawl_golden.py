@@ -92,6 +92,61 @@ def test_budget_never_exceeded(engine):
     assert max(counts.values()) <= CFG.max_pages_per_domain
 
 
+def test_pack_seq_overflow_fails_loudly():
+    """Past the int64 packing envelope, pack_seq must raise — a silent
+    clamp would make first-discovery dedup arrival-order-dependent."""
+    cfg = CrawlConfig()
+    assert cfg.pack_seq(3, 7, 11) == (3 << 44) | (7 << 16) | 11
+    for bad in [( 1 << 19, 0, 0), (0, 1 << 28, 0), (0, 0, 1 << 16)]:
+        with pytest.raises(OverflowError):
+            cfg.pack_seq(*bad)
+
+
+def test_start_fresh_fences_stale_rounds(web_dir, tmp_path_factory, ray_session):
+    """A fresh run into a store holding a longer prior run must not mix
+    in the prior run's later rounds (round-1 ADVICE fix)."""
+    from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine
+
+    store = tmp_path_factory.mktemp("store_fence")
+    eng1 = CrawlEngine(web_dir, str(store), CFG)
+    eng1.start_fresh()
+    for _ in range(4):
+        eng1.run_round()
+    eng1.shutdown()
+    assert eng1.store.latest_round() >= 4
+    eng2 = CrawlEngine(web_dir, str(store), CFG)
+    eng2.start_fresh()
+    eng2.run_round()
+    try:
+        assert eng2.store.latest_round() == 1  # stale rounds 2..4 fenced
+        t = eng2.pages_table()
+        assert set(t["round"].to_pylist()) == {1}
+    finally:
+        eng2.shutdown()
+
+
+def test_resume_config_mismatch_fails_loudly(web_dir, tmp_path_factory, ray_session):
+    """Resuming under a different CrawlConfig must raise, not silently
+    half-apply the new config (round-1 ADVICE fix)."""
+    import dataclasses
+
+    from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine
+
+    store = tmp_path_factory.mktemp("store_cfgmismatch")
+    eng1 = CrawlEngine(web_dir, str(store), CFG)
+    eng1.start_fresh()
+    eng1.run_round()
+    eng1.shutdown()
+    other = dataclasses.replace(CFG, max_pages_per_domain=CFG.max_pages_per_domain + 1)
+    eng2 = CrawlEngine(web_dir, str(store), other)
+    with pytest.raises(ValueError, match="config mismatch"):
+        eng2.resume()
+    # the original config still resumes fine
+    eng3 = CrawlEngine(web_dir, str(store), CFG)
+    assert eng3.resume()
+    eng3.shutdown()
+
+
 def test_resume_equals_uninterrupted(web_dir, tmp_path_factory, engine, ray_session):
     """Kill after round 2, resume, final state identical (determinism)."""
     from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine

@@ -52,6 +52,62 @@ def test_minhash_lsh_finds_planted_dups():
     assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1) & (pairs["est_jaccard"] > 0.8)).any()
 
 
+def test_mulmod_matches_python_ints():
+    """The split-multiply universal hash must equal exact Python-int
+    (a*x+b) mod (2^61-1) — no uint64 wrap (round-1 ADVICE fix)."""
+    rng = np.random.RandomState(7)
+    P = (1 << 61) - 1
+    a = rng.randint(1, P, size=50, dtype=np.uint64)
+    x = rng.randint(0, np.iinfo(np.uint64).max, size=50, dtype=np.uint64)
+    got = dd._fold_p(dd._mulmod_p(a, dd._fold_p(x)))
+    want = np.array([(int(ai) * (int(xi) % P)) % P for ai, xi in zip(a, x)], dtype=np.uint64)
+    assert (got == want).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_verified_pairs_match_brute_force():
+    """Planted high-similarity corpus: the LSH + distributed-join verify
+    path must find exactly the brute-force Jaccard≥0.8 pairs, with the
+    same exact-Jaccard values — and no corpus broadcast anywhere."""
+    import itertools
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(3)
+    docs = []
+    for g in range(6):  # 6 groups of 3 near-identical docs
+        base = " ".join(f"g{g}tok{i}" for i in range(150))
+        for v in range(3):
+            words = base.split()
+            # perturb ≤2 words → Jaccard stays ≥0.9
+            for _ in range(v):
+                words[int(rng.randint(0, len(words)))] = f"alt{g}{v}"
+            docs.append({"doc_id": g * 3 + v, "text": " ".join(words)})
+    for i in range(18, 40):  # unrelated fillers
+        docs.append({"doc_id": i, "text": " ".join(f"solo{i}w{j}" for j in range(80))})
+
+    # brute force truth
+    sh = {d["doc_id"]: dd.shingle_hashes(d["text"], 3) for d in docs}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        sa, sb = sh[a], sh[b]
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        j = inter / (sa.size + sb.size - inter)
+        if j >= 0.8:
+            truth[(a, b)] = round(j, 4)
+    assert len(truth) >= 6  # the planted groups are found by brute force
+
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    pairs = dd.minhash_candidate_pairs(ds)
+    out = dd.verify_pairs_distributed(pairs, ds).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+        for r in out.itertuples()
+        if r.jaccard >= 0.8
+    }
+    assert got == truth
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_exact_dedup_keeps_first_by_order():
     import ray.data as rd

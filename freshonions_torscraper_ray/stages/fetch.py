@@ -77,134 +77,153 @@ class FetchExtract:
         self.cfg = config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Per-doc span parsing (extract_doc) is inherently scalar; all
+        COLUMN work is vectorized — passthrough columns are zero-copy
+        casts of the input batch, defaults are numpy/pyarrow kernels, and
+        the scalar loop touches only HIT rows and only extract fields."""
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+
+        def col(name: str, typ: pa.DataType):
+            c = batch[name]
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            return c.cast(typ) if c.type != typ else c
+
         urls = batch["url"].to_numpy(zero_copy_only=False)
         domains = batch["domain"].to_numpy(zero_copy_only=False)
         depths = batch["depth"].to_numpy(zero_copy_only=False)
-        prios = batch["priority"].to_numpy(zero_copy_only=False)
-        seqs = batch["discovered_seq"].to_numpy(zero_copy_only=False)
-        vtimes = batch["vtime"].to_numpy(zero_copy_only=False)
-        orders = batch["fetch_order"].to_numpy(zero_copy_only=False)
-        retries = (
-            batch["retries"].to_numpy(zero_copy_only=False)
-            if "retries" in batch.column_names
-            else np.zeros(len(urls), dtype=np.int32)
-        )
 
         docs, hit = self.store.lookup(list(urls), list(domains))
         spans_col = docs["spans"].to_pylist() if docs.num_rows else []
-        doc_pos = {}
-        j = 0
-        for i, h in enumerate(hit):
-            if h == 1:
-                doc_pos[i] = j
-                j += 1
+        hit = np.asarray(hit) == 1  # lookup returns 1 = hit, -1 = miss
+        hit_idx = np.flatnonzero(hit)
+        exs = [
+            extract_doc(urls[i], spans_col[j], int(depths[i]), self.cfg.max_depth)
+            for j, i in enumerate(hit_idx)
+        ]
 
-        cols: dict[str, list] = {n: [] for n, _ in RESULT_FIELDS}
-        for i in range(len(urls)):
-            u, dom = urls[i], domains[i]
-            cols["url"].append(u)
-            cols["domain"].append(dom)
-            cols["depth"].append(int(depths[i]))
-            cols["priority"].append(float(prios[i]))
-            cols["discovered_seq"].append(int(seqs[i]))
-            cols["vtime"].append(float(vtimes[i]))
-            cols["fetch_order"].append(int(orders[i]))
-            cols["retries"].append(int(retries[i]))
-            if i in doc_pos:
-                ex = extract_doc(u, spans_col[doc_pos[i]], int(depths[i]), self.cfg.max_depth)
-                cols["status"].append(200)
-                cols["size"].append(ex["size"])
-                cols["title"].append(ex["title"])
-                cols["text"].append(ex["text"])
-                cols["is_frontpage"].append(ex["is_frontpage"])
-                cols["clone_fp"].append(ex["clone_fp"])
-                cols["link_dsts"].append([l[0] for l in ex["links"]])
-                cols["link_dst_domains"].append([l[1] for l in ex["links"]])
-                cols["link_anchors"].append([l[2] for l in ex["links"]])
-                cols["emails"].append(ex["emails"])
-                cols["btc"].append(ex["btc"])
-                cols["cand_urls"].append([c[0] for c in ex["candidates"]])
-                cols["cand_domains"].append([c[1] for c in ex["candidates"]])
-                cols["cand_depths"].append([c[2] for c in ex["candidates"]])
-            else:
-                cols["status"].append(404)
-                cols["size"].append(0)
-                cols["title"].append("")
-                cols["text"].append("")
-                cols["is_frontpage"].append(u.endswith(".onion/"))
-                cols["clone_fp"].append(0)
-                for c in (
-                    "link_dsts",
-                    "link_dst_domains",
-                    "link_anchors",
-                    "emails",
-                    "btc",
-                    "cand_urls",
-                    "cand_domains",
-                    "cand_depths",
-                ):
-                    cols[c].append([])
-        arrays = [pa.array(cols[n], type=t) for n, t in RESULT_FIELDS]
-        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
+        size = np.zeros(n, np.int64)
+        clone_fp = np.zeros(n, np.int64)
+        if len(hit_idx):
+            size[hit_idx] = [ex["size"] for ex in exs]
+            clone_fp[hit_idx] = [ex["clone_fp"] for ex in exs]
+        title: list = [""] * n
+        text: list = [""] * n
+        empty: list = []
+        lists: dict[str, list] = {
+            name: [empty] * n
+            for name in (
+                "link_dsts", "link_dst_domains", "link_anchors",
+                "emails", "btc", "cand_urls", "cand_domains", "cand_depths",
+            )
+        }
+        for j, i in enumerate(hit_idx):
+            ex = exs[j]
+            title[i] = ex["title"]
+            text[i] = ex["text"]
+            links = ex["links"]
+            if links:
+                lists["link_dsts"][i] = [l[0] for l in links]
+                lists["link_dst_domains"][i] = [l[1] for l in links]
+                lists["link_anchors"][i] = [l[2] for l in links]
+            lists["emails"][i] = ex["emails"]
+            lists["btc"][i] = ex["btc"]
+            cands = ex["candidates"]
+            if cands:
+                lists["cand_urls"][i] = [c[0] for c in cands]
+                lists["cand_domains"][i] = [c[1] for c in cands]
+                lists["cand_depths"][i] = [c[2] for c in cands]
+
+        retries = (
+            col("retries", pa.int32())
+            if "retries" in batch.column_names
+            else pa.array(np.zeros(n, np.int32))
+        )
+        # miss rows: extract_doc's is_frontpage is exactly endswith(".onion/"),
+        # so ONE vectorized kernel covers hits and misses alike
+        arrays = {
+            "url": col("url", pa.string()),
+            "domain": col("domain", pa.string()),
+            "status": pa.array(np.where(hit, np.int32(200), np.int32(404))),
+            "size": pa.array(size),
+            "title": pa.array(title, pa.string()),
+            "text": pa.array(text, pa.large_string()),
+            "is_frontpage": pc.ends_with(col("url", pa.string()), pattern=".onion/"),
+            "clone_fp": pa.array(clone_fp),
+            "depth": col("depth", pa.int32()),
+            "priority": col("priority", pa.float32()),
+            "discovered_seq": col("discovered_seq", pa.int64()),
+            "vtime": col("vtime", pa.float64()),
+            "fetch_order": col("fetch_order", pa.int64()),
+            "retries": retries,
+            **{name: pa.array(vals, RESULT_SCHEMA.field(name).type) for name, vals in lists.items()},
+        }
+        return pa.Table.from_arrays([arrays[f] for f, _ in RESULT_FIELDS], schema=RESULT_SCHEMA)
 
 
 def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) -> int:
     """Merge a block's candidates into the per-actor accumulator
-    (min discovered_seq wins). Returns the raw candidate count."""
+    (min discovered_seq wins). Returns the raw candidate count.
+
+    Seq packing is vectorized (one numpy expression over the flattened
+    candidate lists, with the same overflow guard as ``pack_seq``); only
+    the dict merge itself — inherent actor state — is a Python loop."""
+    import pyarrow.compute as pc
+
+    cu_col = wide["cand_urls"]
+    cu_col = cu_col.combine_chunks() if isinstance(cu_col, pa.ChunkedArray) else cu_col
+    lens = pc.list_value_length(cu_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return 0
     orders = wide["fetch_order"].to_numpy(zero_copy_only=False)
-    cu = wide["cand_urls"].to_pylist()
-    cd = wide["cand_domains"].to_pylist()
-    cdep = wide["cand_depths"].to_pylist()
-    n = 0
-    for i in range(wide.num_rows):
-        f = int(orders[i])
-        for pos, (u, d, dep) in enumerate(zip(cu[i], cd[i], cdep[i])):
-            n += 1
-            seq = cfg.pack_seq(rnd, f, pos)
-            cur = best.get(u)
-            if cur is None or seq < cur[4]:
-                best[u] = (u, d, dep, float(dep), seq)
-    return n
+    parent = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    f = orders[parent]
+    if rnd >= (1 << (63 - cfg.ROUND_SHIFT)) or (len(f) and int(f.max()) >= (1 << (cfg.ROUND_SHIFT - cfg.FETCH_SHIFT))) or int(pos.max()) >= (1 << cfg.FETCH_SHIFT):
+        raise OverflowError(f"pack_seq overflow in round {rnd} (see CrawlConfig.pack_seq)")
+    seqs = (np.int64(rnd) << np.int64(cfg.ROUND_SHIFT)) | (f << np.int64(cfg.FETCH_SHIFT)) | pos
+    urls = pc.list_flatten(cu_col).to_pylist()
+    doms = pc.list_flatten(wide["cand_domains"]).to_pylist()
+    deps = pc.list_flatten(wide["cand_depths"]).to_numpy(zero_copy_only=False)
+    get = best.get
+    for u, d, dep, seq in zip(urls, doms, deps, seqs):
+        cur = get(u)
+        if cur is None or seq < cur[4]:
+            best[u] = (u, d, int(dep), float(dep), int(seq))
+    return total
+
+
+def _explode_list_cols(wide: pa.Table, list_cols: list[str], out_names: list[str], keep: list[str]) -> list:
+    """Flatten parallel list columns + repeat parent columns, fully on
+    Arrow kernels (list_flatten / list_parent_indices / take — the
+    pattern proven in stages/extract.py)."""
+    import pyarrow.compute as pc
+
+    first = wide[list_cols[0]]
+    first = first.combine_chunks() if isinstance(first, pa.ChunkedArray) else first
+    parent = pc.list_parent_indices(first)
+    out = [pc.take(wide[k], parent) for k in keep]
+    for c in list_cols:
+        col = wide[c]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out.append(pc.list_flatten(col))
+    return out
 
 
 def _explode_links(wide: pa.Table) -> pa.Table:
-    src, srcd, dst, dstd, anc = [], [], [], [], []
-    urls = wide["url"].to_pylist()
-    doms = wide["domain"].to_pylist()
-    ld = wide["link_dsts"].to_pylist()
-    ldd = wide["link_dst_domains"].to_pylist()
-    la = wide["link_anchors"].to_pylist()
-    for i in range(wide.num_rows):
-        for u, d, a in zip(ld[i], ldd[i], la[i]):
-            src.append(urls[i])
-            srcd.append(doms[i])
-            dst.append(u)
-            dstd.append(d)
-            anc.append(a)
     from ..schemas import LINKS
 
-    return pa.Table.from_arrays(
-        [pa.array(src, pa.string()), pa.array(srcd, pa.string()), pa.array(dst, pa.string()), pa.array(dstd, pa.string()), pa.array(anc, pa.string())],
-        schema=LINKS,
+    src, srcd, dst, dstd, anc = _explode_list_cols(
+        wide, ["link_dsts", "link_dst_domains", "link_anchors"], [], ["url", "domain"]
     )
-
-
+    return pa.Table.from_arrays([src, srcd, dst, dstd, anc], schema=LINKS)
 
 
 def _explode_addr(wide: pa.Table, col: str) -> pa.Table:
-    addr, urls_o, doms_o = [], [], []
-    urls = wide["url"].to_pylist()
-    doms = wide["domain"].to_pylist()
-    vals = wide[col].to_pylist()
-    for i in range(wide.num_rows):
-        for a in vals[i]:
-            addr.append(a)
-            urls_o.append(urls[i])
-            doms_o.append(doms[i])
-    return pa.Table.from_arrays(
-        [pa.array(addr, pa.string()), pa.array(urls_o, pa.string()), pa.array(doms_o, pa.string())],
-        names=["address", "url", "domain"],
-    )
+    urls_o, doms_o, addr = _explode_list_cols(wide, [col], [], ["url", "domain"])
+    return pa.Table.from_arrays([addr, urls_o, doms_o], names=["address", "url", "domain"])
 
 
 def enrich_pages(pages: pa.Table) -> pa.Table:
@@ -302,18 +321,16 @@ def make_fetch_worker():
             return (int(stats["n_pages"][0].as_py()), n_cand)
 
         def _collect_retries(self, wide: pa.Table, rnd: int) -> None:
+            import pyarrow.compute as pc
+
             cfg = self.cfg
-            mask = [
-                s != 200 and fp and r < cfg.recheck_max_retries
-                for s, fp, r in zip(
-                    wide["status"].to_pylist(),
-                    wide["is_frontpage"].to_pylist(),
-                    wide["retries"].to_pylist(),
-                )
-            ]
-            if not any(mask):
+            mask = pc.and_(
+                pc.and_(pc.not_equal(wide["status"], 200), wide["is_frontpage"]),
+                pc.less(wide["retries"], cfg.recheck_max_retries),
+            )
+            if not pc.any(mask).as_py():
                 return
-            sub = wide.filter(pa.array(mask))
+            sub = wide.filter(mask)
             for u, d, dep, seq, r in zip(
                 sub["url"].to_pylist(),
                 sub["domain"].to_pylist(),

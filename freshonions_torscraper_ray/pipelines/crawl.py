@@ -2,9 +2,13 @@
 
 One crawl round (ONE distributed pass over the round's documents):
 
-  scheduler shards (actors)  --schedule RPC-->  driver
-    → deterministic (vtime, url) Arrow sort + fetch_order assignment
-    → split by content bucket → bucket-pinned FetchWorker actors:
+  scheduler shards (actors) stage + locally sort their schedules
+    --metadata RPC (counts + sample keys) --> driver picks splitters
+    → shards cut range slices; scheduler actors double as range MERGERS
+      (concat + (vtime,url) sort + fetch_order = range base + local idx —
+      exact global rank, no per-URL driver transit)
+    → merger block-refs routed by content bucket → bucket-pinned
+      FetchWorker actors:
         replay fetch + extract (O1-O11) [+ optional enrich: langid/
         quality/simhash] + in-actor candidate min-seq merge + pages/
         links/emails/btc parquet parts into the staged round dir
@@ -28,10 +32,11 @@ unit. A mid-round crash leaves no manifest; resume restores actor state
 from the last checkpointed round and re-runs forward — re-running is
 byte-identical because everything is deterministic.
 
-Scale notes: the schedule merge is an Arrow sort on the driver, O(round
-size) — at 10^10-URL scale replace with a distributed sort + per-block
-offsets. Candidates/frontier rows move actor→actor in columnar payloads;
-documents never leave the fetch actors except as extracted columns.
+Scale notes: schedule-rank is DISTRIBUTED — shard-local sorts, sampled
+range splitters, per-range merge + base offsets; the driver handles only
+metadata (counts, samples, ObjectRefs), never per-URL rows. Candidates/
+frontier rows move actor→actor in columnar payloads; documents never
+leave the fetch actors except as extracted columns.
 """
 
 from __future__ import annotations
@@ -40,72 +45,18 @@ import json
 import os
 import time
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
-from ..functions.hashing import hash64_array, hash64_signed
+from ..functions.hashing import hash64_signed
 from ..stages.fetch import make_fetch_worker
 from ..state.cuckoo import make_seen_actor
 from ..state.scheduler import make_scheduler_actor
 from ..store import RoundStore
 
-SCHED_FIELDS = [
-    ("url", pa.string()),
-    ("domain", pa.string()),
-    ("depth", pa.int32()),
-    ("priority", pa.float32()),
-    ("discovered_seq", pa.int64()),
-    ("vtime", pa.float64()),
-    ("retries", pa.int32()),
-    ("fetch_order", pa.int64()),
-]
-
-
-
-
-def _sched_table(rows: list[tuple], base_order: int) -> pa.Table:
-    """Sort the round's schedule by (vtime, url) and assign fetch_order.
-
-    The sort runs as an Arrow kernel (C, ~10ms for 100k rows) so the
-    driver-side merge stays negligible at fat-round sizes; on a
-    multi-node cluster this becomes ds.sort + per-block offsets.
-    """
-    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
-    n = len(rows)
-    unsorted = pa.Table.from_arrays(
-        [
-            pa.array(cols[0], pa.string()),
-            pa.array(cols[1], pa.string()),
-            pa.array(cols[2], pa.int32()),
-            pa.array(cols[3], pa.float32()),
-            pa.array(cols[4], pa.int64()),
-            pa.array(cols[5], pa.float64()),
-            pa.array(cols[6], pa.int32()),
-        ],
-        names=[n_ for n_, _ in SCHED_FIELDS[:7]],
-    )
-    idx = pa.compute.sort_indices(
-        unsorted, sort_keys=[("vtime", "ascending"), ("url", "ascending")]
-    )
-    out = unsorted.take(idx)
-    return out.append_column(
-        "fetch_order", pa.array(np.arange(base_order, base_order + n, dtype=np.int64))
-    )
-
-
-def _split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Table]]:
-    """Split a schedule table into (bucket, sub-table) pairs — one fetch
-    RPC per content-store partition, routed to the worker that owns it.
-    Execution order is free to differ — crawl order lives in the
-    fetch_order column, not in block order."""
-    doms = sched["domain"].to_pylist()
-    buckets = hash64_array(doms) % n_buckets
-    out = []
-    for b in np.unique(buckets):
-        out.append((int(b), sched.filter(pa.array(buckets == b))))
-    return out
+# schedule-table schema + helpers live with the scheduler
+# (state/scheduler.py: SCHED_FIELDS, rows_to_sched_table, split_by_bucket)
 
 
 class CrawlEngine:
@@ -289,29 +240,76 @@ class CrawlEngine:
         cfg = self.cfg
         rnd = self.round + 1
         t0 = time.monotonic()
-        results = ray.get([h.schedule.remote(rnd) for h in self.sched_handles])
-        sched_rows = [r for scheduled, _ in results for r in scheduled]
-        banned_rows = [b for _, banned in results for b in banned]
-        if not sched_rows and not banned_rows:
-            return None  # nothing happened; caller decides idle-advance vs stop
-        sched = _sched_table(sched_rows, self.fetch_order)
-        n = sched.num_rows
-        t_sched = time.monotonic()
-
         tmp_dir = self.store.begin_round(rnd)
-        if sched_rows:
-            # bucket-affine fetch: each (bucket, block) goes to the
+        # distributed schedule-rank: shards stage + locally sort their
+        # rows and return only metadata (counts + sample keys); the
+        # driver never receives per-URL tuples. Banned rows are written
+        # by the shards straight into the staged round dir.
+        staged = ray.get(
+            [h.schedule_stage.remote(rnd, tmp_dir) for h in self.sched_handles]
+        )
+        counts = [c for c, _, _ in staged]
+        n = sum(counts)
+        n_banned = sum(b for _, b, _ in staged)
+        if n == 0 and n_banned == 0:
+            self.store.abandon_round(rnd)
+            return None  # nothing happened; caller decides idle-advance vs stop
+        if n:
+            # splitters from merged per-shard samples (metadata-sized):
+            # range r of the global (vtime, url) order is merged + ranked
+            # by scheduler actor r, giving exact global fetch_order via
+            # per-range base offsets — same total order as a global sort.
+            samples = sorted(k for _, _, ss in staged for k in ss)
+            # adaptive merger count: ~32k rows per merger, capped at the
+            # shard count — tiny rounds use ONE merger (a single actor-side
+            # sort, no per-range protocol cost), fat rounds use them all.
+            # Deterministic: depends only on n, which is deterministic.
+            R = min(len(self.sched_handles), max(1, (n + 32767) // 32768))
+            splitters = [samples[(len(samples) * r) // R] for r in range(1, R)]
+            slice_refs = [
+                h.range_slices.options(num_returns=R + 1).remote(splitters)
+                for h in self.sched_handles
+            ]
+            per_shard = ray.get([refs[-1] for refs in slice_refs])
+            range_totals = [sum(ps[r] for ps in per_shard) for r in range(R)]
+            bases, acc = [], self.fetch_order
+            for r in range(R):
+                bases.append(acc)
+                acc += range_totals[r]
+            merge_futs = [
+                self.sched_handles[r].merge_ranges.remote(
+                    rnd,
+                    tmp_dir,
+                    bases[r],
+                    [slice_refs[s][r] for s in range(len(self.sched_handles))],
+                    self.web_meta["n_buckets"],
+                )
+                for r in range(R)
+                if range_totals[r]
+            ]
+            block_lists = ray.get(merge_futs)
+            t_sched = time.monotonic()
+            # bucket-affine fetch: each (bucket, block-ref) goes to the
             # FetchWorker that OWNS that content partition — buckets are
             # parsed once per run, served from actor memory across all
-            # rounds. fetch + extract + candidate accept + output writes
-            # all happen inside the actor.
+            # rounds. The driver routes ObjectRefs only; block data moves
+            # merger → object store → fetch actor.
             pool = self.fetch_pool
-            blocks = _split_by_bucket(sched, self.web_meta["n_buckets"])
+            # regroup the R mergers' sub-blocks per bucket (refs only) so
+            # each bucket is ONE process call / ONE set of parquet parts
+            # per round — R independent splits would multiply the write
+            # count by R. Ref lists stay in merger (range) order.
+            by_bucket: dict[int, list] = {}
+            sizes: dict[int, int] = {}
+            for bl in block_lists:
+                for b, nr, ref in bl:
+                    by_bucket.setdefault(b, []).append(ref)
+                    sizes[b] = sizes.get(b, 0) + nr
             # largest-first submission: each actor's queue starts with its
             # biggest blocks, shrinking the end-of-round straggler tail
-            blocks.sort(key=lambda bt: -bt[1].num_rows)
+            order = sorted(by_bucket, key=lambda b: -sizes[b])
             futs = [
-                pool[b % len(pool)].process.remote(block, rnd, tmp_dir) for b, block in blocks
+                pool[b % len(pool)].process.remote(by_bucket[b], rnd, tmp_dir) for b in order
             ]
             res = ray.get(futs)
             # drain per-actor candidate accumulators into the seen shards
@@ -325,19 +323,14 @@ class CrawlEngine:
         else:
             # banned-only round: nothing to fetch, but the bans must be
             # PERSISTED — they belong to the URL-seen set (the oracle keeps
-            # them in seen; dropping them would diverge crawl_seen)
-            t_pipe = time.monotonic()
+            # them in seen; dropping them would diverge crawl_seen). The
+            # shards already wrote their banned parts in schedule_stage.
+            t_sched = time.monotonic()
+            t_pipe = t_sched
             n_new = 0
             n_cand = 0
         t_flush = time.monotonic()
 
-        banned = pa.Table.from_arrays(
-            [
-                pa.array([b[0] for b in banned_rows], pa.string()),
-                pa.array([b[1] for b in banned_rows], pa.string()),
-            ],
-            names=["url", "domain"],
-        )
         interval = max(cfg.checkpoint_interval, 1)
         do_ckpt = rnd % interval == 0 or cfg.checkpoint_interval <= 1
         # full seen-set checkpoint on the first checkpoint and every
@@ -386,7 +379,10 @@ class CrawlEngine:
             ],
             names=["round", "partition", "urls_scheduled", "urls_fetched", "urls_discovered", "urls_deduped", "wall_ms", "lineage"],
         )
-        small_tables.update({"banned": banned, "schedule": sched, "metrics": metrics})
+        # banned + schedule are written as parts by the shard/merger
+        # actors; only metrics and interval-gated checkpoints remain
+        # driver-sized
+        small_tables.update({"metrics": metrics})
         self.store.finish_round(
             rnd,
             small_tables,

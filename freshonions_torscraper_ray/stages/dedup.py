@@ -132,40 +132,86 @@ class MinHasher:
     (doc_id, band_id, band_hash, sig) rows ready for the bucket groupby.
     """
 
+    # shingle-hash chunk bound for the batched path — small enough that
+    # the (num_perms × chunk) temporaries stay cache-resident (measured:
+    # 2k ≈ 4k ≪ 16k shingles/chunk on this box)
+    _CHUNK = 2_048
+
     def __init__(self, params: MinHashParams = MinHashParams(), id_col: str = "doc_id", text_col: str = "text"):
         self.p = params
         self.a, self.b = _perm_coeffs(params)
+        # pre-split coefficients for the exact split-multiply hash
+        self.a_hi = (self.a >> np.uint64(31))[:, None]
+        self.a_lo = (self.a & _MASK31)[:, None]
+        self.b_col = self.b[:, None]
         self.id_col, self.text_col = id_col, text_col
 
+    def _hash_block(self, x: np.ndarray) -> np.ndarray:
+        """(num_perms, len(x)) exact (a·x+b) mod 2^61-1 for folded x."""
+        x = x[None, :]
+        x_hi, x_lo = x >> np.uint64(31), x & _MASK31
+        t1 = (self.a_hi * x_hi) * np.uint64(2)
+        t1 = np.where(t1 >= _P64, t1 - _P64, t1)
+        c = _fold_p(self.a_hi * x_lo + self.a_lo * x_hi)
+        t2 = _fold_p((c >> np.uint64(30)) + ((c & _MASK30) << np.uint64(31)))
+        t3 = _fold_p(self.a_lo * x_lo)
+        return _fold_p(t1 + t2 + t3 + self.b_col)
+
     def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.p.shingle_k)
-        if sh.size == 0:
-            return np.full(self.p.num_perms, np.uint64(_MERSENNE), dtype=np.uint64)
-        # h_i(x) = (a_i * x + b_i) mod P, exact split-multiply (no wrap)
-        x = _fold_p(sh)
-        vals = _fold_p(_mulmod_p(self.a[:, None], x[None, :]) + self.b[:, None])
-        return vals.min(axis=1)
+        return self.signatures([text])[0]
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perms) signature matrix, batched: shingles of many
+        docs are hashed in ONE numpy expression per ~50k-shingle chunk and
+        per-doc minima come from ``minimum.reduceat`` — numpy dispatch
+        cost is per-chunk, not per-doc (the sketching hot path)."""
+        shs = [shingle_hashes(t, self.p.shingle_k) for t in texts]
+        lens = np.array([s.size for s in shs], dtype=np.int64)
+        out = np.full((len(texts), self.p.num_perms), np.uint64(_MERSENNE), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens)
+        if nonempty.size == 0:
+            return out
+        # chunk along doc boundaries so reduceat segments never split
+        start = 0
+        while start < nonempty.size:
+            end = start
+            tot = 0
+            while end < nonempty.size and (tot == 0 or tot + lens[nonempty[end]] <= self._CHUNK):
+                tot += lens[nonempty[end]]
+                end += 1
+            docs = nonempty[start:end]
+            x = _fold_p(np.concatenate([shs[i] for i in docs]))
+            vals = self._hash_block(x)  # (num_perms, tot)
+            starts = np.concatenate(([0], np.cumsum(lens[docs])[:-1]))
+            mins = np.minimum.reduceat(vals, starts, axis=1)  # (num_perms, n_docs)
+            out[docs] = mins.T
+            start = end
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        r = self.p.rows_per_band
-        out_id, out_band, out_key, out_sig = [], [], [], []
-        for i, t in enumerate(texts):
-            sig = self.signature(t)
-            sb = sig.tobytes()
-            for band in range(self.p.num_bands):
-                chunk = sig[band * r : (band + 1) * r].tobytes()
-                out_id.append(ids[i])
-                out_band.append(band)
-                out_key.append(hash64(chunk) & ((1 << 63) - 1))
-                out_sig.append(sb)
+        """Batched sketch + band explode. Band keys are a vectorized
+        polynomial mix of the band's signature lanes (equal bands ⇒ equal
+        keys, which is all LSH bucketing needs) — no per-(doc,band)
+        digest calls in the hot path."""
+        ids = batch[self.id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        sigs = self.signatures(texts)  # (n, num_perms)
+        B, r = self.p.num_bands, self.p.rows_per_band
+        lanes = sigs.reshape(n, B, r)
+        acc = np.zeros((n, B), dtype=np.uint64)
+        for j in range(r):
+            acc = acc * _MIX[j % 4] + lanes[:, :, j]
+        keys = (acc & np.uint64((1 << 63) - 1)).astype(np.int64)
+        rep = np.repeat(np.arange(n, dtype=np.int64), B)
+        sig_arr = pa.array([s.tobytes() for s in sigs], pa.binary())
         return pa.Table.from_arrays(
             [
-                pa.array(out_id, batch[self.id_col].type),
-                pa.array(out_band, pa.int32()),
-                pa.array(out_key, pa.int64()),
-                pa.array(out_sig, pa.binary()),
+                ids.take(pa.array(rep)),
+                pa.array(np.tile(np.arange(B, dtype=np.int32), n)),
+                pa.array(keys.reshape(-1)),
+                sig_arr.take(pa.array(rep)),
             ],
             names=["doc_id", "band_id", "band_hash", "sig"],
         )
@@ -239,7 +285,7 @@ def _exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
     return round(inter / denom, 4) if denom else 0.0
 
 
-def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8):
+def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8, broadcast_threshold: int = 20_000):
     """Scale-true exact-Jaccard verification of candidate pairs.
 
     Never materializes corpus text on the driver (the round-1
@@ -248,11 +294,15 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
     1. collect ONLY the distinct candidate doc ids (O(pairs) ints) and
        broadcast them once via ``ray.put``;
     2. semi-filter ``docs`` with a vectorized ``pc.is_in`` — only
-       candidate texts survive the map stage, so the join below shuffles
-       O(pairs) rows, independent of corpus size;
-    3. distributed hash-join pairs ⋈ texts on doc_a then doc_b;
-    4. shingle + exact Jaccard in-batch (per-batch shingle cache since a
-       hot doc appears in many pairs).
+       candidate texts survive the map stage (ONE corpus scan), so the
+       join moves O(pairs) rows, independent of corpus size;
+    3. join pairs ⋈ candidate texts — standard adaptive join selection:
+       ≤ ``broadcast_threshold`` candidate ids ⇒ BROADCAST join (the
+       small filtered side rides ``ray.put``; memory bounded by the
+       threshold, never the corpus); above it ⇒ distributed hash-join
+       on doc_a then doc_b;
+    4. shingle + exact Jaccard in-batch (shingle cache since a hot doc
+       appears in many pairs).
 
     Returns a Dataset of (doc_a, doc_b, est_jaccard, jaccard).
     """
@@ -270,19 +320,42 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
             batch_format="pyarrow",
         )
     ids_ref = ray.put(pa.array(sorted(cand_ids)))
+    # join width scales with the candidate count — a tiny pair table gets
+    # a single-partition join (Ray join fixed cost per partition is real)
+    num_partitions = min(num_partitions, max(1, len(cand_ids) // 20_000 + 1))
 
-    def keep_side(side: str):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.filter(_pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
-            return pa.Table.from_arrays(
-                [t[id_col].combine_chunks(), t[text_col].combine_chunks()],
-                names=[f"id_{side}", f"text_{side}"],
-            )
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.is_in(t[id_col], value_set=ray.get(ids_ref)))
+        return pa.Table.from_arrays(
+            [t[id_col].combine_chunks(), t[text_col].combine_chunks()],
+            names=["cid", "ctext"],
+        )
 
-        return fn
+    # ONE corpus scan; the surviving candidate texts (O(pairs) rows) are
+    # materialized and feed both join sides
+    cand = docs.map_batches(keep, batch_format="pyarrow").materialize()
 
-    cand_a = docs.map_batches(keep_side("a"), batch_format="pyarrow")
-    cand_b = docs.map_batches(keep_side("b"), batch_format="pyarrow")
+    if len(cand_ids) <= broadcast_threshold:
+        # broadcast path: the filtered side is tiny — skip the shuffle
+        # join's fixed cost entirely (2 × JoinOperator ≈ seconds)
+        cand_tab = pa.concat_tables(
+            list(cand.iter_batches(batch_format="pyarrow", batch_size=65536))
+            or [pa.table({"cid": pa.array([], pa.int64()), "ctext": pa.array([], pa.string())})]
+        )
+        texts = dict(zip(cand_tab["cid"].to_pylist(), cand_tab["ctext"].to_pylist()))
+        tref = ray.put(texts)
+        return pairs_mat.map_batches(
+            ExactJaccardVerifier,
+            fn_constructor_args=(tref, shingle_k),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+
+    def rename(side: str):
+        return lambda t: t.rename_columns([f"id_{side}", f"text_{side}"])
+
+    cand_a = cand.map_batches(rename("a"), batch_format="pyarrow")
+    cand_b = cand.map_batches(rename("b"), batch_format="pyarrow")
     j = pairs_mat.join(cand_a, join_type="inner", num_partitions=num_partitions, on=("doc_a",), right_on=("id_a",))
     j = j.join(cand_b, join_type="inner", num_partitions=num_partitions, on=("doc_b",), right_on=("id_b",))
 
@@ -310,8 +383,9 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
 
 class ExactJaccardVerifier:
     """Verify candidate pairs with true n-gram Jaccard via a broadcast
-    id→text dict (small-corpus path; prefer ``verify_pairs_distributed``
-    — the scale path used by ``q_dedup_minhash``)."""
+    id→text dict. This is the broadcast-join arm of
+    ``verify_pairs_distributed`` — the dict it receives there holds ONLY
+    candidate-filtered texts (O(pairs)), never the corpus."""
 
     def __init__(self, texts_ref, shingle_k: int = 3):
         import ray

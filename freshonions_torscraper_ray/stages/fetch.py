@@ -305,12 +305,19 @@ def make_fetch_worker():
             self._cand_acc: dict = {}
             self._retry_rows: list[tuple] = []
 
-        def process(self, block: pa.Table, rnd: int, out_dir: str) -> tuple[int, int]:
+        def process(self, block, rnd: int, out_dir: str) -> tuple[int, int]:
             """Fetch+extract+write one bucket-block; candidates are
             ACCUMULATED in-actor (min-seq merged across this actor's
             blocks) and pushed to the seen shards once per round via
             :meth:`drain_accepts` — 32 RPC bursts per round instead of
-            one per block."""
+            one per block. ``block`` may be a list of ObjectRefs (one
+            sub-block per schedule-rank merger) — fetched actor-side and
+            concatenated, never via the driver."""
+            if isinstance(block, list):
+                import ray as _ray
+
+                parts = _ray.get(block)
+                block = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
             wide = self.fe(block)
             n_cand = _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
             if getattr(self.cfg, "recheck_dead", False):

@@ -26,10 +26,73 @@ Round semantics (shared verbatim with oracle.py — the contract):
 
 from __future__ import annotations
 
+import os
 import pickle
+
+import numpy as np
+import pyarrow as pa
 
 from ..config import CrawlConfig
 from ..functions.robots import allowed, parse_disallow_prefixes
+
+# schedule-row schema (the scheduler owns the schedule representation;
+# crawl.py composes the round around it)
+SCHED_FIELDS = [
+    ("url", pa.string()),
+    ("domain", pa.string()),
+    ("depth", pa.int32()),
+    ("priority", pa.float32()),
+    ("discovered_seq", pa.int64()),
+    ("vtime", pa.float64()),
+    ("retries", pa.int32()),
+    ("fetch_order", pa.int64()),
+]
+
+_SORT_KEYS = [("vtime", "ascending"), ("url", "ascending")]
+
+
+def rows_to_sched_table(rows: list[tuple]) -> pa.Table:
+    """(url, domain, depth, priority, seq, vtime, retries) rows → Arrow
+    table sorted by (vtime, url) — fetch_order NOT yet assigned."""
+    cols = list(zip(*rows)) if rows else [[] for _ in range(7)]
+    t = pa.Table.from_arrays(
+        [pa.array(c, typ) for c, (_, typ) in zip(cols, SCHED_FIELDS[:7])],
+        names=[n for n, _ in SCHED_FIELDS[:7]],
+    )
+    return t.take(pa.compute.sort_indices(t, sort_keys=_SORT_KEYS))
+
+
+def split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Table]]:
+    """Split a schedule table into (content-bucket, sub-table) pairs —
+    one fetch RPC per content-store partition, routed to the worker that
+    owns it. Execution order is free to differ — crawl order lives in
+    the fetch_order column, not in block order."""
+    from ..functions.hashing import hash64_array
+
+    doms = sched["domain"].to_pylist()
+    buckets = hash64_array(doms) % n_buckets
+    out = []
+    for b in np.unique(buckets):
+        out.append((int(b), sched.filter(pa.array(buckets == b))))
+    return out
+
+
+def _bisect_sorted(t: pa.Table, key: tuple[float, str]) -> int:
+    """Index of the first row of (vtime,url)-sorted ``t`` with key ≥
+    ``key``: numpy searchsorted on vtime, then a log-n url bisect inside
+    the equal-vtime run (O(log n) — never a row scan)."""
+    kv, ku = key
+    vt = t["vtime"].to_numpy()
+    lo = int(np.searchsorted(vt, kv, side="left"))
+    hi = int(np.searchsorted(vt, kv, side="right"))
+    urls = t["url"]
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if urls[mid].as_py() < ku:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
 
 
 class DomainState:
@@ -203,6 +266,7 @@ def make_scheduler_actor():
                 self.s = SchedulerShardState.from_state_bytes(state)
             else:
                 self.s = SchedulerShardState(shard_id, config, robots)
+            self._staged: pa.Table | None = None
 
         def add_urls(self, rows):
             self.s.add_urls(rows)
@@ -214,6 +278,75 @@ def make_scheduler_actor():
 
         def schedule(self, current_round: int = 1 << 30):
             return self.s.schedule(current_round)
+
+        # ---- distributed schedule-rank (no per-URL driver transit) ----
+
+        def schedule_stage(self, current_round: int, tmp_dir: str, n_samples: int = 64):
+            """Run this shard's round schedule but STAGE the rows in-actor
+            (sorted by (vtime, url)); only metadata leaves: (count,
+            n_banned, sample keys). Banned rows are persisted as a parquet
+            part straight into the staged round dir."""
+            import pyarrow.parquet as pq
+
+            scheduled, banned = self.s.schedule(current_round)
+            self._staged = rows_to_sched_table(scheduled)
+            if banned:
+                bt = pa.Table.from_arrays(
+                    [
+                        pa.array([b[0] for b in banned], pa.string()),
+                        pa.array([b[1] for b in banned], pa.string()),
+                    ],
+                    names=["url", "domain"],
+                )
+                d = os.path.join(tmp_dir, "banned")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(bt, os.path.join(d, f"part-shard{self.s.shard_id:04d}.parquet"))
+            n = self._staged.num_rows
+            samples: list[tuple[float, str]] = []
+            if n:
+                vt = self._staged["vtime"].to_numpy()
+                urls = self._staged["url"]
+                step = max(1, n // n_samples)
+                samples = [(float(vt[i]), urls[i].as_py()) for i in range(0, n, step)]
+            return n, len(banned), samples
+
+        def range_slices(self, splitters: list[tuple[float, str]]):
+            """Cut the staged sorted table at the splitter keys → R
+            contiguous slices (R = len(splitters)+1) + per-range counts.
+            Called with num_returns=R+1 so each merger fetches ONLY its
+            slice from the object store."""
+            t = self._staged if self._staged is not None else rows_to_sched_table([])
+            self._staged = None
+            cuts = [_bisect_sorted(t, k) for k in splitters]
+            bounds = [0, *cuts, t.num_rows]
+            slices = [
+                t.slice(bounds[i], bounds[i + 1] - bounds[i]).combine_chunks()
+                for i in range(len(bounds) - 1)
+            ]
+            return (*slices, [s.num_rows for s in slices])
+
+        def merge_ranges(self, rnd: int, tmp_dir: str, base: int, slice_refs: list, n_buckets: int):
+            """Merge one key range across all shards: concat + (vtime,url)
+            sort + fetch_order = base..base+n, persist the schedule part,
+            split by content bucket and ray.put each block. Returns small
+            (bucket, n_rows, block_ref) tuples — the driver routes refs to
+            the bucket-pinned fetch workers without touching row data."""
+            import pyarrow.parquet as pq
+
+            tabs = [x for x in ray.get(list(slice_refs)) if x.num_rows]
+            if not tabs:
+                return []
+            t = pa.concat_tables(tabs)
+            t = t.take(pa.compute.sort_indices(t, sort_keys=_SORT_KEYS))
+            out = t.append_column(
+                "fetch_order", pa.array(np.arange(base, base + t.num_rows, dtype=np.int64))
+            )
+            d = os.path.join(tmp_dir, "schedule")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(out, os.path.join(d, f"part-base{base:012d}.parquet"))
+            return [
+                (b, blk.num_rows, ray.put(blk)) for b, blk in split_by_bucket(out, n_buckets)
+            ]
 
         def add_retry_cols(self, cols):
             self.s.add_retry_cols(cols)

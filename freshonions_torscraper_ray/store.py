@@ -49,6 +49,10 @@ class RoundStore:
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.rounds_dir, f"round_{rnd:05d}")
 
+    def abandon_round(self, rnd: int) -> None:
+        """Discard a staged (never-manifested) round attempt."""
+        shutil.rmtree(self._round_dir(rnd) + ".tmp", ignore_errors=True)
+
     def reset_rounds(self) -> None:
         """Delete every committed/staged round (fresh-run fencing): a
         fresh run into an existing store_dir must not inherit a longer

@@ -65,10 +65,12 @@ def test_mulmod_matches_python_ints():
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_minhash_verified_pairs_match_brute_force():
-    """Planted high-similarity corpus: the LSH + distributed-join verify
-    path must find exactly the brute-force Jaccard≥0.8 pairs, with the
-    same exact-Jaccard values — and no corpus broadcast anywhere."""
+@pytest.mark.parametrize("broadcast_threshold", [20_000, 0], ids=["broadcast", "shuffle-join"])
+def test_minhash_verified_pairs_match_brute_force(broadcast_threshold):
+    """Planted high-similarity corpus: BOTH verify arms (broadcast join
+    of the candidate-filtered texts; distributed shuffle join) must find
+    exactly the brute-force Jaccard≥0.8 pairs, with the same
+    exact-Jaccard values — and no whole-corpus broadcast anywhere."""
     import itertools
 
     import ray.data as rd
@@ -99,7 +101,9 @@ def test_minhash_verified_pairs_match_brute_force():
 
     ds = rd.from_arrow(pa.Table.from_pylist(docs))
     pairs = dd.minhash_candidate_pairs(ds)
-    out = dd.verify_pairs_distributed(pairs, ds).to_pandas()
+    out = dd.verify_pairs_distributed(
+        pairs, ds, broadcast_threshold=broadcast_threshold
+    ).to_pandas()
     got = {
         (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
         for r in out.itertuples()

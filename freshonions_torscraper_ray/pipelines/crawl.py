@@ -74,6 +74,9 @@ class CrawlEngine:
         self.fetch_pool = []
         self.fetch_order = 0
         self.round = 0
+        # (rnd, tmp_dir, schedule_stage futures) pre-issued at the
+        # previous round's commit tail; invalid whenever actors change
+        self._pre_staged = None
 
     # ---------------------------------------------------------- setup
 
@@ -150,6 +153,7 @@ class CrawlEngine:
         self._make_fetch_pool()
         self.fetch_order = 0
         self.round = 0
+        self._pre_staged = None
 
     def resume(self) -> bool:
         """Restore actors from the latest committed round. False if none."""
@@ -221,6 +225,7 @@ class CrawlEngine:
         meta = self.store.read_manifest(last)["meta"]
         self.fetch_order = meta["next_fetch_order"]
         self.round = last
+        self._pre_staged = None
         return True
 
     # ---------------------------------------------------------- rounds
@@ -240,14 +245,20 @@ class CrawlEngine:
         cfg = self.cfg
         rnd = self.round + 1
         t0 = time.monotonic()
-        tmp_dir = self.store.begin_round(rnd)
         # distributed schedule-rank: shards stage + locally sort their
         # rows and return only metadata (counts + sample keys); the
         # driver never receives per-URL tuples. Banned rows are written
-        # by the shards straight into the staged round dir.
-        staged = ray.get(
-            [h.schedule_stage.remote(rnd, tmp_dir) for h in self.sched_handles]
-        )
+        # by the shards straight into the staged round dir. Usually the
+        # staging was PRE-ISSUED at the previous round's commit tail
+        # (overlapping its write wait).
+        pre = getattr(self, "_pre_staged", None)
+        if pre is not None and pre[0] == rnd:
+            tmp_dir, stage_futs = pre[1], pre[2]
+            self._pre_staged = None
+        else:
+            tmp_dir = self.store.begin_round(rnd)
+            stage_futs = [h.schedule_stage.remote(rnd, tmp_dir) for h in self.sched_handles]
+        staged = ray.get(stage_futs)
         counts = [c for c, _, _ in staged]
         n = sum(counts)
         n_banned = sum(b for _, b, _ in staged)
@@ -308,16 +319,45 @@ class CrawlEngine:
             # largest-first submission: each actor's queue starts with its
             # biggest blocks, shrinking the end-of-round straggler tail
             order = sorted(by_bucket, key=lambda b: -sizes[b])
+            if os.environ.get("ONIONRAY_PROFILE"):
+                import collections
+                import sys
+
+                wl: collections.Counter = collections.Counter()
+                for b, sz in sizes.items():
+                    wl[b % len(pool)] += sz
+                print(
+                    f"PROFBLK r{rnd}: blocks={len(sizes)} max_block={max(sizes.values())} "
+                    f"worker_max={max(wl.values())} worker_mean={sum(wl.values()) // len(pool)}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             futs = [
                 pool[b % len(pool)].process.remote(by_bucket[b], rnd, tmp_dir) for b in order
             ]
             res = ray.get(futs)
+            t_fetch = time.monotonic()
             # drain per-actor candidate accumulators into the seen shards
             # and re-check retries into the schedulers (one burst per
-            # fetch actor per round), then flush survivors
-            ray.get([w.drain_accepts.remote() for w in self.fetch_pool])
-            ray.get([w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool])
+            # fetch actor per round); the round output WRITES are queued
+            # behind the (fast) drains on each fetch actor and proceed
+            # asynchronously — they only need to land before the manifest
+            # (async round commits: seen flush, checkpoint collection and
+            # the next round's schedule staging all overlap them)
+            acc_futs = [w.drain_accepts.remote() for w in self.fetch_pool]
+            retry_futs = [w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool]
+            write_futs = [w.flush_outputs.remote(tmp_dir, rnd) for w in self.fetch_pool]
+            ray.get(acc_futs)
+            ray.get(retry_futs)
             t_pipe = time.monotonic()
+            if os.environ.get("ONIONRAY_PROFILE"):
+                import sys
+
+                print(
+                    f"PROFPIPE r{rnd}: fetch={t_fetch - t_sched:.2f} drain={t_pipe - t_fetch:.2f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
             n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
             n_cand = sum(c for _, c in res)
         else:
@@ -329,6 +369,7 @@ class CrawlEngine:
             t_pipe = t_sched
             n_new = 0
             n_cand = 0
+            write_futs = []
         t_flush = time.monotonic()
 
         interval = max(cfg.checkpoint_interval, 1)
@@ -383,6 +424,19 @@ class CrawlEngine:
         # actors; only metrics and interval-gated checkpoints remain
         # driver-sized
         small_tables.update({"metrics": metrics})
+        # pre-stage the NEXT round's schedule while this round's output
+        # writes finish: scheduler state is final (flush_to + retries
+        # drained + checkpoint states collected above), so schedule(k+1)
+        # can compute concurrently with the write tail + manifest.
+        self._pre_staged = None
+        if rnd + 1 <= cfg.max_rounds:
+            tmp_next = self.store.begin_round(rnd + 1)
+            self._pre_staged = (
+                rnd + 1,
+                tmp_next,
+                [h.schedule_stage.remote(rnd + 1, tmp_next) for h in self.sched_handles],
+            )
+        ray.get(write_futs)  # async round commit: writes land before the manifest
         self.store.finish_round(
             rnd,
             small_tables,
@@ -437,6 +491,7 @@ class CrawlEngine:
         self.seen_handles = []
         self.sched_handles = []
         self.fetch_pool = []
+        self._pre_staged = None
 
     # ---------------------------------------------------------- outputs
 

@@ -247,34 +247,30 @@ def enrich_pages(pages: pa.Table) -> pa.Table:
     return pages.append_column("simhash", pa.array(sims))
 
 
-def write_round_outputs(wide: pa.Table, *, base_dir: str, rnd: int, enrich: bool = False) -> pa.Table:
-    """Per-batch multi-table writer: derives pages/links/emails/btc from
-    the wide fetch output and writes one parquet part per table directly
-    into the staged round directory — the whole round's I/O happens
-    inside the single fused pipeline execution. Part names are unique per
-    task; the round manifest (written after) is the commit gate."""
-    import uuid
-
-    part = uuid.uuid4().hex[:12]
+def derive_round_tables(wide: pa.Table, rnd: int, enrich: bool = False) -> dict[str, pa.Table]:
+    """Derive the four output tables (pages/links/emails/btc) from the
+    wide fetch output — pure column work, no I/O."""
     pages = wide.select(PAGE_COLS).append_column(
         "round", pa.array([rnd] * wide.num_rows, pa.int32())
     )
     if enrich:
         pages = enrich_pages(pages)
-    n_cand = int(pa.compute.sum(pa.compute.list_value_length(wide["cand_urls"])).as_py() or 0)
-    for name, table in (
-        ("pages", pages),
-        ("links", _explode_links(wide)),
-        ("emails", _explode_addr(wide, "emails")),
-        ("btc", _explode_addr(wide, "btc")),
-    ):
+    return {
+        "pages": pages,
+        "links": _explode_links(wide),
+        "emails": _explode_addr(wide, "emails"),
+        "btc": _explode_addr(wide, "btc"),
+    }
+
+
+def write_table_parts(tables: dict[str, pa.Table], base_dir: str, part: str) -> None:
+    """Write one parquet part per table into the staged round directory.
+    Part names are caller-unique; the round manifest (written after) is
+    the commit gate."""
+    for name, table in tables.items():
         tdir = os.path.join(base_dir, name)
         os.makedirs(tdir, exist_ok=True)
         pq.write_table(table, os.path.join(tdir, f"part-{part}.parquet"))
-    return pa.Table.from_arrays(
-        [pa.array([wide.num_rows], pa.int64()), pa.array([n_cand], pa.int64())],
-        names=["n_pages", "n_candidates"],
-    )
 
 
 
@@ -298,21 +294,25 @@ def make_fetch_worker():
     @ray.remote(num_cpus=0.25)
     class FetchWorker:
         def __init__(self, actor_id: int, docs_dir: str, n_buckets: int, cfg, seen_handles):
+            self.actor_id = actor_id
             self.fe = FetchExtract(docs_dir, n_buckets, cfg)
             self.fe.store.MAX_CACHED_BUCKETS = n_buckets + 1  # pin owned buckets
             self.cfg = cfg
             self.seen = seen_handles
             self._cand_acc: dict = {}
             self._retry_rows: list[tuple] = []
+            self._out: dict[str, list[pa.Table]] = {}
 
         def process(self, block, rnd: int, out_dir: str) -> tuple[int, int]:
-            """Fetch+extract+write one bucket-block; candidates are
-            ACCUMULATED in-actor (min-seq merged across this actor's
-            blocks) and pushed to the seen shards once per round via
-            :meth:`drain_accepts` — 32 RPC bursts per round instead of
-            one per block. ``block`` may be a list of ObjectRefs (one
-            sub-block per schedule-rank merger) — fetched actor-side and
-            concatenated, never via the driver."""
+            """Fetch+extract one bucket-block; candidates are ACCUMULATED
+            in-actor (min-seq merged across this actor's blocks) and
+            pushed to the seen shards once per round via
+            :meth:`drain_accepts`; output tables are BUFFERED in-actor
+            and written once per round via :meth:`flush_outputs` (one
+            part per table per actor, overlapped with the drain phase —
+            not one tiny file per bucket). ``block`` may be a list of
+            ObjectRefs (one sub-block per schedule-rank merger) — fetched
+            actor-side and concatenated, never via the driver."""
             if isinstance(block, list):
                 import ray as _ray
 
@@ -322,10 +322,24 @@ def make_fetch_worker():
             n_cand = _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
             if getattr(self.cfg, "recheck_dead", False):
                 self._collect_retries(wide, rnd)
-            stats = write_round_outputs(
-                wide, base_dir=out_dir, rnd=rnd, enrich=getattr(self.cfg, "enrich", False)
-            )
-            return (int(stats["n_pages"][0].as_py()), n_cand)
+            tables = derive_round_tables(wide, rnd, enrich=getattr(self.cfg, "enrich", False))
+            for name, t in tables.items():
+                self._out.setdefault(name, []).append(t)
+            return (wide.num_rows, n_cand)
+
+        def flush_outputs(self, out_dir: str, rnd: int) -> int:
+            """Write this round's buffered tables (one parquet part per
+            table per actor) into the staged round dir, then clear."""
+            bufs = self._out
+            self._out = {}
+            if not bufs:
+                return 0
+            tables = {
+                name: (ts[0] if len(ts) == 1 else pa.concat_tables(ts))
+                for name, ts in bufs.items()
+            }
+            write_table_parts(tables, out_dir, f"r{rnd:05d}-w{self.actor_id:04d}")
+            return tables["pages"].num_rows
 
         def _collect_retries(self, wide: pa.Table, rnd: int) -> None:
             import pyarrow.compute as pc

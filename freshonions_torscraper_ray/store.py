@@ -94,7 +94,10 @@ class RoundStore:
         for name, table in tables.items():
             tdir = os.path.join(tmp, name)
             os.makedirs(tdir, exist_ok=True)
-            pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+            # checkpoint blobs are pre-packed binary (sparse filters,
+            # pickles) — parquet compression only burns driver CPU there
+            comp = "none" if name.endswith("_ckpt") else "snappy"
+            pq.write_table(table, os.path.join(tdir, "part-0.parquet"), compression=comp)
             manifest["tables"][name] = {"rows": table.num_rows}
         os.rename(tmp, rdir)
         _write_manifest_atomic(rdir, manifest)
@@ -121,7 +124,8 @@ class RoundStore:
             tdir = os.path.join(tmp, name)
             if isinstance(table, pa.Table):
                 os.makedirs(tdir)
-                pq.write_table(table, os.path.join(tdir, "part-0.parquet"))
+                comp = "none" if name.endswith("_ckpt") else "snappy"
+                pq.write_table(table, os.path.join(tdir, "part-0.parquet"), compression=comp)
                 manifest["tables"][name] = {"rows": table.num_rows}
             else:  # ray.data.Dataset — distributed write
                 table.write_parquet(tdir)

@@ -50,6 +50,14 @@ class CrawlConfig:
     recheck_dead: bool = False
     recheck_backoff: int = 2
     recheck_max_retries: int = 2
+    # spill-to-store frontier bounds (state/scheduler.py DomainState):
+    # per-domain in-memory head size, fresh-arrival buffer size before a
+    # merge/compact, and entries per spill-run frame. These bound shard
+    # heap at any frontier size and NEVER affect crawl ordering — any
+    # values produce the identical schedule (exact k-way merge).
+    frontier_head_max: int = 64
+    frontier_fresh_max: int = 128
+    frontier_refill_chunk: int = 64
 
     # packed discovered_seq layout: (round << 44) | (fetch_order << 16) | pos
     ROUND_SHIFT: int = 44

@@ -61,15 +61,37 @@ def crawl_oracle(
     cfg: CrawlConfig,
 ) -> OracleResult:
     res = OracleResult()
-    # per-domain state: [vclock, fetched, {url: (priority, seq, depth, not_before, retries)}]
+    # per-domain state: [vclock, fetched,
+    #                    pending {url: (priority, seq, depth, retries)},
+    #                    parked  {url: (priority, seq, depth, not_before, retries)}]
     dom: dict[str, list] = {}
     robots_cache: dict[str, list[str]] = {}
 
     def ensure(d: str) -> list:
         st = dom.get(d)
         if st is None:
-            st = dom[d] = [0.0, 0, {}]
+            st = dom[d] = [0.0, 0, {}, {}]
         return st
+
+    def insert(url: str, d: str, depth: int, pr: float, seq: int, nb: int = 0, retries: int = 0) -> None:
+        """Ban-at-insert (the contract shared with the engine, see
+        state/scheduler.py): robots bodies are static per crawl, so
+        gating at insertion yields the same banned set and the same
+        schedule as gating at schedule time — and lets the engine keep
+        pending spilled to disk instead of rescanning it every round."""
+        st = ensure(d)
+        if cfg.obey_robots and d in robots:
+            prefixes = robots_cache.setdefault(d, parse_disallow_prefixes(robots[d]))
+            if prefixes:
+                rest = url.split("://", 1)[1]
+                path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+                if not allowed(path, prefixes):
+                    res.banned.append(url)
+                    return
+        if nb > 0:
+            st[3][url] = (pr, seq, depth, nb, retries)
+        else:
+            st[2][url] = (pr, seq, depth, retries)
 
     # seed insertion: canonicalize (mirrors the engine), order = seed
     # file order, first canonical occurrence wins
@@ -78,8 +100,7 @@ def crawl_oracle(
         if url is None or url in res.seen:
             continue
         res.seen.add(url)
-        d = url_domain(url)
-        ensure(d)[2][url] = (0.0, cfg.pack_seq(0, i, 0), 0, 0, 0)
+        insert(url, url_domain(url), 0, 0.0, cfg.pack_seq(0, i, 0))
 
     fetch_order = 0
     for rnd in range(1, cfg.max_rounds + 1):
@@ -87,31 +108,19 @@ def crawl_oracle(
         schedule: list[tuple] = []  # (vtime, url, domain, depth, pr, seq, retries)
         for d in dom:
             st = dom[d]
+            if st[3]:  # wake due parked re-checks
+                for url in [u for u, e in st[3].items() if e[3] <= rnd]:
+                    pr, seq, depth, _nb, retries = st[3].pop(url)
+                    st[2][url] = (pr, seq, depth, retries)
             if not st[2]:
                 continue
-            items = sorted(
-                (pr, seq, url, depth, retries)
-                for url, (pr, seq, depth, nb, retries) in st[2].items()
-                if nb <= rnd
-            )
-            if not items:
-                continue
-            if cfg.obey_robots and d in robots:
-                prefixes = robots_cache.setdefault(d, parse_disallow_prefixes(robots[d]))
-                kept = []
-                for pr, seq, url, depth, retries in items:
-                    rest = url.split("://", 1)[1]
-                    path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
-                    if allowed(path, prefixes):
-                        kept.append((pr, seq, url, depth, retries))
-                    else:
-                        res.banned.append(url)
-                        del st[2][url]
-                items = kept
             cap = min(cfg.per_round_domain_cap, cfg.max_pages_per_domain - st[1])
             if cap <= 0:
                 continue
-            take = items[:cap]
+            take = sorted(
+                (pr, seq, url, depth, retries)
+                for url, (pr, seq, depth, retries) in st[2].items()
+            )[:cap]
             for j, (pr, seq, url, depth, retries) in enumerate(take):
                 schedule.append((st[0] + cfg.download_delay * j, url, d, depth, pr, seq, retries))
                 del st[2][url]
@@ -121,7 +130,7 @@ def crawl_oracle(
             # same rule as the engine: backing-off re-checks with budget
             # left consume an idle round instead of terminating
             cap = cfg.max_pages_per_domain
-            if any(st[2] and st[1] < cap for st in dom.values()):
+            if any((st[2] or st[3]) and st[1] < cap for st in dom.values()):
                 continue
             break
         res.rounds = rnd
@@ -144,12 +153,10 @@ def crawl_oracle(
                     and url.endswith(".onion/")
                     and retries < cfg.recheck_max_retries
                 ):
-                    ensure(d)[2][url] = (
-                        1000.0 + retries,
-                        seq,
-                        depth,
-                        rnd + cfg.recheck_backoff * (retries + 1),
-                        retries + 1,
+                    insert(
+                        url, d, depth, 1000.0 + retries, seq,
+                        nb=rnd + cfg.recheck_backoff * (retries + 1),
+                        retries=retries + 1,
                     )
                 continue
             ex = extract_doc(url, spans, depth, cfg.max_depth)
@@ -178,14 +185,10 @@ def crawl_oracle(
                 if cand_url in res.seen:
                     continue
                 res.seen.add(cand_url)
-                ensure(cand_domain)[2][cand_url] = (
-                    float(cand_depth),
-                    cfg.pack_seq(rnd, f, pos),
-                    cand_depth,
-                    0,
-                    0,
-                )
+                insert(cand_url, cand_domain, cand_depth, float(cand_depth), cfg.pack_seq(rnd, f, pos))
     for d, st in dom.items():
-        for url, (_pr, _seq, depth, _nb, _re) in st[2].items():
+        for url, (_pr, _seq, depth, _re) in st[2].items():
+            res.frontier_residue.append((url, d, depth))
+        for url, (_pr, _seq, depth, _nb, _re) in st[3].items():
             res.frontier_residue.append((url, d, depth))
     return res

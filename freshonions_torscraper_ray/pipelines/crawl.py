@@ -120,7 +120,8 @@ class CrawlEngine:
         self.seen_handles = [Seen.remote(i, seed=cfg.seed) for i in range(cfg.num_cuckoo_shards)]
         robots_shards = self._robots_by_shard()
         self.sched_handles = [
-            Sched.remote(i, cfg, robots_shards[i]) for i in range(cfg.num_scheduler_shards)
+            Sched.remote(i, cfg, robots_shards[i], spill_dir=self.store.frontier_spill_dir(i))
+            for i in range(cfg.num_scheduler_shards)
         ]
         # seed insertion (S2/O31): canonicalize (O1 — seed lists are
         # tolerant free-form input), order = file order, first wins
@@ -214,13 +215,20 @@ class CrawlEngine:
             dt = self.store.read(dr, "seen_ckpt")
             for sid, blob in zip(dt["shard_id"].to_pylist(), dt["filter_bytes"].to_pylist()):
                 delta_blobs[sid].append(blob)
-        sched_t = self.store.read(last, "sched_ckpt")
+        # scheduler shards restore over the SAME full-base + delta chain
+        # (incremental scheduler checkpoints mirror the seen set's)
+        sched_base = self.store.read(chain[0], "sched_ckpt")
+        sched_deltas: dict[int, list[bytes]] = {i: [] for i in range(self.cfg.num_scheduler_shards)}
+        for dr in chain[1:]:
+            dt = self.store.read(dr, "sched_ckpt")
+            for sid, blob in zip(dt["shard_id"].to_pylist(), dt["state_bytes"].to_pylist()):
+                sched_deltas[sid].append(blob)
         self.seen_handles = [None] * self.cfg.num_cuckoo_shards
         for sid, blob in zip(base_t["shard_id"].to_pylist(), base_t["filter_bytes"].to_pylist()):
             self.seen_handles[sid] = Seen.remote(sid, state=blob, deltas=delta_blobs[sid])
         self.sched_handles = [None] * self.cfg.num_scheduler_shards
-        for sid, blob in zip(sched_t["shard_id"].to_pylist(), sched_t["state_bytes"].to_pylist()):
-            self.sched_handles[sid] = Sched.remote(sid, self.cfg, {}, state=blob)
+        for sid, blob in zip(sched_base["shard_id"].to_pylist(), sched_base["state_bytes"].to_pylist()):
+            self.sched_handles[sid] = Sched.remote(sid, self.cfg, {}, state=blob, deltas=sched_deltas[sid])
         self._make_fetch_pool()
         meta = self.store.read_manifest(last)["meta"]
         self.fetch_order = meta["next_fetch_order"]
@@ -385,10 +393,11 @@ class CrawlEngine:
         if do_ckpt:
             if ckpt_kind == "full":
                 seen_states = ray.get([h.state_bytes.remote() for h in self.seen_handles])
+                sched_states = ray.get([h.state_bytes.remote() for h in self.sched_handles])
             else:
                 seen_states = ray.get([h.delta_bytes.remote() for h in self.seen_handles])
+                sched_states = ray.get([h.delta_bytes.remote() for h in self.sched_handles])
             seen_sizes = ray.get([h.size.remote() for h in self.seen_handles])
-            sched_states = ray.get([h.state_bytes.remote() for h in self.sched_handles])
             small_tables["seen_ckpt"] = pa.Table.from_arrays(
                 [
                     pa.array(range(len(seen_states)), pa.int32()),
@@ -519,4 +528,7 @@ class CrawlEngine:
         b = self.store.read_all_rounds("banned")
         if b is not None:
             urls.update(b["url"].to_pylist())
+        # insert-time bans not yet drained into a round (run ended first)
+        for rows in ray.get([h.banned_buffer.remote() for h in self.sched_handles]):
+            urls.update(u for u, _d in rows)
         return urls

@@ -26,6 +26,7 @@ Round semantics (shared verbatim with oracle.py — the contract):
 
 from __future__ import annotations
 
+import heapq
 import os
 import pickle
 
@@ -96,64 +97,120 @@ def _bisect_sorted(t: pa.Table, key: tuple[float, str]) -> int:
 
 
 class DomainState:
-    __slots__ = ("vclock", "fetched", "pending", "robots_prefixes", "banned_count")
+    """Per-domain frontier state with a BOUNDED in-memory footprint.
+
+    Pending URLs live in three tiers (all ordered by (priority, seq, url)
+    when compared):
+
+    - ``head``: sorted list — the scheduling front (≤ ~head_max entries)
+    - ``fresh``: recent arrivals, unsorted dict (≤ fresh_max before a
+      merge/spill)
+    - ``runs``: sorted spill runs on disk (framed pickle files under the
+      store's frontier_spill dir) — only per-run metadata (path, byte
+      offset, remaining count, front key) stays in memory; refills read
+      one frame at a time
+
+    ``parked`` holds not-before-gated re-check entries (tiny: O(retries)).
+    At the mandated 10^10-URL frontier the old all-in-heap dict was ~1 TB
+    of actor memory; this keeps each shard's heap O(domains × (head_max +
+    fresh_max)) regardless of frontier size.
+    """
+
+    __slots__ = ("vclock", "fetched", "head", "fresh", "parked", "runs", "spill_seq", "robots_prefixes", "banned_count")
 
     def __init__(self):
         self.vclock = 0.0
         self.fetched = 0
-        # url -> (priority, seq, depth, not_before_round, retries)
-        self.pending: dict[str, tuple[float, int, int, int, int]] = {}
+        self.head: list[tuple] = []  # sorted (priority, seq, url, depth, retries)
+        self.fresh: dict[str, tuple] = {}  # url -> (priority, seq, depth, retries)
+        self.parked: dict[str, tuple] = {}  # url -> (priority, seq, depth, not_before, retries)
+        self.runs: list[list] = []  # [path, byte_offset, n_remaining, front_key]
+        self.spill_seq = 0
         self.robots_prefixes: list[str] | None = None
         self.banned_count = 0
+
+    def n_pending(self) -> int:
+        return len(self.head) + len(self.fresh) + len(self.parked) + sum(r[2] for r in self.runs)
+
+    def has_pending(self) -> bool:
+        return bool(self.head or self.fresh or self.parked or self.runs)
 
 
 class SchedulerShardState:
     """Plain-object shard logic (the oracle and unit tests drive it
-    directly; the Ray actor wraps it)."""
+    directly; the Ray actor wraps it).
 
-    def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str]):
+    Semantics (shared with oracle.py — the contract):
+
+    - robots gating is BAN-AT-INSERT: a disallowed URL never enters
+      pending; it is recorded in the shard's banned buffer (drained with
+      the next round's outputs) and stays in the URL-seen set. Robots
+      bodies are static per crawl, so this yields the same banned set and
+      the same schedule as ban-at-schedule, without rescanning pending
+      every round — the property the spill design depends on.
+    - scheduling a domain = pop the top ``cap`` of (head ∪ fresh ∪ runs)
+      by (priority, seq, url); a run is consulted only when its front key
+      beats the in-memory candidates (exact k-way merge, O(cap + chunk)).
+    - not-before-gated re-check entries wait in ``parked`` and wake into
+      ``fresh`` when due.
+    """
+
+    def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str], spill_dir: str | None = None):
         self.shard_id = shard_id
         self.cfg = config
         self.robots = robots  # domain -> robots.txt body (this shard's partition)
         self.domains: dict[str, DomainState] = {}
+        self.spill_dir = spill_dir
+        self.banned_rows: list[tuple[str, str]] = []  # (url, domain) awaiting drain
+        self._dirty: set[str] = set()  # domains mutated since last checkpoint
+
+    # ------------------------------------------------------ insert path
+
+    def _dom(self, domain: str) -> DomainState:
+        d = self.domains.get(domain)
+        if d is None:
+            d = self.domains[domain] = DomainState()
+        return d
+
+    def _insert(self, url: str, domain: str, depth: int, priority: float, seq: int, nb: int = 0, retries: int = 0) -> None:
+        """Single entry point for seeds / discovered candidates / re-check
+        retries. Caller (the seen set) guarantees global URL dedup."""
+        d = self._dom(domain)
+        self._dirty.add(domain)
+        if self.cfg.obey_robots:
+            prefixes = self._robots_for(domain, d)
+            if prefixes:
+                rest = url.split("://", 1)[1]
+                path = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
+                if not allowed(path, prefixes):
+                    self.banned_rows.append((url, domain))
+                    d.banned_count += 1
+                    return
+        if nb > 0:
+            d.parked[url] = (priority, seq, depth, nb, retries)
+            return
+        d.fresh[url] = (priority, seq, depth, retries)
+        if len(d.fresh) >= self.cfg.frontier_fresh_max:
+            self._compact(d, domain)
 
     def add_urls(self, rows: list[tuple[str, str, int, float, int]]) -> None:
-        """rows: (url, domain, depth, priority, discovered_seq). Caller
-        guarantees global dedup; insertion order is irrelevant because
-        scheduling sorts by (priority, seq, url)."""
+        """rows: (url, domain, depth, priority, discovered_seq)."""
         for url, domain, depth, priority, seq in rows:
-            d = self.domains.get(domain)
-            if d is None:
-                d = self.domains[domain] = DomainState()
-            if url not in d.pending:
-                d.pending[url] = (priority, seq, depth, 0, 0)
+            self._insert(url, domain, depth, priority, seq)
 
     def add_urls_cols(self, cols: tuple) -> None:
         """Columnar form of :meth:`add_urls` (cheaper RPC payloads)."""
         urls, domains, depths, priorities, seqs = cols
-        get = self.domains.get
         for i in range(len(urls)):
-            domain = domains[i]
-            d = get(domain)
-            if d is None:
-                d = self.domains[domain] = DomainState()
-            url = urls[i]
-            if url not in d.pending:
-                d.pending[url] = (priorities[i], seqs[i], depths[i], 0, 0)
+            self._insert(urls[i], domains[i], depths[i], priorities[i], seqs[i])
 
     def add_retry_cols(self, cols: tuple) -> None:
         """Re-check insertions (url, domain, depth, priority, seq,
         not_before_round, retries) — the URL is already in the seen set,
-        it re-enters pending directly (O32 alive re-check)."""
+        it re-enters the frontier directly (O32 alive re-check)."""
         urls, domains, depths, priorities, seqs, nbs, retries = cols
         for i in range(len(urls)):
-            domain = domains[i]
-            d = self.domains.get(domain)
-            if d is None:
-                d = self.domains[domain] = DomainState()
-            url = urls[i]
-            if url not in d.pending:
-                d.pending[url] = (priorities[i], seqs[i], depths[i], nbs[i], retries[i])
+            self._insert(urls[i], domains[i], depths[i], priorities[i], seqs[i], nbs[i], retries[i])
 
     def _robots_for(self, domain: str, dstate: DomainState) -> list[str]:
         if dstate.robots_prefixes is None:
@@ -161,98 +218,200 @@ class SchedulerShardState:
             dstate.robots_prefixes = parse_disallow_prefixes(body) if body else []
         return dstate.robots_prefixes
 
+    # ----------------------------------------------------- spill machinery
+
+    def _spill_path(self, domain: str, seq: int) -> str:
+        from ..functions.hashing import hash64
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        return os.path.join(self.spill_dir, f"{hash64(domain):016x}_{seq:06d}.run")
+
+    def _compact(self, d: DomainState, domain: str) -> None:
+        """Merge fresh into head; if over the in-memory bound and a spill
+        dir is configured, keep the best head_max entries and write the
+        rest as ONE sorted framed run file."""
+        merged = list(heapq.merge(d.head, sorted(
+            (pr, seq, url, depth, retries) for url, (pr, seq, depth, retries) in d.fresh.items()
+        )))
+        d.fresh = {}
+        hmax = self.cfg.frontier_head_max
+        if self.spill_dir is None or len(merged) <= hmax:
+            d.head = merged
+            return
+        d.head = merged[:hmax]
+        tail = merged[hmax:]
+        path = self._spill_path(domain, d.spill_seq)
+        d.spill_seq += 1
+        chunk = max(self.cfg.frontier_refill_chunk, 1)
+        with open(path, "wb") as f:
+            for i in range(0, len(tail), chunk):
+                part = tail[i : i + chunk]
+                nxt = tail[i + chunk][:3] if i + chunk < len(tail) else None
+                pickle.dump((nxt, part), f, protocol=pickle.HIGHEST_PROTOCOL)
+        d.runs.append([path, 0, len(tail), tail[0][:3]])
+
+    def _refill(self, d: DomainState) -> list[tuple]:
+        """Read ONE frame from the run with the smallest front key."""
+        r = min(d.runs, key=lambda run: run[3])
+        with open(r[0], "rb") as f:
+            f.seek(r[1])
+            nxt, entries = pickle.load(f)
+            r[1] = f.tell()
+        r[2] -= len(entries)
+        if nxt is None:
+            d.runs.remove(r)
+        else:
+            r[3] = nxt
+        return entries
+
+    # ------------------------------------------------------- scheduling
+
     def schedule(self, current_round: int = 1 << 30) -> tuple[list[tuple], list[tuple]]:
         """One round for this shard.
 
         Returns (scheduled, banned):
           scheduled: (url, domain, depth, priority, seq, vtime, retries)
-          banned:    (url, domain, depth, priority, seq)
+          banned:    (url, domain) — the buffer of insert-time bans
 
-        Entries whose ``not_before_round`` exceeds ``current_round`` stay
-        invisible (re-check backoff).
+        Parked entries whose ``not_before_round`` exceeds
+        ``current_round`` stay invisible (re-check backoff).
         """
         cfg = self.cfg
         scheduled: list[tuple] = []
-        banned: list[tuple] = []
+        banned = self.banned_rows
+        self.banned_rows = []
         for domain in self.domains:
             d = self.domains[domain]
-            if not d.pending:
+            if d.parked:
+                due = [u for u, e in d.parked.items() if e[3] <= current_round]
+                for u in due:
+                    pr, seq, depth, _nb, retries = d.parked.pop(u)
+                    d.fresh[u] = (pr, seq, depth, retries)
+                if due:
+                    self._dirty.add(domain)
+            if not (d.head or d.fresh or d.runs):
                 continue
-            items = sorted(
-                (pr, seq, url, depth, retries)
-                for url, (pr, seq, depth, nb, retries) in d.pending.items()
-                if nb <= current_round
-            )
-            if not items:
-                continue
-            if cfg.obey_robots:
-                prefixes = self._robots_for(domain, d)
-                if prefixes:
-                    kept = []
-                    for pr, seq, url, depth, retries in items:
-                        path = "/" + url.split("://", 1)[1].split("/", 1)[1] if "/" in url.split("://", 1)[1] else "/"
-                        if allowed(path, prefixes):
-                            kept.append((pr, seq, url, depth, retries))
-                        else:
-                            banned.append((url, domain, depth, pr, seq))
-                            del d.pending[url]
-                            d.banned_count += 1
-                    items = kept
             cap = min(cfg.per_round_domain_cap, cfg.max_pages_per_domain - d.fetched)
             if cap <= 0:
                 continue
-            take = items[:cap]
+            self._dirty.add(domain)
+            cands = d.head
+            if d.fresh:
+                cands = list(heapq.merge(cands, sorted(
+                    (pr, seq, url, depth, retries) for url, (pr, seq, depth, retries) in d.fresh.items()
+                )))
+                d.fresh = {}
+            take: list[tuple] = []
+            i = 0
+            while len(take) < cap:
+                while d.runs and (i >= len(cands) or min(r[3] for r in d.runs) < cands[i][:3]):
+                    cands = list(heapq.merge(cands[i:], self._refill(d)))
+                    i = 0
+                if i >= len(cands):
+                    break
+                take.append(cands[i])
+                i += 1
+            d.head = cands[i:]
+            if self.spill_dir is not None and len(d.head) > cfg.frontier_head_max + cfg.frontier_fresh_max:
+                self._compact(d, domain)
             for j, (pr, seq, url, depth, retries) in enumerate(take):
                 vtime = d.vclock + cfg.download_delay * j
                 scheduled.append((url, domain, depth, pr, seq, vtime, retries))
-                del d.pending[url]
             d.vclock += cfg.download_delay * len(take)
             d.fetched += len(take)
         return scheduled, banned
 
+    # ------------------------------------------------------ introspection
+
     def pending_count(self) -> int:
-        return sum(len(d.pending) for d in self.domains.values())
+        return sum(d.n_pending() for d in self.domains.values())
 
     def has_work(self) -> bool:
         """Any budgeted pending entry (due now or backing off)?"""
         cap = self.cfg.max_pages_per_domain
-        return any(d.pending and d.fetched < cap for d in self.domains.values())
+        return any(d.has_pending() and d.fetched < cap for d in self.domains.values())
 
     def frontier_rows(self) -> list[tuple]:
-        """Pending residue as frontier rows (url, domain, depth, priority, seq)."""
+        """Pending residue as frontier rows (url, domain, depth, priority,
+        seq) — reads spill runs fully (end-of-run/test surface, not the
+        scheduling hot path)."""
         out = []
         for domain, d in self.domains.items():
-            for url, (pr, seq, depth, _nb, _re) in d.pending.items():
+            for pr, seq, url, depth, _re in d.head:
                 out.append((url, domain, depth, pr, seq))
+            for url, (pr, seq, depth, _re) in d.fresh.items():
+                out.append((url, domain, depth, pr, seq))
+            for url, (pr, seq, depth, _nb, _re) in d.parked.items():
+                out.append((url, domain, depth, pr, seq))
+            for path, off, _n, _front in d.runs:
+                with open(path, "rb") as f:
+                    f.seek(off)
+                    while True:
+                        try:
+                            _nxt, entries = pickle.load(f)
+                        except EOFError:
+                            break
+                        for pr, seq, url, depth, _re in entries:
+                            out.append((url, domain, depth, pr, seq))
         return out
 
+    def banned_buffer(self) -> list[tuple[str, str]]:
+        return list(self.banned_rows)
+
+    # ------------------------------------------------------- checkpoints
+
+    def _dom_blob(self, d: DomainState) -> tuple:
+        return (d.vclock, d.fetched, d.head, d.fresh, d.parked, d.runs, d.spill_seq, d.robots_prefixes, d.banned_count)
+
+    @staticmethod
+    def _dom_from_blob(blob: tuple) -> DomainState:
+        d = DomainState()
+        (d.vclock, d.fetched, d.head, d.fresh, d.parked, d.runs, d.spill_seq, d.robots_prefixes, d.banned_count) = (
+            blob[0], blob[1], list(blob[2]), dict(blob[3]), dict(blob[4]),
+            [list(r) for r in blob[5]], blob[6], blob[7], blob[8],
+        )
+        return d
+
     def state_bytes(self) -> bytes:
+        """Full checkpoint (spill runs stay on disk — only their metadata
+        serializes, keeping checkpoints O(in-memory state))."""
+        self._dirty = set()
         return pickle.dumps(
             {
                 "shard_id": self.shard_id,
                 "cfg": self.cfg,
                 "robots": self.robots,
-                "domains": {
-                    dom: (d.vclock, d.fetched, d.pending, d.robots_prefixes, d.banned_count)
-                    for dom, d in self.domains.items()
-                },
+                "spill_dir": self.spill_dir,
+                "banned_rows": self.banned_rows,
+                "domains": {dom: self._dom_blob(d) for dom, d in self.domains.items()},
+            }
+        )
+
+    def delta_bytes(self) -> bytes:
+        """Incremental checkpoint: only domains mutated since the last
+        full/delta checkpoint (plus the banned buffer)."""
+        dirty = self._dirty
+        self._dirty = set()
+        return pickle.dumps(
+            {
+                "shard_id": self.shard_id,
+                "banned_rows": self.banned_rows,
+                "domains": {dom: self._dom_blob(self.domains[dom]) for dom in dirty},
             }
         )
 
     @classmethod
-    def from_state_bytes(cls, data: bytes) -> "SchedulerShardState":
+    def from_state_bytes(cls, data: bytes, deltas: list[bytes] | None = None) -> "SchedulerShardState":
         blob = pickle.loads(data)
-        s = cls(blob["shard_id"], blob["cfg"], blob["robots"])
-        for dom, (vclock, fetched, pending, prefixes, banned_count) in blob["domains"].items():
-            d = DomainState()
-            d.vclock, d.fetched, d.pending, d.robots_prefixes, d.banned_count = (
-                vclock,
-                fetched,
-                dict(pending),
-                prefixes,
-                banned_count,
-            )
-            s.domains[dom] = d
+        s = cls(blob["shard_id"], blob["cfg"], blob["robots"], blob.get("spill_dir"))
+        s.banned_rows = list(blob.get("banned_rows", []))
+        for dom, b in blob["domains"].items():
+            s.domains[dom] = cls._dom_from_blob(b)
+        for dblob in deltas or []:
+            d = pickle.loads(dblob)
+            s.banned_rows = list(d.get("banned_rows", []))
+            for dom, b in d["domains"].items():
+                s.domains[dom] = cls._dom_from_blob(b)
         return s
 
 
@@ -261,11 +420,11 @@ def make_scheduler_actor():
 
     @ray.remote(num_cpus=0.1)
     class SchedulerShard:
-        def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str], state: bytes | None = None):
+        def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str], state: bytes | None = None, spill_dir: str | None = None, deltas: list[bytes] | None = None):
             if state is not None:
-                self.s = SchedulerShardState.from_state_bytes(state)
+                self.s = SchedulerShardState.from_state_bytes(state, deltas)
             else:
-                self.s = SchedulerShardState(shard_id, config, robots)
+                self.s = SchedulerShardState(shard_id, config, robots, spill_dir)
             self._staged: pa.Table | None = None
 
         def add_urls(self, rows):
@@ -361,7 +520,13 @@ def make_scheduler_actor():
         def frontier_rows(self):
             return self.s.frontier_rows()
 
+        def banned_buffer(self):
+            return self.s.banned_buffer()
+
         def state_bytes(self):
             return self.s.state_bytes()
+
+        def delta_bytes(self):
+            return self.s.delta_bytes()
 
     return SchedulerShard

@@ -54,12 +54,21 @@ class RoundStore:
         shutil.rmtree(self._round_dir(rnd) + ".tmp", ignore_errors=True)
 
     def reset_rounds(self) -> None:
-        """Delete every committed/staged round (fresh-run fencing): a
-        fresh run into an existing store_dir must not inherit a longer
-        prior run's rounds — ``latest_round``/``read_all_rounds`` would
-        silently mix the two runs otherwise."""
+        """Delete every committed/staged round AND the frontier spill
+        area (fresh-run fencing): a fresh run into an existing store_dir
+        must not inherit a longer prior run's rounds or spill runs —
+        ``latest_round``/``read_all_rounds`` would silently mix the two
+        runs otherwise."""
         shutil.rmtree(self.rounds_dir, ignore_errors=True)
         os.makedirs(self.rounds_dir, exist_ok=True)
+        shutil.rmtree(self.frontier_spill_dir(), ignore_errors=True)
+
+    def frontier_spill_dir(self, shard_id: int | None = None) -> str:
+        """Scheduler spill-run area (per-shard subdirs); survives round
+        commits — run files are immutable and referenced by offset from
+        scheduler checkpoints."""
+        base = os.path.join(self.root, "frontier_spill")
+        return base if shard_id is None else os.path.join(base, f"shard_{shard_id:04d}")
 
     def latest_round(self) -> int | None:
         """Highest round with a committed manifest, or None."""

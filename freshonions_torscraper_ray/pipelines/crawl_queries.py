@@ -390,6 +390,27 @@ def q_crawl_open_ports(sf_dir: str):
     return ports.groupby("port").aggregate(Count(alias_name="n_domains"))
 
 
+def q_crawl_server_stats(sf_dir: str):
+    """O9 header projections (reference Domain.server / Domain.powered_by):
+    probe crawled domains' banners → per-(server, powered_by) counts."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .maintenance import build_universe_probe, header_banners
+
+    edir = ensure_engine_fixture()
+    doms = (
+        rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"])
+        .groupby("domain")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["domain"])
+    )
+    ref = ray.put(build_universe_probe(SEED, N_DOMAINS))
+    banners = header_banners(doms, ref)
+    return banners.groupby(["server", "powered_by"]).aggregate(Count(alias_name="n_domains"))
+
+
 def q_crawl_ssh_groups(sf_dir: str):
     """O21 SSH-fingerprint grouping: domains sharing a host key."""
     import ray
@@ -441,7 +462,7 @@ def _ensure_probe_tables() -> str:
     """Oracle-side port/ssh tables over the ORACLE's crawled domain set
     (probe profile shared — like doc content — aggregation independent)."""
     odir = ensure_oracle_fixture()
-    marker = os.path.join(odir, "_probe_done_v2")
+    marker = os.path.join(odir, "_probe_done_v3")
     if os.path.exists(marker):
         return odir
     import pyarrow.parquet as _pq
@@ -454,10 +475,14 @@ def _ensure_probe_tables() -> str:
     pd_, pp = [], []
     fd, ff = [], []
     sd, sflag = [], []
+    hd, hs, hp = [], [], []
     for d in doms:
         prof = uni.get(d)
         sd.append(d)
         sflag.append(bool(prof and prof.get("soft404")))
+        hd.append(d)
+        hs.append(prof.get("server", "") if prof else "")
+        hp.append(prof.get("powered_by", "") if prof else "")
         if not prof:
             continue
         for port in prof["ports"]:
@@ -477,6 +502,13 @@ def _ensure_probe_tables() -> str:
     _pq.write_table(
         pa.Table.from_arrays([pa.array(sd, pa.string()), pa.array(sflag, pa.bool_())], names=["domain", "useful_404"]),
         os.path.join(odir, "soft404.parquet"),
+    )
+    _pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array(hd, pa.string()), pa.array(hs, pa.string()), pa.array(hp, pa.string())],
+            names=["domain", "server", "powered_by"],
+        ),
+        os.path.join(odir, "server_banners.parquet"),
     )
     with open(marker, "w") as f:
         f.write("ok")
@@ -499,6 +531,7 @@ CRAWL_QUERIES = {
     "crawl_top_pages": q_crawl_top_pages,
     "crawl_email_stats": q_crawl_email_stats,
     "crawl_open_ports": q_crawl_open_ports,
+    "crawl_server_stats": q_crawl_server_stats,
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
     "crawl_soft404": q_crawl_soft404,
@@ -578,6 +611,11 @@ def crawl_oracle_sql() -> dict[str, str]:
             SELECT fingerprint, count(*)::BIGINT AS n_domains
             FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'ssh_fps.parquet')}')
             GROUP BY fingerprint
+        """,
+        "crawl_server_stats": f"""
+            SELECT server, powered_by, count(*)::BIGINT AS n_domains
+            FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'server_banners.parquet')}')
+            GROUP BY server, powered_by
         """,
         "crawl_purged_domains": f"""
             SELECT domain, count(*)::BIGINT AS pages_crawled

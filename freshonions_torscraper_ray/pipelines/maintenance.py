@@ -26,8 +26,45 @@ def build_universe_probe(seed: int, n_domains: int) -> dict[str, dict]:
     out = {}
     for i in range(n_domains):
         p = domain_profile(seed, i, n_domains)
-        out[p["domain"]] = {"ports": p["ports"], "ssh_fp": p["ssh_fp"], "soft404": p["soft404"]}
+        out[p["domain"]] = {
+            "ports": p["ports"],
+            "ssh_fp": p["ssh_fp"],
+            "soft404": p["soft404"],
+            "server": p["server"],
+            "powered_by": p["powered_by"],
+        }
     return out
+
+
+class HeaderProbe:
+    """O9 header projections (reference Domain.server / Domain.powered_by,
+    parsed from Server / X-Powered-By response headers): probe each
+    domain's frontpage banner. Replay: the universe profile answers."""
+
+    def __init__(self, universe_ref):
+        import ray
+
+        self.universe = ray.get(universe_ref) if not isinstance(universe_ref, dict) else universe_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doms = batch["domain"].to_pylist()
+        servers, powered = [], []
+        for d in doms:
+            prof = self.universe.get(d)
+            servers.append(prof.get("server", "") if prof else "")
+            powered.append(prof.get("powered_by", "") if prof else "")
+        return pa.Table.from_arrays(
+            [pa.array(doms, pa.string()), pa.array(servers, pa.string()), pa.array(powered, pa.string())],
+            names=["domain", "server", "powered_by"],
+        )
+
+
+def header_banners(domains_ds, universe_ref, concurrency: int = 2):
+    """O9: known domains → (domain, server, powered_by) projections."""
+    return domains_ds.map_batches(
+        HeaderProbe, fn_constructor_args=(universe_ref,), batch_format="pyarrow",
+        batch_size=2048, concurrency=concurrency,
+    )
 
 
 class PortScanner:

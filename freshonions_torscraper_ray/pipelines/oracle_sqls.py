@@ -134,6 +134,35 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
     """,
+    # BM25 twin mirrors queries.q_search_rank_bm25 exactly: same RE2 tf /
+    # dl definitions, same k1=1.2 b=0.75 constants, same operation order,
+    # half-away round to 4 decimals on both sides
+    "search_rank_bm25": """
+        WITH d AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::DOUBLE AS dl,
+                   len(regexp_extract_all(text, 'spark'))::DOUBLE AS tf0,
+                   len(regexp_extract_all(text, 'data'))::DOUBLE AS tf1
+            FROM documents
+        ), s AS (
+            SELECT count(*)::DOUBLE AS n,
+                   sum(dl) / count(*) AS avgdl,
+                   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+            FROM d
+        )
+        SELECT doc_id,
+               round(
+                   ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+                     * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))
+                 + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+                     * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)),
+               4) AS score
+        FROM d, s
+        WHERE tf0 > 0 OR tf1 > 0
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    """,
     "random_sample_hash": """
         SELECT doc_id FROM documents WHERE doc_id % 97 = 0
     """,

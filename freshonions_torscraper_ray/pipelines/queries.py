@@ -535,6 +535,68 @@ def q_search_rank(sf_dir: str):
     ).limit(20)
 
 
+BM25_TERMS = ("spark", "data")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_search_rank_bm25(sf_dir: str):
+    """O30 upgrade: BM25 ranking over the documents table (the engine's
+    answer to the reference's Elasticsearch search).
+
+    Two streaming passes, both column-pruned: (1) per-batch partial
+    corpus stats (N, Σdl, per-term document frequency) reduced to one
+    tiny row; (2) vectorized per-doc BM25 scoring against the broadcast
+    stats, partial top-k per batch, global top-20 merge. tf = RE2
+    substring count; dl = WORD_PATTERN token count — the SQL twin uses
+    the identical definitions so rounded scores hash-match.
+    """
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        dl = pc.cast(pc.count_substring_regex(t["text"], rx.WORD_PATTERN), pa.int64())
+        cols = {"n": [t.num_rows], "sum_dl": [pc.sum(dl).as_py() or 0]}
+        for i, term in enumerate(BM25_TERMS):
+            tf = pc.count_substring_regex(t["text"], term)
+            cols[f"df_{i}"] = [pc.sum(pc.cast(pc.greater(tf, 0), pa.int64())).as_py() or 0]
+        return pa.table(cols)
+
+    stats_ds = ds.map_batches(partial_stats, batch_format="pyarrow")
+    agg = stats_ds.aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum_dl", alias_name="sum_dl"),
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(BM25_TERMS))],
+    )
+    n_docs = int(agg["n"])
+    avgdl = (agg["sum_dl"] or 0) / max(n_docs, 1)
+    idf = [
+        float(np.log((n_docs - agg[f"df_{i}"] + 0.5) / (agg[f"df_{i}"] + 0.5) + 1.0))
+        for i in range(len(BM25_TERMS))
+    ]
+
+    def score(t: pa.Table) -> pa.Table:
+        dl = pc.cast(pc.count_substring_regex(t["text"], rx.WORD_PATTERN), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        s = np.zeros(t.num_rows, dtype=np.float64)
+        any_tf = np.zeros(t.num_rows, dtype=bool)
+        for i, term in enumerate(BM25_TERMS):
+            tf = pc.count_substring_regex(t["text"], term).to_numpy(zero_copy_only=False).astype(np.float64)
+            any_tf |= tf > 0
+            s += idf[i] * (tf * (BM25_K1 + 1.0)) / (tf + norm)
+        out = pa.Table.from_arrays(
+            [t["doc_id"].combine_chunks(), pa.array(round_half_away(s, 4), pa.float64())],
+            names=["doc_id", "score"],
+        ).filter(pa.array(any_tf))
+        # batch-local top-k so the global sort touches ≤ k rows per batch
+        k = min(20, out.num_rows)
+        idx = pc.sort_indices(out, sort_keys=[("score", "descending"), ("doc_id", "ascending")])
+        return out.take(idx[:k])
+
+    return ds.map_batches(score, batch_format="pyarrow").sort(
+        ["score", "doc_id"], descending=[True, False]
+    ).limit(20)
+
+
 def q_random_sample_hash(sf_dir: str):
     """O29 deterministic 'random onion': stable hash-pick."""
     ds = _read(sf_dir, "documents", ["doc_id"])
@@ -659,6 +721,7 @@ QUERIES = {
     "lang_distribution": q_lang_distribution,
     "language_filter": q_language_filter,
     "search_rank": q_search_rank,
+    "search_rank_bm25": q_search_rank_bm25,
     "random_sample_hash": q_random_sample_hash,
     "union_sources": q_union_sources,
     "events_hourly": q_events_hourly,

@@ -79,6 +79,18 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
     # soft-404 behavior (O16): ~7% of alive domains answer 200 for any
     # path ("useful 404" in the reference's Domain fields)
     soft404 = (not dead) and rng.random() < 0.07
+    # O9 header analogues (reference Domain.server / Domain.powered_by —
+    # tor_scrapy parsed them from response headers): the replay web has
+    # no live headers, so the banner is part of the domain's static
+    # profile. Draws appended after all earlier ones → goldens unchanged.
+    server = ""
+    powered_by = ""
+    if not dead:
+        server = rng.choice(
+            ["nginx/1.10.3", "nginx/1.14.2", "Apache/2.4.25", "Apache/2.4.38", "lighttpd/1.4.45", ""]
+        )
+        if server.startswith("Apache") and rng.random() < 0.6:
+            powered_by = rng.choice(["PHP/5.6.40", "PHP/7.0.33", "PHP/7.3.14"])
     return {
         "idx": idx,
         "domain": domain_name(seed, idx),
@@ -89,6 +101,8 @@ def domain_profile(seed: int, idx: int, n_domains: int) -> dict:
         "ports": [] if dead else ports,
         "ssh_fp": ssh_fp,
         "soft404": soft404,
+        "server": server,
+        "powered_by": powered_by,
     }
 
 

@@ -58,6 +58,20 @@ class CrawlConfig:
     frontier_head_max: int = 64
     frontier_fresh_max: int = 128
     frontier_refill_chunk: int = 64
+    # skew-aware hot-bucket splitting [B: north_rule]: a content bucket
+    # whose scheduled rows exceed factor × (round_size / pool_size) has
+    # its per-merger sub-blocks dealt across neighbouring fetch workers
+    # instead of pinning the round tail to the bucket's owner. 0
+    # disables. Never affects crawl ordering (fetch_order is assigned
+    # before routing; candidate dedup is arrival-order independent).
+    hot_bucket_factor: float = 1.0
+    # target rows per schedule-rank merger: fat rounds use up to
+    # num_scheduler_shards mergers, tiny rounds ONE (a single actor-side
+    # sort, no per-range protocol). Also the hot-bucket split
+    # granularity (sub-blocks arrive one per merger). Never affects
+    # ordering — any merger count yields the same global (vtime, url)
+    # rank.
+    merge_rows_target: int = 32768
 
     # packed discovered_seq layout: (round << 44) | (fetch_order << 16) | pos
     ROUND_SHIFT: int = 44

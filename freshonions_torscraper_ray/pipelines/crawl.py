@@ -77,6 +77,9 @@ class CrawlEngine:
         # (rnd, tmp_dir, schedule_stage futures) pre-issued at the
         # previous round's commit tail; invalid whenever actors change
         self._pre_staged = None
+        # hot-bucket split diagnostics (skew-aware repartitioning)
+        self.last_hot_splits = 0
+        self.hot_splits_total = 0
 
     # ---------------------------------------------------------- setup
 
@@ -279,11 +282,13 @@ class CrawlEngine:
             # by scheduler actor r, giving exact global fetch_order via
             # per-range base offsets — same total order as a global sort.
             samples = sorted(k for _, _, ss in staged for k in ss)
-            # adaptive merger count: ~32k rows per merger, capped at the
-            # shard count — tiny rounds use ONE merger (a single actor-side
-            # sort, no per-range protocol cost), fat rounds use them all.
-            # Deterministic: depends only on n, which is deterministic.
-            R = min(len(self.sched_handles), max(1, (n + 32767) // 32768))
+            # adaptive merger count (cfg.merge_rows_target rows per
+            # merger, capped at the shard count) — tiny rounds use ONE
+            # merger (a single actor-side sort, no per-range protocol
+            # cost), fat rounds use them all. Deterministic: depends
+            # only on n, which is deterministic.
+            mr = max(1, getattr(cfg, "merge_rows_target", 32768))
+            R = min(len(self.sched_handles), max(1, (n + mr - 1) // mr))
             splitters = [samples[(len(samples) * r) // R] for r in range(1, R)]
             slice_refs = [
                 h.range_slices.options(num_returns=R + 1).remote(splitters)
@@ -322,39 +327,86 @@ class CrawlEngine:
             sizes: dict[int, int] = {}
             for bl in block_lists:
                 for b, nr, ref in bl:
-                    by_bucket.setdefault(b, []).append(ref)
+                    by_bucket.setdefault(b, []).append((nr, ref))
                     sizes[b] = sizes.get(b, 0) + nr
-            # largest-first submission: each actor's queue starts with its
-            # biggest blocks, shrinking the end-of-round straggler tail
-            order = sorted(by_bucket, key=lambda b: -sizes[b])
+            # skew-aware routing [B: north_rule] — two deterministic
+            # mechanisms on top of bucket-pinned ownership:
+            #
+            # 1. HOT-BUCKET SPLITTING: a bucket whose scheduled rows
+            #    exceed hot_bucket_factor × a worker's fair share would
+            #    pin the round tail to one actor (hot onion domains
+            #    hash-cluster into content buckets). Its per-merger
+            #    sub-blocks are dealt into ≤R size-balanced parts.
+            # 2. OWNER-PREFERRING GREEDY ASSIGNMENT: parts go to their
+            #    owning worker unless that would push it past fair×1.1
+            #    while another sits under-loaded (static b %% P leaves
+            #    ~6%% row-count imbalance at 32 workers — a measured
+            #    2-3 s straggler tail per run at sf0.1).
+            #
+            # Both are cheap under the unbounded per-worker bucket
+            # cache: a migrated/split bucket costs its new worker ONE
+            # extra partition parse, then serves from memory for the
+            # rest of the run. Neither affects crawl ordering —
+            # fetch_order is assigned before routing and candidate
+            # dedup is min-seq (arrival-order independent); both
+            # depend only on deterministic sizes, so routing is
+            # reproducible too.
+            P = len(pool)
+            fair = max(1, -(-n // P))
+            factor = getattr(cfg, "hot_bucket_factor", 1.0)
+            parts: list[tuple[int, int, int, list]] = []  # (size, bucket, pref_worker, refs)
+            self.last_hot_splits = 0
+            for b, items in by_bucket.items():
+                if factor > 0 and len(items) > 1 and sizes[b] > factor * fair:
+                    k = min(len(items), -(-sizes[b] // fair))
+                    bins: list[list] = [[] for _ in range(k)]
+                    bloads = [0] * k
+                    for nr, ref in sorted(items, key=lambda x: -x[0]):
+                        j = bloads.index(min(bloads))
+                        bins[j].append(ref)
+                        bloads[j] += nr
+                    self.last_hot_splits += k - 1
+                    self.hot_splits_total += k - 1
+                    for j, grp in enumerate(bins):
+                        if grp:
+                            parts.append((bloads[j], b, (b + j) % P, grp))
+                else:
+                    parts.append((sizes[b], b, b % P, [ref for _, ref in items]))
+            # size-desc (ties by bucket for determinism), then greedy
+            parts.sort(key=lambda p: (-p[0], p[1], p[2]))
+            loads = [0] * P
+            cap_load = fair * 1.02
+            submit: list[tuple[int, list]] = []  # (worker, refs) in submission order
+            for sz, _b, pref, refs in parts:
+                w = pref
+                if loads[pref] + sz > cap_load:
+                    mn = min(loads)
+                    if loads[pref] - mn > max(fair // 20, 1):
+                        w = loads.index(mn)
+                submit.append((w, refs))
+                loads[w] += sz
             if os.environ.get("ONIONRAY_PROFILE"):
-                import collections
                 import sys
 
-                wl: collections.Counter = collections.Counter()
-                for b, sz in sizes.items():
-                    wl[b % len(pool)] += sz
                 print(
-                    f"PROFBLK r{rnd}: blocks={len(sizes)} max_block={max(sizes.values())} "
-                    f"worker_max={max(wl.values())} worker_mean={sum(wl.values()) // len(pool)}",
+                    f"PROFBLK r{rnd}: blocks={len(parts)} max_block={max(p[0] for p in parts)} "
+                    f"splits={self.last_hot_splits} worker_max={max(loads)} "
+                    f"worker_mean={sum(loads) // len(pool)}",
                     file=sys.stderr,
                     flush=True,
                 )
-            futs = [
-                pool[b % len(pool)].process.remote(by_bucket[b], rnd, tmp_dir) for b in order
-            ]
-            res = ray.get(futs)
-            t_fetch = time.monotonic()
-            # drain per-actor candidate accumulators into the seen shards
-            # and re-check retries into the schedulers (one burst per
-            # fetch actor per round); the round output WRITES are queued
-            # behind the (fast) drains on each fetch actor and proceed
-            # asynchronously — they only need to land before the manifest
-            # (async round commits: seen flush, checkpoint collection and
-            # the next round's schedule staging all overlap them)
+            futs = [pool[w].process.remote(refs, rnd, tmp_dir) for w, refs in submit]
+            # NO barrier between fetch and drain: actor tasks execute in
+            # submission order, so each worker's drain/retry/write calls
+            # queue behind ITS OWN process calls — early finishers drain
+            # and start their round-output writes while a straggler is
+            # still fetching. The ray.get(acc_futs) below implies every
+            # process call has completed.
             acc_futs = [w.drain_accepts.remote() for w in self.fetch_pool]
             retry_futs = [w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool]
             write_futs = [w.flush_outputs.remote(tmp_dir, rnd) for w in self.fetch_pool]
+            res = ray.get(futs)
+            t_fetch = time.monotonic()
             ray.get(acc_futs)
             ray.get(retry_futs)
             t_pipe = time.monotonic()

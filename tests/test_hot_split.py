@@ -1,0 +1,74 @@
+"""Skew-aware hot-bucket splitting (north_rule: skew-aware
+repartitioning of hot onion domains).
+
+A web with only TWO content buckets makes every bucket "hot" (each
+holds ~half the round), so with a small merge_rows_target (several
+mergers per round) and a low hot_bucket_factor the engine must split
+bucket sub-blocks across fetch workers — and still reproduce the
+single-threaded oracle EXACTLY: splitting reroutes execution, never
+ordering (fetch_order is assigned before routing; candidate dedup is
+min-seq, arrival-order independent).
+"""
+
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from freshonions_torscraper_ray.config import CrawlConfig
+from freshonions_torscraper_ray.oracle import build_content, build_robots, crawl_oracle
+from freshonions_torscraper_ray.synth import write_synth_web
+
+N_DOMAINS = 40
+SEED = 7
+CFG = CrawlConfig(
+    max_rounds=8,
+    num_scheduler_shards=3,
+    num_cuckoo_shards=4,
+    merge_rows_target=8,
+    hot_bucket_factor=0.25,
+)
+
+
+@pytest.fixture(scope="module")
+def web_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("skew_web")
+    write_synth_web(str(d), seed=SEED, n_domains=N_DOMAINS, n_buckets=2)
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(web_dir):
+    seeds = pq.read_table(f"{web_dir}/seeds.parquet")["url"].to_pylist()
+    return crawl_oracle(seeds, build_content(SEED, N_DOMAINS), build_robots(SEED, N_DOMAINS), CFG)
+
+
+@pytest.fixture(scope="module")
+def engine(web_dir, tmp_path_factory, ray_session):
+    from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine
+
+    store = tmp_path_factory.mktemp("skew_store")
+    eng = CrawlEngine(web_dir, str(store), CFG)
+    eng.run()
+    yield eng
+    eng.shutdown()
+
+
+def test_splits_actually_happened(engine):
+    assert engine.hot_splits_total > 0
+
+
+def test_crawl_order_exact_under_splitting(engine, oracle_result):
+    assert engine.crawl_order() == oracle_result.crawl_order
+
+
+def test_seen_set_exact_under_splitting(engine, oracle_result):
+    assert engine.seen_set() == oracle_result.seen
+
+
+def test_page_contents_exact_under_splitting(engine, oracle_result):
+    t = engine.pages_table()
+    mine = {r["url"]: (r["status"], r["clone_fp"], r["round"]) for r in t.to_pylist()}
+    theirs = {p["url"]: (p["status"], p["clone_fp"], p["round"]) for p in oracle_result.pages}
+    assert mine == theirs

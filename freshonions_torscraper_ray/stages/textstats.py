@@ -29,25 +29,31 @@ def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
 
 
+_STOPWORD_RX = r"\b(?:" + "|".join(STOPWORDS) + r")\b"  # RE2 \b = same
+# [A-Za-z0-9_] word class as WORD_PATTERN, so a match is exactly a
+# whole tokenizer token equal to a stopword
+_WORDCHAR_RX = "[A-Za-z0-9_]"
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: token count, stopword ratio, mean token length.
 
     Mirrors the shape of classic corpus-quality filters (Gopher-style
     length/stopword rules) with a deterministic, oracle-checkable core.
+
+    Fully vectorized on RE2 count kernels: token count = WORD_PATTERN
+    matches; stopword count = whole-token stopword matches (\\b bounds);
+    token-length sum = single word-char count (every token char is
+    counted exactly once). Integer-identical to the per-row findall
+    formulation, so the rounded ratios hash-match the DuckDB twin.
     """
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
-    word_re = re.compile(WORD_PATTERN)
-    stop = set(STOPWORDS)
-    n_tok = np.empty(len(texts), dtype=np.int64)
-    n_stop = np.empty(len(texts), dtype=np.int64)
-    mean_len = np.empty(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        toks = word_re.findall(t)
-        n_tok[i] = len(toks)
-        n_stop[i] = sum(1 for w in toks if w in stop)
-        mean_len[i] = sum(map(len, toks)) / len(toks) if toks else 0.0
-    mean_len = round_half_away(mean_len, 4)
-    ratio = round_half_away(np.where(n_tok > 0, n_stop / np.maximum(n_tok, 1), 0.0), 4)
+    txt = batch[text_col]
+    n_tok = pc.cast(pc.count_substring_regex(txt, WORD_PATTERN), pa.int64()).to_numpy(zero_copy_only=False)
+    n_stop = pc.cast(pc.count_substring_regex(txt, _STOPWORD_RX), pa.int64()).to_numpy(zero_copy_only=False)
+    n_chars = pc.cast(pc.count_substring_regex(txt, _WORDCHAR_RX), pa.int64()).to_numpy(zero_copy_only=False)
+    denom = np.maximum(n_tok, 1)
+    mean_len = round_half_away(np.where(n_tok > 0, n_chars / denom, 0.0), 4)
+    ratio = round_half_away(np.where(n_tok > 0, n_stop / denom, 0.0), 4)
     out = batch.append_column("n_tokens", pa.array(n_tok))
     out = out.append_column("stop_ratio", pa.array(ratio))
     return out.append_column("mean_token_len", pa.array(mean_len))
@@ -78,20 +84,27 @@ class LangId:
 
     def __init__(self) -> None:
         self.profiles = {lang: set(tris) for lang, tris in self.PROFILES.items()}
+        self.langs = sorted(self.profiles)  # argmax first-max = alphabetical
+        # tie-break, same as the scalar "n > best_n" loop
+        self.trigrams = sorted({t for s in self.profiles.values() for t in s})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_numpy(zero_copy_only=False)
-        out = []
-        for t in texts:
-            tl = t.lower()
-            tris = {tl[i : i + 3] for i in range(max(len(tl) - 2, 0))}
-            best, best_n = "und", 0
-            for lang in sorted(self.profiles):
-                n = len(tris & self.profiles[lang])
-                if n > best_n:
-                    best, best_n = lang, n
-            out.append(best)
-        return batch.append_column("pred_lang", pa.array(out, pa.string()))
+        """Vectorized: per-trigram substring presence (a text's trigram
+        set contains t iff t is a substring), summed into a docs×langs
+        count matrix; argmax + zero-mask reproduces the scalar loop."""
+        low = pc.utf8_lower(batch["text"])
+        pres = {
+            t: pc.cast(pc.match_substring(low, t), pa.int8()).to_numpy(zero_copy_only=False)
+            for t in self.trigrams
+        }
+        m = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int32)
+        for j, lang in enumerate(self.langs):
+            for t in self.profiles[lang]:
+                m[:, j] += pres[t]
+        best = np.argmax(m, axis=1)
+        hit = m[np.arange(len(best)), best] > 0
+        out = np.where(hit, np.asarray(self.langs, dtype=object)[best], "und")
+        return batch.append_column("pred_lang", pa.array(out.tolist(), pa.string()))
 
 
 def extract_pattern_rows(

@@ -324,87 +324,25 @@ class CrawlEngine:
             # per round — R independent splits would multiply the write
             # count by R. Ref lists stay in merger (range) order.
             by_bucket: dict[int, list] = {}
-            sizes: dict[int, int] = {}
             for bl in block_lists:
                 for b, nr, ref in bl:
                     by_bucket.setdefault(b, []).append((nr, ref))
-                    sizes[b] = sizes.get(b, 0) + nr
-            # skew-aware routing [B: north_rule] — two deterministic
-            # mechanisms on top of bucket-pinned ownership:
-            #
-            # 1. HOT-BUCKET SPLITTING: a bucket whose scheduled rows
-            #    exceed hot_bucket_factor × a worker's fair share would
-            #    pin the round tail to one actor (hot onion domains
-            #    hash-cluster into content buckets). Its per-merger
-            #    sub-blocks are dealt into ≤R size-balanced parts.
-            # 2. OWNER-PREFERRING GREEDY ASSIGNMENT: parts go to their
-            #    owning worker unless that would push it past fair×1.1
-            #    while another sits under-loaded (static b %% P leaves
-            #    ~6%% row-count imbalance at 32 workers — a measured
-            #    2-3 s straggler tail per run at sf0.1).
-            #
-            # Both are cheap under the unbounded per-worker bucket
-            # cache: a migrated/split bucket costs its new worker ONE
-            # extra partition parse, then serves from memory for the
-            # rest of the run. Neither affects crawl ordering —
-            # fetch_order is assigned before routing and candidate
-            # dedup is min-seq (arrival-order independent); both
-            # depend only on deterministic sizes, so routing is
-            # reproducible too.
-            P = len(pool)
-            fair = max(1, -(-n // P))
-            factor = getattr(cfg, "hot_bucket_factor", 1.0)
-            parts: list[tuple[int, int, int, list]] = []  # (size, bucket, pref_worker, refs)
-            self.last_hot_splits = 0
-            for b, items in by_bucket.items():
-                if factor > 0 and len(items) > 1 and sizes[b] > factor * fair:
-                    k = min(len(items), -(-sizes[b] // fair))
-                    bins: list[list] = [[] for _ in range(k)]
-                    bloads = [0] * k
-                    for nr, ref in sorted(items, key=lambda x: -x[0]):
-                        j = bloads.index(min(bloads))
-                        bins[j].append(ref)
-                        bloads[j] += nr
-                    self.last_hot_splits += k - 1
-                    self.hot_splits_total += k - 1
-                    for j, grp in enumerate(bins):
-                        if grp:
-                            parts.append((bloads[j], b, (b + j) % P, grp))
-                else:
-                    parts.append((sizes[b], b, b % P, [ref for _, ref in items]))
-            # size-desc (ties by bucket for determinism)
-            parts.sort(key=lambda p: (-p[0], p[1], p[2]))
-            # STATIC-FIRST: owner assignment keeps every bucket on the
-            # worker whose cache holds it. Greedy rebalancing migrates
-            # buckets (one extra partition parse per migration), so it
-            # only runs when the static plan is ACTUALLY skewed (>10%
-            # over fair share) — measured: unconditional 2%-slack greedy
-            # cost ~15% at 8 cpus (cache churn) to win ~4% at 32.
-            static_loads = [0] * P
-            for sz, _b, pref, _refs in parts:
-                static_loads[pref] += sz
-            loads = [0] * P
-            submit: list[tuple[int, list]] = []  # (worker, refs) in submission order
-            if max(static_loads) <= fair * 1.1:
-                for sz, _b, pref, refs in parts:
-                    submit.append((pref, refs))
-                    loads[pref] += sz
-            else:
-                cap_load = fair * 1.05
-                for sz, _b, pref, refs in parts:
-                    w = pref
-                    if loads[pref] + sz > cap_load:
-                        mn = min(loads)
-                        if loads[pref] - mn > max(fair // 20, 1):
-                            w = loads.index(mn)
-                    submit.append((w, refs))
-                    loads[w] += sz
+            # skew-aware routing [B: north_rule]: hot-bucket splitting +
+            # conditional owner-preferring greedy assignment — the pure
+            # plan function lives with the fetch stage (property-tested)
+            from ..stages.fetch import plan_fetch_routing
+
+            submit, loads, n_splits = plan_fetch_routing(
+                by_bucket, n, len(pool), getattr(cfg, "hot_bucket_factor", 1.0)
+            )
+            self.last_hot_splits = n_splits
+            self.hot_splits_total += n_splits
             if os.environ.get("ONIONRAY_PROFILE"):
                 import sys
 
                 print(
-                    f"PROFBLK r{rnd}: blocks={len(parts)} max_block={max(p[0] for p in parts)} "
-                    f"splits={self.last_hot_splits} worker_max={max(loads)} "
+                    f"PROFBLK r{rnd}: blocks={len(submit)} "
+                    f"splits={n_splits} worker_max={max(loads)} "
                     f"worker_mean={sum(loads) // len(pool)}",
                     file=sys.stderr,
                     flush=True,

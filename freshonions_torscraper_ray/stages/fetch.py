@@ -275,6 +275,79 @@ def write_table_parts(tables: dict[str, pa.Table], base_dir: str, part: str) -> 
 
 
 
+def plan_fetch_routing(
+    by_bucket: dict[int, list[tuple[int, object]]], n_rows: int, pool_size: int, factor: float = 1.0
+) -> tuple[list[tuple[int, list]], list[int], int]:
+    """Skew-aware routing plan [B: north_rule] — pure function (unit /
+    property tested) used by the round loop. Input: per-content-bucket
+    ``[(n_rows, payload), ...]`` sub-blocks (one per schedule merger).
+    Output: ``(submit, loads, n_splits)`` where submit is the
+    size-descending list of (worker, [payload, ...]) process calls.
+
+    Two deterministic mechanisms on top of bucket-pinned ownership
+    (worker ``b %% pool_size`` owns bucket ``b``):
+
+    1. HOT-BUCKET SPLITTING: a bucket whose rows exceed ``factor`` × a
+       worker's fair share would pin the round tail to one actor (hot
+       onion domains hash-cluster into content buckets). Its sub-blocks
+       are dealt into ≤len(sub-blocks) size-balanced parts assigned to
+       neighbouring workers.
+    2. CONDITIONAL OWNER-PREFERRING GREEDY: static ownership keeps
+       every bucket on the worker whose cache holds it; greedy
+       rebalancing migrates buckets (one extra partition parse each),
+       so it engages only when the static plan is ACTUALLY skewed
+       (>10% over fair share) — measured: unconditional 2%-slack
+       greedy cost ~15% at 8 cpus (cache churn) to win ~4% at 32.
+
+    Both are cheap under the unbounded per-worker bucket cache, and
+    neither affects crawl ordering — fetch_order is assigned before
+    routing; candidate dedup is min-seq (arrival-order independent).
+    The plan depends only on deterministic sizes, so it is itself
+    deterministic at any pool size.
+    """
+    P = pool_size
+    fair = max(1, -(-n_rows // P))
+    parts: list[tuple[int, int, int, list]] = []  # (size, bucket, pref_worker, payloads)
+    n_splits = 0
+    for b, items in by_bucket.items():
+        size_b = sum(nr for nr, _ in items)
+        if factor > 0 and len(items) > 1 and size_b > factor * fair:
+            k = min(len(items), -(-size_b // fair))
+            bins: list[list] = [[] for _ in range(k)]
+            bloads = [0] * k
+            for nr, payload in sorted(items, key=lambda x: -x[0]):
+                j = bloads.index(min(bloads))
+                bins[j].append(payload)
+                bloads[j] += nr
+            n_splits += k - 1
+            for j, grp in enumerate(bins):
+                if grp:
+                    parts.append((bloads[j], b, (b + j) % P, grp))
+        else:
+            parts.append((size_b, b, b % P, [payload for _, payload in items]))
+    parts.sort(key=lambda p: (-p[0], p[1], p[2]))  # size-desc, ties by bucket
+    static_loads = [0] * P
+    for sz, _b, pref, _g in parts:
+        static_loads[pref] += sz
+    loads = [0] * P
+    submit: list[tuple[int, list]] = []
+    if max(static_loads, default=0) <= fair * 1.1:
+        for sz, _b, pref, grp in parts:
+            submit.append((pref, grp))
+            loads[pref] += sz
+    else:
+        cap_load = fair * 1.05
+        for sz, _b, pref, grp in parts:
+            w = pref
+            if loads[pref] + sz > cap_load:
+                mn = min(loads)
+                if loads[pref] - mn > max(fair // 20, 1):
+                    w = loads.index(mn)
+            submit.append((w, grp))
+            loads[w] += sz
+    return submit, loads, n_splits
+
+
 def make_fetch_worker():
     """Bucket-pinned persistent fetch actor (raw Ray actor by design).
 

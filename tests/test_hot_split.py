@@ -59,6 +59,57 @@ def test_splits_actually_happened(engine):
     assert engine.hot_splits_total > 0
 
 
+# ----------------------- pure routing-plan properties (no Ray needed)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from freshonions_torscraper_ray.stages.fetch import plan_fetch_routing
+
+bucket_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=63),
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5000), st.integers()),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(by_bucket=bucket_strategy, pool=st.integers(min_value=1, max_value=32), factor=st.sampled_from([0.0, 0.5, 1.0, 2.0]))
+def test_plan_routes_every_payload_exactly_once(by_bucket, pool, factor):
+    n = sum(nr for items in by_bucket.values() for nr, _ in items)
+    submit, loads, n_splits = plan_fetch_routing(by_bucket, n, pool, factor)
+    sent = sorted(p for _w, grp in submit for p in grp)
+    expect = sorted(p for items in by_bucket.values() for _nr, p in items)
+    assert sent == expect  # no payload lost or duplicated
+    assert sum(loads) == n
+    assert all(0 <= w < pool for w, _ in submit)
+
+
+@settings(max_examples=100, deadline=None)
+@given(by_bucket=bucket_strategy, pool=st.integers(min_value=1, max_value=32), factor=st.sampled_from([0.5, 1.0]))
+def test_plan_is_deterministic(by_bucket, pool, factor):
+    n = sum(nr for items in by_bucket.values() for nr, _ in items)
+    a = plan_fetch_routing(by_bucket, n, pool, factor)
+    b = plan_fetch_routing(dict(reversed(list(by_bucket.items()))), n, pool, factor)
+    assert a == b  # independent of dict insertion order
+
+
+@settings(max_examples=100, deadline=None)
+@given(pool=st.integers(min_value=2, max_value=32), n_sub=st.integers(min_value=2, max_value=8))
+def test_single_hot_bucket_is_split_across_workers(pool, n_sub):
+    """The north-rule case: one bucket holds the whole round."""
+    items = [(1000, i) for i in range(n_sub)]
+    n = 1000 * n_sub
+    submit, loads, n_splits = plan_fetch_routing({7: items}, n, pool, 1.0)
+    assert n_splits == min(n_sub, pool) - 1
+    assert len({w for w, _ in submit}) > 1  # work actually spread
+
+
 def test_crawl_order_exact_under_splitting(engine, oracle_result):
     assert engine.crawl_order() == oracle_result.crawl_order
 

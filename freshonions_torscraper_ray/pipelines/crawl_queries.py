@@ -411,6 +411,50 @@ def q_crawl_server_stats(sf_dir: str):
     return banners.groupby(["server", "powered_by"]).aggregate(Count(alias_name="n_domains"))
 
 
+def q_crawl_link_components(sf_dir: str):
+    """Connected components over the domain link graph — the reference's
+    related-onion / clone-family grouping (Flask pages joined domains over
+    shared links; SURVEY.md §2.5) done as a first-class graph operator.
+    Nodes = crawled domains ∪ link endpoints; undirected edges from the
+    links table. Engine: Boruvka-style contraction (stages/graph.py);
+    twin: DuckDB recursive-CTE min-label propagation."""
+    import ray.data as rd
+
+    from ..stages.graph import connected_components
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["src_domain"], t["dst_domain"])
+        t = t.filter(mask)
+        return pa.Table.from_arrays(
+            [t["src_domain"].combine_chunks(), t["dst_domain"].combine_chunks()],
+            names=["a", "b"],
+        )
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    pages = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    ends = links.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["src_domain"].combine_chunks(), t["dst_domain"].combine_chunks()])],
+            names=["node"],
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    nodes = pages.union(ends).groupby("node").aggregate(Count(alias_name="_n")).select_columns(["node"])
+    cc = connected_components(edges, nodes, "node")
+    return cc.map_batches(
+        lambda t: t.rename_columns(["domain", "component"]), batch_format="pyarrow"
+    )
+
+
 def q_crawl_ssh_groups(sf_dir: str):
     """O21 SSH-fingerprint grouping: domains sharing a host key."""
     import ray
@@ -532,6 +576,7 @@ CRAWL_QUERIES = {
     "crawl_email_stats": q_crawl_email_stats,
     "crawl_open_ports": q_crawl_open_ports,
     "crawl_server_stats": q_crawl_server_stats,
+    "crawl_link_components": q_crawl_link_components,
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
     "crawl_soft404": q_crawl_soft404,
@@ -616,6 +661,30 @@ def crawl_oracle_sql() -> dict[str, str]:
             SELECT server, powered_by, count(*)::BIGINT AS n_domains
             FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'server_banners.parquet')}')
             GROUP BY server, powered_by
+        """,
+        # recursive-CTE min-label propagation: the component minimum s
+        # reaches every member via the lbl < target prune (s is smaller
+        # than every other member), so min(lbl) per node = component id
+        "crawl_link_components": f"""
+            WITH RECURSIVE
+            e AS (
+                SELECT src_domain AS a, dst_domain AS b
+                FROM read_parquet('{p('links.parquet')}') WHERE src_domain <> dst_domain
+                UNION
+                SELECT dst_domain, src_domain
+                FROM read_parquet('{p('links.parquet')}') WHERE src_domain <> dst_domain
+            ),
+            n AS (
+                SELECT DISTINCT domain AS node FROM read_parquet('{p('pages.parquet')}')
+                UNION SELECT a FROM e UNION SELECT b FROM e
+            ),
+            walk(node, lbl) AS (
+                SELECT node, node FROM n
+                UNION
+                SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.node
+                WHERE walk.lbl < e.b
+            )
+            SELECT node AS domain, min(lbl) AS component FROM walk GROUP BY node
         """,
         "crawl_purged_domains": f"""
             SELECT domain, count(*)::BIGINT AS pages_crawled

@@ -183,6 +183,39 @@ def q_dedup_simhash(sf_dir: str):
     return dd.simhash_near_dups(ds, max_hamming=6)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: simhash pair graph → connected components →
+    (doc_id, component, keep) — the step after any pair-producing dedup
+    op that a training pipeline actually consumes ("keep one doc per
+    duplicate cluster"). Rows-only (pair generation isn't SQL);
+    the component operator itself is oracle-checked end-to-end by
+    crawl_link_components' recursive-CTE twin."""
+    from ..stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.simhash_near_dups(ds, max_hamming=6)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()], names=["a", "b"]
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    cc = connected_components(edges, nodes, "node")
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["node"], t["component"])
+        return pa.Table.from_arrays(
+            [t["node"].combine_chunks(), t["component"].combine_chunks(), keep],
+            names=["doc_id", "component", "keep"],
+        )
+
+    return cc.map_batches(finish, batch_format="pyarrow")
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -722,6 +755,7 @@ QUERIES = {
     "language_filter": q_language_filter,
     "search_rank": q_search_rank,
     "search_rank_bm25": q_search_rank_bm25,
+    "dedup_clusters": q_dedup_clusters,
     "random_sample_hash": q_random_sample_hash,
     "union_sources": q_union_sources,
     "events_hourly": q_events_hourly,

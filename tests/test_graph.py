@@ -1,0 +1,59 @@
+"""Connected-components operator (stages/graph.py): exactness vs a
+naive whole-graph union-find on random graphs, isolated-node labeling,
+and multi-pass contraction equivalence."""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from freshonions_torscraper_ray.stages.graph import _UF, _local_forest, connected_components
+
+
+def naive_components(edges, nodes):
+    uf = _UF()
+    for a, b in edges:
+        uf.union(a, b)
+    lab = uf.labels()
+    return {n: lab.get(n, n) for n in nodes}
+
+
+def test_local_forest_drops_cycles():
+    t = pa.table({"a": [1, 2, 3, 1, 5], "b": [2, 3, 1, 3, 5]})
+    f = _local_forest(t)
+    # cycle edge 3-1 (or 1-3) and the self-loop 5-5 are dropped
+    assert f.num_rows == 2
+    got = naive_components(list(zip(f["a"].to_pylist(), f["b"].to_pylist())), [1, 2, 3])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _cc_via_dataset(edges, nodes, passes=2):
+    import ray.data as rd
+
+    e = rd.from_arrow(
+        pa.table({"a": [a for a, _ in edges], "b": [b for _, b in edges]})
+    ).repartition(4)
+    n = rd.from_arrow(pa.table({"node": nodes}))
+    out = connected_components(e, n, "node", passes=passes)
+    return {r["node"]: r["component"] for r in out.take_all()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_graph_matches_naive(ray_session, seed):
+    rng = random.Random(seed)
+    nodes = list(range(200))
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    assert _cc_via_dataset(edges, nodes) == naive_components(edges, nodes)
+
+
+def test_isolated_nodes_label_themselves(ray_session):
+    got = _cc_via_dataset([(1, 2)], [1, 2, 99])
+    assert got[99] == 99 and got[1] == got[2] == 1
+
+
+def test_path_graph_single_pass_insufficient_block_merge_still_exact(ray_session):
+    # long path spread across blocks: forest edges must survive
+    # contraction passes and merge in the driver finish
+    edges = [(i, i + 1) for i in range(100)]
+    got = _cc_via_dataset(edges, list(range(101)), passes=3)
+    assert set(got.values()) == {0}

@@ -51,6 +51,18 @@ def test_isolated_nodes_label_themselves(ray_session):
     assert got[99] == 99 and got[1] == got[2] == 1
 
 
+def test_cluster_stats_counts_members(ray_session):
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages.graph import cluster_stats
+
+    e = rd.from_arrow(pa.table({"a": [1, 5], "b": [2, 6]}))
+    n = rd.from_arrow(pa.table({"node": [1, 2, 5, 6, 9]}))
+    cc = connected_components(e, n, "node")
+    got = {r["component"]: r["size"] for r in cluster_stats(cc).take_all()}
+    assert got == {1: 2, 5: 2, 9: 1}
+
+
 def test_path_graph_single_pass_insufficient_block_merge_still_exact(ray_session):
     # long path spread across blocks: forest edges must survive
     # contraction passes and merge in the driver finish

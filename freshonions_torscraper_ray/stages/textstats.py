@@ -112,17 +112,16 @@ def extract_pattern_rows(
 ) -> pa.Table:
     """Find-all + explode: one output row per regex match per document
     (document order). The explode core behind the email/btc/onion
-    extraction queries (O3/O5/O6) over flat text."""
-    creg = re.compile(pattern)
+    extraction queries (O3/O5/O6) over flat text. One vectorized RE2
+    pass over the batch (findall_batch), then an Arrow list explode."""
+    from ..functions.doc_extract import findall_batch
+
     ids = batch[id_col]
-    texts = batch[text_col].to_numpy(zero_copy_only=False)
-    out_ids, out_tok = [], []
-    id_np = ids.to_numpy(zero_copy_only=False)
-    for i, t in enumerate(texts):
-        for m in creg.findall(t):
-            out_ids.append(id_np[i])
-            out_tok.append(m)
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    texts = batch[text_col].to_pylist()
+    matches = findall_batch(texts, [re.compile(pattern)])[0]
+    lists = pa.array(matches, pa.list_(pa.string()))
+    parent = pc.list_parent_indices(lists)
     return pa.Table.from_arrays(
-        [pa.array(out_ids, type=ids.type if not isinstance(ids, pa.ChunkedArray) else ids.type), pa.array(out_tok, pa.string())],
-        names=[id_col, out_col],
+        [pc.take(ids, parent), pc.list_flatten(lists)], names=[id_col, out_col]
     )

@@ -243,5 +243,19 @@ class ContentStore:
             from .schemas import DOCUMENTS
 
             return DOCUMENTS.empty_table(), status
-        parts = [self._tables[b].slice(r, 1) for (_, b, r) in hit_rows]
-        return pa.concat_tables(parts).combine_chunks(), status
+        # one take per bucket + one reorder take (input order) — NOT a
+        # 1-row slice + concat per hit (O(hits) table objects)
+        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        for pos, (_, b, r) in enumerate(hit_rows):
+            by_bucket.setdefault(b, []).append((pos, r))
+        parts = []
+        pos_order: list[int] = []
+        for b in sorted(by_bucket):
+            pr = by_bucket[b]
+            parts.append(self._tables[b].take([r for _, r in pr]))
+            pos_order.extend(p for p, _ in pr)
+        cat = pa.concat_tables(parts)
+        inv = [0] * len(pos_order)
+        for i, p in enumerate(pos_order):
+            inv[p] = i
+        return cat.take(inv).combine_chunks(), status

@@ -34,6 +34,37 @@ def test_brute_force_topk_matches_numpy():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ivf_index_persists_and_reuses(tmp_path):
+    """Second build_or_load_ivf call must LOAD (no rebuild): the
+    round-1 verdict fix — no full-table re-assignment per query."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from freshonions_torscraper_ray.stages.similarity import build_or_load_ivf, ivf_index_topk
+
+    t, mat = _corpus(n=300)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+    idx, cents = build_or_load_ivf(path, k=4, sample_n=100)
+    marker = f"{idx}/_SUCCESS"
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+    t0 = time.monotonic()
+    idx2, cents2 = build_or_load_ivf(path, k=4, sample_n=100)
+    load_sec = time.monotonic() - t0
+    assert idx2 == idx
+    assert os.path.getmtime(marker) == mtime  # not rebuilt
+    assert np.array_equal(cents, cents2)
+    assert load_sec < 1.0  # pure load, no dataset execution
+    q = mat[0].astype(np.float64)
+    r1 = ivf_index_topk(idx, cents, q, k=5, nprobe=2).to_pandas()
+    r2 = ivf_index_topk(idx2, cents2, q, k=5, nprobe=2).to_pandas()
+    assert list(r1["vec_id"]) == list(r2["vec_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_ivf_recall_reasonable():
     import ray.data as rd
 

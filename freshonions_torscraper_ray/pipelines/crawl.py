@@ -420,16 +420,40 @@ class CrawlEngine:
                 ],
                 names=["shard_id", "state_bytes", "round"],
             )
+        # per-partition lineage + metrics [B: north_rule]: one row per
+        # fetch partition (worker) per round — scheduled/fetched/
+        # discovered counts with a lineage string naming the round,
+        # partition and fetch_order base — plus the round-summary row
+        # (partition = -1; urls_deduped is only known globally, so
+        # partition rows carry -1 there).
+        p_rows: list[tuple] = []
+        if n:
+            per_w: dict[int, list[int]] = {}
+            for (w, _refs), (nrows, ncand) in zip(submit, res):
+                a = per_w.setdefault(w, [0, 0])
+                a[0] += nrows
+                a[1] += ncand
+            for w in sorted(per_w):
+                p_rows.append(
+                    (rnd, w, loads[w], per_w[w][0], per_w[w][1], -1,
+                     -1, f"round={rnd};partition={w};base={self.fetch_order}")
+                )
+        wall = int((time.monotonic() - t0) * 1000)
+        rows = [
+            (rnd, -1, n, n, n_cand, n_cand - n_new, wall, f"round={rnd};base={self.fetch_order}"),
+            *p_rows,
+        ]
+        cols = list(zip(*rows))
         metrics = pa.Table.from_arrays(
             [
-                pa.array([rnd], pa.int32()),
-                pa.array([-1], pa.int32()),
-                pa.array([n], pa.int64()),
-                pa.array([n], pa.int64()),
-                pa.array([n_cand], pa.int64()),
-                pa.array([n_cand - n_new], pa.int64()),
-                pa.array([int((time.monotonic() - t0) * 1000)], pa.int64()),
-                pa.array([f"round={rnd};base={self.fetch_order}"], pa.string()),
+                pa.array(cols[0], pa.int32()),
+                pa.array(cols[1], pa.int32()),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.int64()),
+                pa.array(cols[4], pa.int64()),
+                pa.array(cols[5], pa.int64()),
+                pa.array(cols[6], pa.int64()),
+                pa.array(cols[7], pa.string()),
             ],
             names=["round", "partition", "urls_scheduled", "urls_fetched", "urls_discovered", "urls_deduped", "wall_ms", "lineage"],
         )

@@ -84,6 +84,24 @@ def test_side_tables_match_oracle(engine, oracle_result):
     assert mine_e == set(oracle_result.emails)
 
 
+def test_per_partition_metrics_cover_all_fetches(engine):
+    """north_rule: per-partition lineage+metrics — partition rows must
+    account for every fetched URL of their round's summary row."""
+    m = engine.store.read_all_rounds("metrics")
+    assert m is not None
+    rows = m.to_pylist()
+    summaries = {r["round"]: r for r in rows if r["partition"] == -1}
+    assert summaries
+    by_round: dict[int, int] = {}
+    for r in rows:
+        if r["partition"] >= 0:
+            by_round[r["round"]] = by_round.get(r["round"], 0) + r["urls_fetched"]
+            assert f"partition={r['partition']}" in r["lineage"]
+    for rnd, s in summaries.items():
+        if s["urls_fetched"]:
+            assert by_round.get(rnd, 0) == s["urls_fetched"]
+
+
 def test_budget_never_exceeded(engine):
     import collections
 

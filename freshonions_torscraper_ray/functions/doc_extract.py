@@ -117,6 +117,19 @@ _DUCK_CON = None  # per-process cached connection (threads=1 — each Ray
 # worker owns ~1 cpu; DuckDB's own parallelism would oversubscribe)
 
 
+def _duck():
+    """The per-process DuckDB connection used as a vectorized string/
+    regex kernel library (findall_batch here; quality_lang_fused in
+    stages/textstats.py)."""
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+        _DUCK_CON.execute("SET threads=1")
+    return _DUCK_CON
+
+
 def findall_batch(texts: list[str], patterns: list) -> list[list[list[str]]]:
     """Vectorized multi-pattern findall: one RE2 `regexp_extract_all`
     scan per pattern over the whole batch (DuckDB's vectorized regex
@@ -130,10 +143,6 @@ def findall_batch(texts: list[str], patterns: list) -> list[list[list[str]]]:
         import duckdb
     except ImportError:  # pragma: no cover - duckdb is baked into the env
         return [[p.findall(t) for t in texts] for p in patterns]
-    global _DUCK_CON
-    if _DUCK_CON is None:
-        _DUCK_CON = duckdb.connect()
-        _DUCK_CON.execute("SET threads=1")
     import pyarrow as pa
 
     tbl = pa.table({"t": pa.array(texts, pa.large_string())})  # noqa: F841 — duckdb reads it by name
@@ -143,5 +152,5 @@ def findall_batch(texts: list[str], patterns: list) -> list[list[list[str]]]:
         "regexp_extract_all(t, '{}') AS m{}".format(p.pattern.replace("'", "''"), i)
         for i, p in enumerate(patterns)
     )
-    res = _DUCK_CON.execute(f"SELECT {sel} FROM tbl").arrow()
+    res = _duck().execute(f"SELECT {sel} FROM tbl").arrow()
     return [res[f"m{i}"].to_pylist() for i in range(len(patterns))]

@@ -417,29 +417,13 @@ class ExactJaccardVerifier:
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (token-hash bit voting)."""
-    return int(simhash64_batch([text])[0])
-
-
-def simhash64_batch(texts: list[str]) -> np.ndarray:
-    """Vectorized SimHash for a whole batch: one concatenated token-hash
-    array, ONE [total_tokens × 64] bit expansion, per-doc vote sums via
-    ``np.add.reduceat`` at doc boundaries. Bit-identical to the per-doc
-    form (pure integer ops, same token hashes). Returns uint64[n]."""
-    tok_lists = [re.findall(WORD_PATTERN, t.lower()) for t in texts]
-    lens = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists))
-    flat: list[str] = [t for tl in tok_lists for t in tl]
-    out = np.zeros(len(texts), dtype=np.uint64)
-    if not flat:
-        return out
-    hs = _token_hash_array(flat)
+    toks = re.findall(WORD_PATTERN, text.lower())
+    if not toks:
+        return 0
+    hs = _token_hash_array(toks)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    nz = lens > 0
-    # reduceat needs the start offset of each non-empty doc's token run
-    starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1])).astype(np.int64)
-    sums = np.add.reduceat(bits, starts, axis=0)
-    votes = sums * 2 - lens[nz][:, None]
-    out[nz] = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-    return out
+    votes = bits.sum(axis=0) * 2 - len(toks)
+    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 class SimHasher:
@@ -449,22 +433,22 @@ class SimHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col]
-        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        sh = simhash64_batch(list(texts))  # uint64[n]
-        n = len(sh)
-        # 4 rows per doc: chunk c key = 16-bit slice c of the simhash
-        parent = np.repeat(np.arange(n), 4)
-        chunks = np.tile(np.arange(4, dtype=np.int32), n)
-        keys = ((sh[parent] >> (np.uint64(16) * chunks.astype(np.uint64))) & np.uint64(0xFFFF)).astype(np.int32)
-        sims = sh.astype(np.int64)  # two's-complement view, matches _signed
+        out_id, out_chunk, out_key, out_sim = [], [], [], []
+        for i, t in enumerate(texts):
+            sh = simhash64(t)
+            for c in range(4):
+                out_id.append(ids[i])
+                out_chunk.append(c)
+                out_key.append((sh >> (16 * c)) & 0xFFFF)
+                out_sim.append(sh & ((1 << 63) - 1) if sh < (1 << 63) else sh - (1 << 64))
         return pa.Table.from_arrays(
             [
-                pa.compute.take(ids, pa.array(parent)),
-                pa.array(chunks),
-                pa.array(keys),
-                pa.array(sims[parent]),
+                pa.array(out_id, batch[self.id_col].type),
+                pa.array(out_chunk, pa.int32()),
+                pa.array(out_key, pa.int32()),
+                pa.array(out_sim, pa.int64()),
             ],
             names=["doc_id", "chunk_id", "chunk_key", "simhash"],
         )

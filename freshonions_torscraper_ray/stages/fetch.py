@@ -243,15 +243,19 @@ def enrich_pages(pages: pa.Table) -> pa.Table:
     text (reference O10 — Domain.language), quality stats, simhash
     fingerprint. Runs inside the fetch actor so text never leaves it
     unenriched; all deterministic (token-hash cache amortizes cost)."""
-    from .dedup import simhash64_batch
+    from .dedup import simhash64
     from .textstats import LangId, quality_scores
 
     pages = quality_scores(pages, "text")
     pages = LangId()(pages)
     texts = pages["text"].to_numpy(zero_copy_only=False)
-    # uint64→int64 two's-complement view — the same representation
-    # dedup.SimHasher emits, so fingerprints join across tables
-    sims = simhash64_batch(list(texts)).astype(np.int64)
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= (1 << 63) else v  # same two's-complement
+        # conversion as dedup.SimHasher — fingerprints must join across tables
+
+    sims = np.fromiter(
+        (_signed(simhash64(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
     return pages.append_column("simhash", pa.array(sims))
 
 

@@ -206,7 +206,7 @@ def q_crawl_clone_domains(sf_dir: str):
 def q_crawl_domain_stats(sf_dir: str):
     """O26/O32 rollup: per-domain pages crawled, alive flag, total bytes."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Count, Sum
 
     edir = ensure_engine_fixture()
     ds = rd.read_parquet(

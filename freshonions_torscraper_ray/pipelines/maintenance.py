@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..synth import domain_name, domain_profile
+from ..synth import domain_profile
 
 OPEN_PORTS_SCHEMA = pa.schema([("domain", pa.string()), ("port", pa.int32())])
 SSH_FP_SCHEMA = pa.schema([("domain", pa.string()), ("fingerprint", pa.string())])

@@ -17,7 +17,6 @@ cluster scale).
 
 from __future__ import annotations
 
-import hashlib
 import re
 from dataclasses import dataclass
 

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import regexes as rx
-from ..functions.hashing import hash64_array, hash64_signed
+from ..functions.hashing import hash64_array
 from ..schemas import BTC, EMAILS, LINKS
 
 

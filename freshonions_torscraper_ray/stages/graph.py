@@ -29,9 +29,7 @@ signature would not change.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 class _UF:

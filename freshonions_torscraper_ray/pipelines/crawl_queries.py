@@ -308,6 +308,21 @@ def q_media_decode(sf_dir: str):
     return resized.select_columns(["doc_id", "media_ref", "height", "width"])
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame-sampling plumbing (rows-only): media explode → actor
+    pool FrameSampler (stride sampling, stubbed codec) — one row per
+    sampled frame, small batches for the wide binary frame column."""
+    from ..stages.multimodal import FrameSampler, media_rows_from_spans
+
+    ds = _read_web_docs()
+    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow")
+    frames = media.map_batches(
+        FrameSampler, fn_constructor_kwargs={"stride": 12, "max_frames": 4},
+        batch_format="pyarrow", batch_size=128, concurrency=2,
+    )
+    return frames.select_columns(["doc_id", "media_ref", "frame_idx"])
+
+
 SEED_TEXT_PATH = os.path.join(FIX_DIR, "seed_list.txt")
 
 
@@ -571,6 +586,7 @@ CRAWL_QUERIES = {
     "spans_links": q_spans_links,
     "spans_strip_text": q_spans_strip_text,
     "media_decode": q_media_decode,
+    "media_frames": q_media_frames,
     "seed_import": q_seed_import,
     "crawl_top_pages": q_crawl_top_pages,
     "crawl_email_stats": q_crawl_email_stats,

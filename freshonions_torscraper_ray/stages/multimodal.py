@@ -98,6 +98,58 @@ class ImageDecoder:
         return out.append_column("features", pa.array(list(feats), pa.list_(pa.float32())))
 
 
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video payloads: one output row
+    per sampled frame (``flat_map``-shaped explode inside map_batches).
+
+    Real implementation would open the container once per payload
+    (``av.open(io.BytesIO(payload))``) and decode only the sampled frame
+    indices; no video library ships in this container, so the frame
+    COUNT is a deterministic fake keyed by the payload hash and the
+    frame payload is a seeded stub — the Ray-side plumbing (explode
+    layout, stride policy, per-frame schema, small-batch discipline for
+    wide binary rows) is the real, tested part.
+    """
+
+    def __init__(self, stride: int = 10, max_frames: int = 8, strict: bool = False):
+        self.stride = max(stride, 1)
+        self.max_frames = max(max_frames, 1)
+        self.strict = strict
+        try:  # pragma: no cover - not installed in this container
+            import av  # type: ignore # noqa: F401
+
+            self._av = True
+        except ImportError:
+            self._av = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self._av:
+            raise NotImplementedError("frame sampling requires PyAV/ffmpeg (not in this container)")
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        refs = batch["media_ref"].to_numpy(zero_copy_only=False)
+        out_doc, out_ref, out_idx, out_frame = [], [], [], []
+        for i, p in enumerate(payloads):
+            seed = hash64(bytes(p))
+            n_frames = 1 + seed % 300  # fake container length
+            idxs = list(range(0, n_frames, self.stride))[: self.max_frames]
+            rng = np.random.RandomState(seed & 0x7FFFFFFF)
+            for fi in idxs:
+                out_doc.append(doc_ids[i])
+                out_ref.append(refs[i])
+                out_idx.append(fi)
+                out_frame.append(rng.bytes(32))  # stub frame payload
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_doc, pa.string()),
+                pa.array(out_ref, pa.string()),
+                pa.array(out_idx, pa.int32()),
+                pa.array(out_frame, pa.large_binary()),
+            ],
+            names=["doc_id", "media_ref", "frame_idx", "frame"],
+        )
+
+
 class ImageResizer:
     """Actor-pool resize stage (stub): clamps dims to a target box,
     preserving aspect; real impl would transform pixels."""

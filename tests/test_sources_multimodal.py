@@ -83,6 +83,28 @@ def test_decoder_strict_mode_raises_without_codec():
             dec(media_rows_from_spans(_media_fixture()))
 
 
+def test_frame_sampler_stride_and_determinism():
+    from freshonions_torscraper_ray.stages.multimodal import FrameSampler
+
+    media = media_rows_from_spans(_media_fixture())
+    fs = FrameSampler(stride=10, max_frames=3)
+    out1 = fs(media)
+    out2 = FrameSampler(stride=10, max_frames=3)(media)
+    assert out1.to_pylist() == out2.to_pylist()  # deterministic
+    assert out1.num_rows >= media.num_rows  # ≥1 frame per payload
+    by_ref: dict = {}
+    for r in out1.to_pylist():
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    for idxs in by_ref.values():
+        assert len(idxs) <= 3
+        assert idxs == sorted(idxs)
+        assert all(i % 10 == 0 for i in idxs)  # stride sampling
+    strict = FrameSampler(strict=True)
+    if not strict._av:
+        with pytest.raises(NotImplementedError):
+            strict(media)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_export_onion_list(tmp_path):
     import ray.data as rd

@@ -343,12 +343,18 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
         )
         texts = dict(zip(cand_tab["cid"].to_pylist(), cand_tab["ctext"].to_pylist()))
         tref = ray.put(texts)
-        return pairs_mat.map_batches(
-            ExactJaccardVerifier,
-            fn_constructor_args=(tref, shingle_k),
-            batch_format="pyarrow",
-            concurrency=2,
-        )
+
+        # TASK pool, not an actor pool: actor startup costs ~2 s per
+        # query for a pair table this small; tasks reuse warm workers
+        # and the verifier state is cached worker-globally per ref
+        def verify(t: pa.Table) -> pa.Table:
+            v = _VERIFIER_CACHE.get(tref.hex())
+            if v is None:
+                _VERIFIER_CACHE.clear()
+                v = _VERIFIER_CACHE[tref.hex()] = ExactJaccardVerifier(tref, shingle_k)
+            return v(t)
+
+        return pairs_mat.map_batches(verify, batch_format="pyarrow")
 
     def rename(side: str):
         return lambda t: t.rename_columns([f"id_{side}", f"text_{side}"])
@@ -378,6 +384,11 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
         return t.select(keep).append_column("jaccard", pa.array(jac))
 
     return j.map_batches(score, batch_format="pyarrow")
+
+
+# worker-global verifier cache for the task-pool broadcast arm (keyed
+# by the broadcast ref so a new query's ref evicts the old state)
+_VERIFIER_CACHE: dict = {}
 
 
 class ExactJaccardVerifier:

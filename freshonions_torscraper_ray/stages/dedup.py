@@ -65,10 +65,21 @@ class MinHashParams:
     num_bands: int = 8  # rows per band = num_perms // num_bands
     shingle_k: int = 3
     seed: int = 42
+    # coarse-partition fan-out for the bucket shuffle: each partition is
+    # one map_groups pandas frame holding ~(corpus·bands)/num_parts sketch
+    # rows, so SIZE THIS WITH THE CORPUS (power of two; output-invariant —
+    # a (band_id, band_hash) bucket never straddles partitions)
+    num_parts: int = 64
 
     @property
     def rows_per_band(self) -> int:
         return self.num_perms // self.num_bands
+
+
+def _part_mask(num_parts: int) -> int:
+    if num_parts < 1 or num_parts & (num_parts - 1):
+        raise ValueError(f"num_parts must be a power of two, got {num_parts}")
+    return num_parts - 1
 
 
 def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
@@ -256,10 +267,11 @@ def _bucket_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
 
 def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col: str = "doc_id", text_col: str = "text"):
     """Full MinHash-LSH pipeline: sketch → band explode → coarse-bucket
-    shuffle (band_hash % 64 partitions, each processed vectorized) →
-    pairs → de-dup pairs across bands (keep max estimate)."""
+    shuffle (band_hash % params.num_parts partitions, each processed
+    vectorized) → pairs → de-dup pairs across bands (keep max estimate)."""
     import pyarrow.compute as _pc
 
+    mask = _part_mask(params.num_parts)
     bands = ds.map_batches(
         MinHasher(params, id_col, text_col),
         batch_format="pyarrow",
@@ -267,7 +279,7 @@ def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col:
         concurrency=4,
     )
     bands = bands.map_batches(
-        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["band_hash"], 63), pa.int32())),
+        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["band_hash"], mask), pa.int32())),
         batch_format="pyarrow",
     )
     pairs = bands.groupby("part").map_groups(_bucket_pairs_partition, batch_format="pandas")
@@ -489,14 +501,20 @@ def simhash_bucket_pairs(max_hamming: int = 6):
     return pairs
 
 
-def simhash_near_dups(ds, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text"):
+def simhash_near_dups(ds, max_hamming: int = 6, id_col: str = "doc_id", text_col: str = "text", num_parts: int = 64):
     """SimHash near-dup pairs: sketch → coarse-bucket shuffle → hamming
-    verify within (chunk_id, chunk_key) buckets → pair dedup."""
+    verify within (chunk_id, chunk_key) buckets → pair dedup.
+
+    ``num_parts`` (power of two, ≤ 2^16 — chunk keys are 16-bit) sets the
+    coarse-partition fan-out; SIZE IT WITH THE CORPUS so each partition's
+    pandas frame stays worker-heap-sized. Output is invariant to it: a
+    (chunk_id, chunk_key) bucket never straddles partitions."""
     import pyarrow.compute as _pc
 
+    mask = _part_mask(num_parts)
     rows = ds.map_batches(SimHasher(id_col, text_col), batch_format="pyarrow", batch_size=1024, concurrency=4)
     rows = rows.map_batches(
-        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["chunk_key"], 63), pa.int32())),
+        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["chunk_key"], mask), pa.int32())),
         batch_format="pyarrow",
     )
     inner = simhash_bucket_pairs(max_hamming)

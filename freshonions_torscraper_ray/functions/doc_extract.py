@@ -138,7 +138,18 @@ def findall_batch(texts: list[str], patterns: list) -> list[list[list[str]]]:
     patterns already hash-match DuckDB in the extract-query oracle
     twins, so re↔RE2 parity is independently established). Returns
     ``out[pattern_idx][doc_idx] -> [match, ...]``. Falls back to Python
-    `re` if duckdb is unavailable."""
+    `re` if duckdb is unavailable.
+
+    Patterns must be group-free: with capturing groups, Python
+    ``re.findall`` returns group captures while DuckDB
+    ``regexp_extract_all`` returns full matches — the two backends would
+    silently diverge (round-2 ADVICE), so fail loudly instead."""
+    for p in patterns:
+        if p.groups:
+            raise ValueError(
+                f"findall_batch requires group-free patterns (re.findall returns "
+                f"captures, regexp_extract_all returns full matches): {p.pattern!r}"
+            )
     try:
         import duckdb
     except ImportError:  # pragma: no cover - duckdb is baked into the env

@@ -31,7 +31,7 @@ from ..config import CrawlConfig
 from ..oracle import build_content, build_robots, crawl_oracle
 from ..synth import domain_name, write_synth_web
 
-FIX_DIR = "/tmp/onionray_crawlq_v2"
+FIX_DIR = "/tmp/onionray_crawlq_v3"
 N_DOMAINS = 60
 SEED = 42
 # 8 rounds with alive re-checks enabled: the driver gate also covers the
@@ -128,18 +128,10 @@ def ensure_engine_fixture() -> str:
     pq.write_table(eng.store.read_all_rounds("links"), os.path.join(edir, "links.parquet"))
     emails = eng.store.read_all_rounds("emails")
     pq.write_table(emails, os.path.join(edir, "emails.parquet"))
-    seen = pa.Table.from_arrays([pa.array(sorted(eng.seen_set()), pa.string())], names=["url"])
-    pq.write_table(seen, os.path.join(edir, "seen.parquet"))
-    fr = [row for h in eng.sched_handles for row in ray.get(h.frontier_rows.remote())]
-    frontier = pa.Table.from_arrays(
-        [
-            pa.array([f[0] for f in fr], pa.string()),
-            pa.array([f[1] for f in fr], pa.string()),
-            pa.array([int(f[2]) for f in fr], pa.int32()),
-        ],
-        names=["url", "domain", "depth"],
-    )
-    pq.write_table(frontier, os.path.join(edir, "frontier.parquet"))
+    # shard-side state export (round-2 VERDICT fix): shards write their
+    # own frontier/banned partitions; seen is a distributed
+    # union-distinct — no per-URL Python collections on the driver
+    eng.export_state_parquet(os.path.join(edir, "state"))
     eng.shutdown()
     with open(marker, "w") as f:
         f.write("ok")
@@ -169,13 +161,13 @@ def q_crawl_emails(sf_dir: str):
 def q_crawl_seen(sf_dir: str):
     """Final URL-seen set equality (cuckoo+exact shards vs oracle set)."""
     edir = ensure_engine_fixture()
-    return pq.read_table(os.path.join(edir, "seen.parquet"))
+    return pq.read_table(os.path.join(edir, "state", "seen"))
 
 
 def q_crawl_frontier_residue(sf_dir: str):
     """Unfetched frontier residue (budget-capped tails) equality."""
     edir = ensure_engine_fixture()
-    return pq.read_table(os.path.join(edir, "frontier.parquet"))
+    return pq.read_table(os.path.join(edir, "state", "frontier"))
 
 
 def q_crawl_clone_domains(sf_dir: str):

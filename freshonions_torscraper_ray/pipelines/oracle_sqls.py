@@ -127,23 +127,32 @@ ORACLE_SQL: dict[str, str] = {
     "language_filter": """
         SELECT source, count(*)::BIGINT AS n_docs FROM documents WHERE lang = 'en' GROUP BY source
     """,
+    # search twins use TOKEN semantics (tf = count of lowercased
+    # WORD_PATTERN tokens equal to the term — ES-analyzer-like), matching
+    # the persisted-postings engine path in stages/text_index.py
     "search_rank": """
-        SELECT doc_id, len(regexp_extract_all(text, 'spark'))::BIGINT AS score
+        SELECT doc_id,
+               len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                               x -> x = 'spark'))::BIGINT AS score
         FROM documents
-        WHERE len(regexp_extract_all(text, 'spark')) > 0
+        WHERE len(list_filter(regexp_extract_all(lower(text), '[A-Za-z0-9_]+'),
+                              x -> x = 'spark')) > 0
         ORDER BY score DESC, doc_id ASC
         LIMIT 20
     """,
-    # BM25 twin mirrors queries.q_search_rank_bm25 exactly: same RE2 tf /
+    # BM25 twin mirrors queries.q_search_rank_bm25 exactly: same token tf /
     # dl definitions, same k1=1.2 b=0.75 constants, same operation order,
     # half-away round to 4 decimals on both sides
     "search_rank_bm25": """
-        WITH d AS (
-            SELECT doc_id,
-                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::DOUBLE AS dl,
-                   len(regexp_extract_all(text, 'spark'))::DOUBLE AS tf0,
-                   len(regexp_extract_all(text, 'data'))::DOUBLE AS tf1
+        WITH tok AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9_]+') AS ts
             FROM documents
+        ), d AS (
+            SELECT doc_id,
+                   len(ts)::DOUBLE AS dl,
+                   len(list_filter(ts, x -> x = 'spark'))::DOUBLE AS tf0,
+                   len(list_filter(ts, x -> x = 'data'))::DOUBLE AS tf1
+            FROM tok
         ), s AS (
             SELECT count(*)::DOUBLE AS n,
                    sum(dl) / count(*) AS avgdl,

@@ -555,17 +555,16 @@ def q_language_filter(sf_dir: str):
 
 
 def q_search_rank(sf_dir: str):
-    """O30 search: term filter → occurrence-count score → top-20."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """O30 search, served from the PERSISTED inverted index (round-2
+    VERDICT fix — the reference serves search from Elasticsearch, never a
+    corpus scan): score = token tf of 'spark', reading only that term's
+    postings partition. Token semantics (lowercased WORD_PATTERN tokens)
+    mirror an ES standard analyzer; the SQL twin uses the identical
+    definition via regexp_extract_all + list_filter."""
+    from ..stages import text_index as ti
 
-    def score(t: pa.Table) -> pa.Table:
-        s = pc.cast(pc.count_substring_regex(t["text"], "spark"), pa.int64())
-        out = pa.Table.from_arrays([t["doc_id"], s], names=["doc_id", "score"])
-        return out.filter(pc.greater(out["score"], 0))
-
-    return ds.map_batches(score, batch_format="pyarrow").sort(
-        ["score", "doc_id"], descending=[True, False]
-    ).limit(20)
+    idx = ti.build_or_load_text_index(f"{sf_dir}/documents.parquet")
+    return ti.term_tf_topk(idx, "spark", k=20)
 
 
 BM25_TERMS = ("spark", "data")
@@ -574,60 +573,21 @@ BM25_B = 0.75
 
 
 def q_search_rank_bm25(sf_dir: str):
-    """O30 upgrade: BM25 ranking over the documents table (the engine's
-    answer to the reference's Elasticsearch search).
+    """O30 upgrade: BM25 ranking served from the PERSISTED inverted index
+    (round-2 VERDICT fix — the reference's Elasticsearch never re-scans
+    the corpus per query).
 
-    Two streaming passes, both column-pruned: (1) per-batch partial
-    corpus stats (N, Σdl, per-term document frequency) reduced to one
-    tiny row; (2) vectorized per-doc BM25 scoring against the broadcast
-    stats, partial top-k per batch, global top-20 merge. tf = RE2
-    substring count; dl = WORD_PATTERN token count — the SQL twin uses
-    the identical definitions so rounded scores hash-match.
-    """
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    Build once per corpus: postings (term, doc_id, tf, dl)
+    hive-partitioned by term-hash. Query: partition-pruned read of the
+    two terms' postings only, df from the pruned rows, vectorized BM25,
+    per-doc Sum, top-20. tf = token frequency of the lowercased
+    WORD_PATTERN token (ES-analyzer semantics); dl = token count — the
+    SQL twin uses the identical definitions so rounded scores
+    hash-match."""
+    from ..stages import text_index as ti
 
-    def partial_stats(t: pa.Table) -> pa.Table:
-        dl = pc.cast(pc.count_substring_regex(t["text"], rx.WORD_PATTERN), pa.int64())
-        cols = {"n": [t.num_rows], "sum_dl": [pc.sum(dl).as_py() or 0]}
-        for i, term in enumerate(BM25_TERMS):
-            tf = pc.count_substring_regex(t["text"], term)
-            cols[f"df_{i}"] = [pc.sum(pc.cast(pc.greater(tf, 0), pa.int64())).as_py() or 0]
-        return pa.table(cols)
-
-    stats_ds = ds.map_batches(partial_stats, batch_format="pyarrow")
-    agg = stats_ds.aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sum_dl", alias_name="sum_dl"),
-        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(BM25_TERMS))],
-    )
-    n_docs = int(agg["n"])
-    avgdl = (agg["sum_dl"] or 0) / max(n_docs, 1)
-    idf = [
-        float(np.log((n_docs - agg[f"df_{i}"] + 0.5) / (agg[f"df_{i}"] + 0.5) + 1.0))
-        for i in range(len(BM25_TERMS))
-    ]
-
-    def score(t: pa.Table) -> pa.Table:
-        dl = pc.cast(pc.count_substring_regex(t["text"], rx.WORD_PATTERN), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
-        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-        s = np.zeros(t.num_rows, dtype=np.float64)
-        any_tf = np.zeros(t.num_rows, dtype=bool)
-        for i, term in enumerate(BM25_TERMS):
-            tf = pc.count_substring_regex(t["text"], term).to_numpy(zero_copy_only=False).astype(np.float64)
-            any_tf |= tf > 0
-            s += idf[i] * (tf * (BM25_K1 + 1.0)) / (tf + norm)
-        out = pa.Table.from_arrays(
-            [t["doc_id"].combine_chunks(), pa.array(round_half_away(s, 4), pa.float64())],
-            names=["doc_id", "score"],
-        ).filter(pa.array(any_tf))
-        # batch-local top-k so the global sort touches ≤ k rows per batch
-        k = min(20, out.num_rows)
-        idx = pc.sort_indices(out, sort_keys=[("score", "descending"), ("doc_id", "ascending")])
-        return out.take(idx[:k])
-
-    return ds.map_batches(score, batch_format="pyarrow").sort(
-        ["score", "doc_id"], descending=[True, False]
-    ).limit(20)
+    idx = ti.build_or_load_text_index(f"{sf_dir}/documents.parquet")
+    return ti.bm25_index_topk(idx, BM25_TERMS, k=20, k1=BM25_K1, b=BM25_B)
 
 
 def q_random_sample_hash(sf_dir: str):

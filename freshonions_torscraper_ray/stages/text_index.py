@@ -1,0 +1,288 @@
+"""Persisted inverted (postings) index for the search surface.
+
+The reference duplicated page text into Elasticsearch and served search
+from the index (SURVEY.md §2.1 S5 — the ``tor_elasticsearch.py``
+reconstruction); round-2's search queries re-scanned the corpus per
+query. This is the engine's index-backed path:
+
+- **build once per corpus**: tokenize (RE2 ``WORD_PATTERN`` over
+  lowercased text, the Elasticsearch-like token semantics), count
+  (doc, term) token frequencies vectorized (Arrow ``group_by`` — no
+  Python row loops), and write postings ``(term, doc_id, tf, dl)`` as
+  hive-partitioned parquet by ``part = token_hash(term) & (num_parts-1)``
+  plus one tiny ``stats.json`` (n_docs, avgdl, num_parts). Postings are
+  denormalized with the doc length so query-time scoring needs NO join
+  against a doc-stats table.
+- **query**: path-level partition-pruned read of ONLY the query terms'
+  partitions, term filter, df from the pruned rows, vectorized BM25 (or
+  raw-tf) scoring, per-doc Sum, tiny global top-k. Latency is
+  index-bound — O(postings of the query terms) — never a corpus scan.
+
+Scale notes (10^10 docs): ``num_parts`` must grow with the corpus so a
+partition stays a prunable unit; a hot term's postings list is still
+read distributed (many files per partition dir), and the per-doc Sum
+shuffles only (doc_id, partial score) rows for docs containing a term.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import hash64
+from ..functions.regexes import WORD_PATTERN
+from ..functions.rounding import round_half_away
+
+_FTS_VERSION = "v1"
+
+
+def _fts_cache_dir(parquet_path: str, num_parts: int) -> str:
+    st = os.stat(parquet_path)
+    key = hashlib.md5(
+        f"{os.path.abspath(parquet_path)}|{st.st_size}|{int(st.st_mtime)}|{num_parts}|{_FTS_VERSION}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/onionray_fts/{key}"
+
+
+class PostingsBuilder:
+    """map_batches stage: (doc_id, text) → (term, doc_id, tf, dl, part)
+    postings rows. Tokenization is one RE2 ``regexp_extract_all`` scan
+    per batch (DuckDB kernel, same engine the extract twins hash-match);
+    (doc, term) counting is an Arrow ``group_by`` — fully vectorized."""
+
+    def __init__(self, num_parts: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+        if num_parts < 1 or num_parts & (num_parts - 1):
+            raise ValueError(f"num_parts must be a power of two, got {num_parts}")
+        self.mask = np.uint64(num_parts - 1)
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.doc_extract import _duck
+        from .dedup import _token_hash_array
+
+        id_type = batch[self.id_col].type
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], pa.string()),
+                pa.array([], id_type),
+                pa.array([], pa.int32()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int32()),
+            ],
+            names=["term", "doc_id", "tf", "dl", "part"],
+        )
+        if batch.num_rows == 0:
+            return empty
+        lowered = pc.cast(pc.utf8_lower(batch[self.text_col]), pa.large_string())
+        tbl = pa.table({"t": lowered})  # noqa: F841 — duckdb reads it by name
+        toks = (
+            _duck()
+            .execute(f"SELECT regexp_extract_all(t, '{WORD_PATTERN}') AS m FROM tbl")
+            .arrow()["m"]
+            .combine_chunks()
+        )
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return empty
+        rep = np.repeat(np.arange(batch.num_rows, dtype=np.int64), dl)
+        counted = (
+            pa.table({"di": pa.array(rep), "term": flat})
+            .group_by(["di", "term"])
+            .aggregate([("term", "count")])
+        )
+        di = counted["di"].to_numpy(zero_copy_only=False)
+        terms = counted["term"]
+        th = _token_hash_array(terms.to_pylist())  # worker-global Zipfian cache
+        return pa.Table.from_arrays(
+            [
+                pc.cast(terms.combine_chunks() if isinstance(terms, pa.ChunkedArray) else terms, pa.string()),
+                batch[self.id_col].take(pa.array(di)),
+                pc.cast(counted["term_count"].combine_chunks(), pa.int32()),
+                pa.array(dl[di], pa.int64()),
+                pa.array((th & self.mask).astype(np.int32), pa.int32()),
+            ],
+            names=["term", "doc_id", "tf", "dl", "part"],
+        )
+
+
+def build_or_load_text_index(parquet_path: str, num_parts: int = 64, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """Build (once) or load the persisted postings index for a documents
+    table. Same persistence discipline as the IVF index: atomic
+    ``_SUCCESS``-gated rename, hive-partitioned parquet, so the second
+    query skips the corpus entirely. Returns the index directory."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    idx = _fts_cache_dir(parquet_path, num_parts)
+    if os.path.exists(f"{idx}/_SUCCESS"):
+        return idx
+
+    ds = rd.read_parquet(parquet_path, columns=[id_col, text_col])
+    postings = ds.map_batches(
+        PostingsBuilder(num_parts, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=4,
+    )
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    postings.write_parquet(f"{tmp}/postings", partition_cols=["part"])
+
+    # corpus stats over DOCUMENTS (zero-token docs count toward n/avgdl
+    # even though they never appear in postings) — one pruned-column pass
+    def partial(t: pa.Table) -> pa.Table:
+        dl = pc.cast(pc.count_substring_regex(pc.utf8_lower(t[text_col]), WORD_PATTERN), pa.int64())
+        return pa.table({"n": [t.num_rows], "sum_dl": [pc.sum(dl).as_py() or 0]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl")
+    )
+    n_docs = int(agg["n"])
+    stats = {
+        "n_docs": n_docs,
+        "avgdl": (agg["sum_dl"] or 0) / max(n_docs, 1),
+        "num_parts": num_parts,
+        "version": _FTS_VERSION,
+    }
+    with open(f"{tmp}/stats.json", "w") as f:
+        json.dump(stats, f)
+    with open(f"{tmp}/_SUCCESS", "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, idx)
+    except OSError:  # concurrent builder won the rename — use theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return idx
+
+
+def _pruned_postings(index_dir: str, terms: list[str]):
+    """Partition-pruned postings for the query terms: only the terms'
+    ``part=`` directories are even listed. Returns (dataset|None, stats)."""
+    import ray.data as rd
+
+    with open(f"{index_dir}/stats.json") as f:
+        stats = json.load(f)
+    mask = stats["num_parts"] - 1
+    parts = sorted({hash64(t) & mask for t in terms})
+    paths = [
+        f
+        for p in parts
+        for f in sorted(glob.glob(f"{index_dir}/postings/part={p}/*.parquet"))
+    ]
+    if not paths:
+        return None, stats
+    term_set = pa.array(terms, pa.string())
+    cand = rd.read_parquet(paths, columns=["term", "doc_id", "tf", "dl"])
+    return (
+        cand.map_batches(
+            lambda t: t.filter(pc.is_in(t["term"], value_set=term_set)),
+            batch_format="pyarrow",
+        ),
+        stats,
+    )
+
+
+def _empty_scores() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["doc_id", "score"]
+    )
+
+
+def term_tf_topk(index_dir: str, term: str, k: int = 20):
+    """Index-backed O30 search: score = token tf of ``term``, top-k by
+    (score desc, doc_id asc). Reads only the term's partition."""
+    import ray.data as rd
+
+    pruned, _stats = _pruned_postings(index_dir, [term])
+    if pruned is None:
+        return rd.from_arrow(_empty_scores())
+
+    def score(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["doc_id"], pa.int64()), pc.cast(t["tf"], pa.int64())],
+            names=["doc_id", "score"],
+        )
+
+    return (
+        pruned.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def bm25_index_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """Index-backed BM25 top-k over the persisted postings.
+
+    df comes from the pruned postings (each (term, doc) row exists iff
+    tf>0, so df = row count per term); n/avgdl from stats.json. Scoring
+    is vectorized; the only shuffle is the per-doc Sum over candidate
+    rows. Matches the DuckDB twin's formula exactly: contributions are
+    summed per doc and half-away-rounded to 4 decimals at the end.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    terms = list(terms)
+    pruned, stats = _pruned_postings(index_dir, terms)
+    if pruned is None:
+        return rd.from_arrow(_empty_scores())
+    pruned = pruned.materialize()  # consumed twice: df aggregate + scoring
+    term_arr = pa.array(terms, pa.string())
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["term"], value_set=term_arr).to_numpy(zero_copy_only=False)
+        return pa.table({f"df_{i}": [int((idx == i).sum())] for i in range(len(terms))})
+
+    agg = pruned.map_batches(df_partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
+    )
+    if not agg:  # partitions existed but held none of the query terms
+        return rd.from_arrow(_empty_scores())
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    idf = np.array(
+        [
+            np.log((n_docs - (agg[f"df_{i}"] or 0) + 0.5) / ((agg[f"df_{i}"] or 0) + 0.5) + 1.0)
+            for i in range(len(terms))
+        ],
+        dtype=np.float64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(t["term"], value_set=term_arr).to_numpy(zero_copy_only=False)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = idf[ti] * (tf * (k1 + 1.0)) / (tf + norm)
+        return pa.Table.from_arrays(
+            [pc.cast(t["doc_id"], pa.int64()), pa.array(s, pa.float64())],
+            names=["doc_id", "part_score"],
+        )
+
+    summed = (
+        pruned.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("part_score", alias_name="raw"))
+    )
+    return (
+        summed.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"],
+                    pa.array(round_half_away(t["raw"].to_numpy(zero_copy_only=False), 4), pa.float64()),
+                ],
+                names=["doc_id", "score"],
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

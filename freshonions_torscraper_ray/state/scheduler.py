@@ -358,6 +358,45 @@ class SchedulerShardState:
     def banned_buffer(self) -> list[tuple[str, str]]:
         return list(self.banned_rows)
 
+    def write_frontier_part(self, out_dir: str) -> int:
+        """Shard-side frontier export (round-2 VERDICT fix): this shard
+        writes its pending residue as ITS OWN parquet partition — frontier
+        rows never aggregate on the driver. ``out_dir`` must be shared
+        storage on a multi-node cluster. Always writes a (possibly 0-row)
+        part so readers see a consistent directory schema."""
+        import pyarrow.parquet as _pq
+
+        rows = self.frontier_rows()
+        os.makedirs(out_dir, exist_ok=True)
+        t = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+                pa.array([int(r[2]) for r in rows], pa.int32()),
+            ],
+            names=["url", "domain", "depth"],
+        )
+        _pq.write_table(t, os.path.join(out_dir, f"shard-{self.shard_id:05d}.parquet"))
+        return len(rows)
+
+    def write_banned_part(self, out_dir: str) -> int:
+        """Shard-side export of the not-yet-drained banned buffer
+        (url, domain) — same partition-per-shard contract as
+        ``write_frontier_part``."""
+        import pyarrow.parquet as _pq
+
+        rows = self.banned_rows
+        os.makedirs(out_dir, exist_ok=True)
+        t = pa.Table.from_arrays(
+            [
+                pa.array([r[0] for r in rows], pa.string()),
+                pa.array([r[1] for r in rows], pa.string()),
+            ],
+            names=["url", "domain"],
+        )
+        _pq.write_table(t, os.path.join(out_dir, f"shard-{self.shard_id:05d}.parquet"))
+        return len(rows)
+
     # ------------------------------------------------------- checkpoints
 
     def _dom_blob(self, d: DomainState) -> tuple:
@@ -412,6 +451,26 @@ class SchedulerShardState:
             s.banned_rows = list(d.get("banned_rows", []))
             for dom, b in d["domains"].items():
                 s.domains[dom] = cls._dom_from_blob(b)
+        # Checkpoints serialize only spill-run METADATA (path + offset);
+        # the .run files live outside the committed round data. Fail
+        # loudly AT RESTORE if a referenced run is gone (spill dir lost /
+        # restored on a different node) instead of a bare
+        # FileNotFoundError later inside _refill mid-round.
+        missing = sorted(
+            {
+                run[0]
+                for dom in s.domains.values()
+                for run in dom.runs
+                if not os.path.exists(run[0])
+            }
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"shard {s.shard_id}: checkpoint references {len(missing)} frontier "
+                f"spill run(s) that no longer exist (first: {missing[0]!r}). Spill "
+                f"runs are node-local scratch outside round commits — restore on the "
+                f"node that owns the spill dir, or restart the crawl fresh."
+            )
         return s
 
 
@@ -489,7 +548,9 @@ def make_scheduler_actor():
             sort + fetch_order = base..base+n, persist the schedule part,
             split by content bucket and ray.put each block. Returns small
             (bucket, n_rows, block_ref) tuples — the driver routes refs to
-            the bucket-pinned fetch workers without touching row data."""
+            the bucket-pinned fetch workers without touching row data.
+            ``rnd`` keys the part filename for debuggability (round-2
+            ADVICE: it was previously unused)."""
             import pyarrow.parquet as pq
 
             tabs = [x for x in ray.get(list(slice_refs)) if x.num_rows]
@@ -502,7 +563,7 @@ def make_scheduler_actor():
             )
             d = os.path.join(tmp_dir, "schedule")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(out, os.path.join(d, f"part-base{base:012d}.parquet"))
+            pq.write_table(out, os.path.join(d, f"part-r{rnd:06d}-base{base:012d}.parquet"))
             return [
                 (b, blk.num_rows, ray.put(blk)) for b, blk in split_by_bucket(out, n_buckets)
             ]
@@ -522,6 +583,12 @@ def make_scheduler_actor():
 
         def banned_buffer(self):
             return self.s.banned_buffer()
+
+        def write_frontier_part(self, out_dir):
+            return self.s.write_frontier_part(out_dir)
+
+        def write_banned_part(self, out_dir):
+            return self.s.write_banned_part(out_dir)
 
         def state_bytes(self):
             return self.s.state_bytes()

@@ -155,18 +155,36 @@ class RoundStore:
     def table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self._round_dir(rnd), name)
 
-    def read_all_rounds(self, name: str, upto: int | None = None) -> pa.Table | None:
-        """Concatenate a table across all committed rounds (append log)."""
-        parts = []
+    def table_dirs(self, name: str, upto: int | None = None) -> list[str]:
+        """Committed per-round directories for a table."""
+        paths = []
         last = self.latest_round()
         if last is None:
-            return None
+            return paths
         for rnd in range(last + 1):
+            if upto is not None and rnd > upto:
+                break
             tdir = os.path.join(self._round_dir(rnd), name)
             if os.path.exists(os.path.join(self._round_dir(rnd), "manifest.json")) and os.path.exists(tdir):
-                if upto is not None and rnd > upto:
-                    break
-                parts.append(pq.read_table(tdir))
+                paths.append(tdir)
+        return paths
+
+    def table_paths(self, name: str, upto: int | None = None) -> list[str]:
+        """Committed parquet FILES for a table across rounds — the LAZY
+        read surface: hand these to ``ray.data.read_parquet`` so the scan
+        runs on workers, never the driver (a path list disables Ray's
+        directory expansion, so expand here)."""
+        import glob
+
+        return [
+            f
+            for tdir in self.table_dirs(name, upto)
+            for f in sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+        ]
+
+    def read_all_rounds(self, name: str, upto: int | None = None) -> pa.Table | None:
+        """Concatenate a table across all committed rounds (append log)."""
+        parts = [pq.read_table(tdir) for tdir in self.table_dirs(name, upto)]
         if not parts:
             return None
         return pa.concat_tables(parts)

@@ -4,6 +4,7 @@ match the oracle when the ONLY seed is a robots-disallow-all domain."""
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -43,7 +44,7 @@ def test_banned_only_round_persists_seen(tmp_path):
         assert stats["fetched_total"] == 0
         assert eng.crawl_order() == oracle.crawl_order == []
         assert oracle.seen == {seed_url}
-        assert eng.seen_set() == oracle.seen  # the banned seed is still "seen"
+        assert seen_set(eng) == oracle.seen  # the banned seed is still "seen"
         banned = eng.store.read_all_rounds("banned")
         assert banned is not None and banned["url"].to_pylist() == [seed_url]
     finally:

@@ -8,6 +8,7 @@ config to the oracle; this pins configs to EACH OTHER, so the claim
 
 import shutil
 
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -43,7 +44,7 @@ def _run(web_dir, tmp_path_factory, cfg):
     eng = CrawlEngine(web_dir, str(store), cfg)
     eng.run()
     order = eng.crawl_order()
-    seen = eng.seen_set()
+    seen = seen_set(eng)
     t = eng.pages_table()
     pages = sorted(
         zip(t["url"].to_pylist(), t["clone_fp"].to_pylist(), t["round"].to_pylist())

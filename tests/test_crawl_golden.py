@@ -7,6 +7,7 @@ under the same seed list + politeness budget (BASELINE.json north_rule).
 import shutil
 
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -58,7 +59,7 @@ def test_crawl_order_matches_oracle(engine, oracle_result):
 
 
 def test_seen_set_matches_oracle(engine, oracle_result):
-    assert engine.seen_set() == oracle_result.seen
+    assert seen_set(engine) == oracle_result.seen
 
 
 def test_page_contents_match_oracle(engine, oracle_result):
@@ -183,6 +184,6 @@ def test_resume_equals_uninterrupted(web_dir, tmp_path_factory, engine, ray_sess
             break
     try:
         assert eng2.crawl_order() == engine.crawl_order()
-        assert eng2.seen_set() == engine.seen_set()
+        assert seen_set(eng2) == seen_set(engine)
     finally:
         eng2.shutdown()

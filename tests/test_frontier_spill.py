@@ -8,6 +8,7 @@ import glob
 import shutil
 
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -54,7 +55,7 @@ def test_spill_crawl_matches_oracle(web_dir, tmp_path_factory, oracle_result, ra
         spill_files = glob.glob(f"{store}/frontier_spill/*/*.run")
         assert spill_files, "tiny frontier bounds must force disk spill runs"
         assert eng.crawl_order() == oracle_result.crawl_order
-        assert eng.seen_set() == oracle_result.seen
+        assert seen_set(eng) == oracle_result.seen
         import ray
 
         residue = {
@@ -86,6 +87,6 @@ def test_spill_resume_equals_uninterrupted(web_dir, tmp_path_factory, oracle_res
             break
     try:
         assert eng2.crawl_order() == oracle_result.crawl_order
-        assert eng2.seen_set() == oracle_result.seen
+        assert seen_set(eng2) == oracle_result.seen
     finally:
         eng2.shutdown()

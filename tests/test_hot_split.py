@@ -13,6 +13,7 @@ min-seq, arrival-order independent).
 import shutil
 
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -115,7 +116,7 @@ def test_crawl_order_exact_under_splitting(engine, oracle_result):
 
 
 def test_seen_set_exact_under_splitting(engine, oracle_result):
-    assert engine.seen_set() == oracle_result.seen
+    assert seen_set(engine) == oracle_result.seen
 
 
 def test_page_contents_exact_under_splitting(engine, oracle_result):

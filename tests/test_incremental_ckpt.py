@@ -3,6 +3,7 @@ must reproduce the uninterrupted run exactly, and deltas must be small
 relative to fulls."""
 
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -60,7 +61,7 @@ def test_resume_from_delta_chain(tmp_path):
             break
     try:
         assert eng2.crawl_order() == ref.crawl_order()
-        assert eng2.seen_set() == ref.seen_set()
+        assert seen_set(eng2) == seen_set(ref)
     finally:
         eng2.shutdown()
         ref.shutdown()

@@ -5,6 +5,7 @@ of times with depressed priority."""
 import collections
 
 import pyarrow.parquet as pq
+from tests.conftest import seen_set
 import pytest
 
 from freshonions_torscraper_ray.config import CrawlConfig
@@ -59,7 +60,7 @@ def test_recheck_crawl_order_matches_oracle(engine, oracle_result):
 
 
 def test_recheck_seen_set_matches_oracle(engine, oracle_result):
-    assert engine.seen_set() == oracle_result.seen
+    assert seen_set(engine) == oracle_result.seen
 
 
 def test_recheck_pages_match(engine, oracle_result):

@@ -96,3 +96,27 @@ def test_scheduler_checkpoint_roundtrip():
     s2 = SchedulerShardState.from_state_bytes(s.state_bytes())
     assert s2.pending_count() == s.pending_count()
     assert s2.schedule() == s.schedule()
+
+def test_scheduler_restore_fails_loudly_on_missing_spill_runs(tmp_path):
+    """Checkpoints carry spill-run METADATA only; restoring after the
+    spill dir is gone must fail at restore time with a clear error, not
+    a bare FileNotFoundError later inside _refill (round-2 ADVICE)."""
+    import shutil
+
+    import pytest
+
+    cfg = mk_cfg(frontier_head_max=4, frontier_fresh_max=4, frontier_refill_chunk=4)
+    dom = "f" * 16 + ".onion"
+    spill = tmp_path / "spill"
+    spill.mkdir()
+    s = SchedulerShardState(2, cfg, {}, str(spill))
+    s.add_urls([(f"http://{dom}/p/{i}", dom, 1, 1.0, i) for i in range(40)])
+    s.schedule()  # triggers merge+spill past the head bound
+    blob = s.state_bytes()
+    assert any(d.runs for d in s.domains.values()), "fixture must actually spill"
+    # restore works while runs exist ...
+    SchedulerShardState.from_state_bytes(blob)
+    # ... and fails loudly once the spill dir is lost
+    shutil.rmtree(spill)
+    with pytest.raises(FileNotFoundError, match="spill run"):
+        SchedulerShardState.from_state_bytes(blob)

@@ -23,6 +23,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from ..functions.regexes import WORD_PATTERN
@@ -437,40 +438,94 @@ class ExactJaccardVerifier:
         return batch.append_column("jaccard", pa.array(jac))
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """uint64 SimHash per doc, batched: ONE RE2 token scan + vectorized
+    64-bit token hashing for the whole batch (DuckDB
+    ``regexp_extract_all`` + ``hash()`` — the same vectorized kernel
+    library as ``findall_batch``), then per-doc bit voting on small
+    cache-resident matrices.
+
+    Replaces the per-doc Python ``re.findall`` + per-token dict-cache
+    loop (the round-2 enrich bottleneck, ~1.1k urls/s/core). The
+    WHOLE-BLOCK voting matrix was tried and REVERTED in round 2 (BENCH
+    ledger: it saturates shared DRAM at 32 workers); per-doc
+    64·n_tokens-byte uint8 matrices stay L2-resident. Token-hash family
+    = DuckDB ``hash()`` — engine-internal only (simhash surfaces are
+    rows-only or compared engine-vs-engine, never against a fixed
+    external value), so the family is free to choose for speed.
+    """
+    from ..functions.doc_extract import _duck
+
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.large_string())
+    tbl = pa.table({"t": pc.cast(pc.fill_null(texts, ""), pa.large_string())})  # noqa: F841 — duckdb reads it by name
+    pat = WORD_PATTERN.replace("'", "''")
+    # tokenize the ORIGINAL text, lower per token: for the word class
+    # [A-Za-z0-9_] the token sequence equals tokenize(lower(text)) while
+    # letting one token scan also serve the (case-sensitive) quality
+    # stats in the fused enrich path
+    hs_col = (
+        _duck()
+        .execute(f"SELECT list_transform(regexp_extract_all(t, '{pat}'), x -> hash(lower(x))) AS hs FROM tbl")
+        .arrow()["hs"]
+        .combine_chunks()
+    )
+    dl = pc.list_value_length(hs_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(hs_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return vote_simhash(dl, flat)
+
+
+def vote_simhash(dl: np.ndarray, flat: np.ndarray) -> np.ndarray:
+    """Per-doc SimHash bit voting over a flattened token-hash array
+    (``dl[i]`` hashes per doc, concatenated in ``flat``). Small per-doc
+    uint8 matrices stay L2-resident — see simhash_batch docstring."""
+    offs = np.zeros(len(dl) + 1, dtype=np.int64)
+    np.cumsum(dl, out=offs[1:])
+    out = np.zeros(len(dl), dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i in range(len(dl)):
+        n = int(dl[i])
+        if n == 0:
+            continue  # tokenless doc → simhash 0 (no bit wins a vote)
+        # unpackbits(little) on the little-endian byte view keeps column
+        # j == bit j of the uint64; ones[j] = #tokens voting bit j set
+        ones = np.unpackbits(
+            flat[offs[i] : offs[i + 1]].view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
+        ).sum(axis=0, dtype=np.int64)
+        out[i] = weights[2 * ones > n].sum()
+    return out
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (token-hash bit voting)."""
-    toks = re.findall(WORD_PATTERN, text.lower())
-    if not toks:
-        return 0
-    hs = _token_hash_array(toks)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    votes = bits.sum(axis=0) * 2 - len(toks)
-    return int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    """64-bit SimHash over word tokens (token-hash bit voting) — scalar
+    twin of ``simhash_batch`` (delegates, so the two can never diverge)."""
+    return int(simhash_batch([text])[0])
 
 
 class SimHasher:
-    """map_batches stage: text → simhash + 4×16-bit LSH chunk keys."""
+    """map_batches stage: text → simhash + 4×16-bit LSH chunk keys.
+    Fully vectorized: one simhash_batch call, numpy chunk-key expansion."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        texts = batch[self.text_col].to_numpy(zero_copy_only=False)
-        out_id, out_chunk, out_key, out_sim = [], [], [], []
-        for i, t in enumerate(texts):
-            sh = simhash64(t)
-            for c in range(4):
-                out_id.append(ids[i])
-                out_chunk.append(c)
-                out_key.append((sh >> (16 * c)) & 0xFFFF)
-                out_sim.append(sh & ((1 << 63) - 1) if sh < (1 << 63) else sh - (1 << 64))
+        ids = batch[self.id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        sh = simhash_batch(batch[self.text_col])
+        n = len(sh)
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
+        chunks = np.tile(np.arange(4, dtype=np.int32), n)
+        keys = (
+            (sh[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :])
+            & np.uint64(0xFFFF)
+        ).astype(np.int32).ravel()
         return pa.Table.from_arrays(
             [
-                pa.array(out_id, batch[self.id_col].type),
-                pa.array(out_chunk, pa.int32()),
-                pa.array(out_key, pa.int32()),
-                pa.array(out_sim, pa.int64()),
+                ids.take(pa.array(rep)),
+                pa.array(chunks),
+                pa.array(keys),
+                pa.array(np.repeat(sh.view(np.int64), 4)),  # two's-complement signed
             ],
             names=["doc_id", "chunk_id", "chunk_key", "simhash"],
         )

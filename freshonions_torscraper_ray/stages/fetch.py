@@ -243,20 +243,14 @@ def enrich_pages(pages: pa.Table) -> pa.Table:
     text (reference O10 — Domain.language), quality stats, simhash
     fingerprint. Runs inside the fetch actor so text never leaves it
     unenriched; all deterministic (token-hash cache amortizes cost)."""
-    from .dedup import simhash64
-    from .textstats import LangId, quality_scores
+    from .textstats import enrich_fused
 
-    pages = quality_scores(pages, "text")
-    pages = LangId()(pages)
-    texts = pages["text"].to_numpy(zero_copy_only=False)
-    def _signed(v: int) -> int:
-        return v - (1 << 64) if v >= (1 << 63) else v  # same two's-complement
-        # conversion as dedup.SimHasher — fingerprints must join across tables
-
-    sims = np.fromiter(
-        (_signed(simhash64(t)) for t in texts), dtype=np.int64, count=len(texts)
-    )
-    return pages.append_column("simhash", pa.array(sims))
+    # ONE text pass serves quality stats, language ID AND simhash (fused
+    # DuckDB kernel — replaces ~24 per-batch text scans); .view(int64)
+    # is the same two's-complement conversion as dedup.SimHasher —
+    # fingerprints must join across tables
+    pages, sims = enrich_fused(pages, "text")
+    return pages.append_column("simhash", pa.array(sims.view(np.int64)))
 
 
 def derive_round_tables(wide: pa.Table, rnd: int, enrich: bool = False) -> dict[str, pa.Table]:

@@ -35,6 +35,17 @@ _STOPWORD_RX = r"\b(?:" + "|".join(STOPWORDS) + r")\b"  # RE2 \b = same
 _WORDCHAR_RX = "[A-Za-z0-9_]"
 
 
+def _quality_columns(batch: pa.Table, n_tok, n_stop, n_chars) -> pa.Table:
+    """Append the three quality columns from raw counts — the one shared
+    formula (rounding included) behind both the 3-scan and fused paths."""
+    denom = np.maximum(n_tok, 1)
+    mean_len = round_half_away(np.where(n_tok > 0, n_chars / denom, 0.0), 4)
+    ratio = round_half_away(np.where(n_tok > 0, n_stop / denom, 0.0), 4)
+    out = batch.append_column("n_tokens", pa.array(n_tok))
+    out = out.append_column("stop_ratio", pa.array(ratio))
+    return out.append_column("mean_token_len", pa.array(mean_len))
+
+
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics: token count, stopword ratio, mean token length.
 
@@ -51,12 +62,61 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_tok = pc.cast(pc.count_substring_regex(txt, WORD_PATTERN), pa.int64()).to_numpy(zero_copy_only=False)
     n_stop = pc.cast(pc.count_substring_regex(txt, _STOPWORD_RX), pa.int64()).to_numpy(zero_copy_only=False)
     n_chars = pc.cast(pc.count_substring_regex(txt, _WORDCHAR_RX), pa.int64()).to_numpy(zero_copy_only=False)
-    denom = np.maximum(n_tok, 1)
-    mean_len = round_half_away(np.where(n_tok > 0, n_chars / denom, 0.0), 4)
-    ratio = round_half_away(np.where(n_tok > 0, n_stop / denom, 0.0), 4)
-    out = batch.append_column("n_tokens", pa.array(n_tok))
-    out = out.append_column("stop_ratio", pa.array(ratio))
-    return out.append_column("mean_token_len", pa.array(mean_len))
+    return _quality_columns(batch, n_tok, n_stop, n_chars)
+
+
+def enrich_fused(batch: pa.Table, text_col: str = "text") -> tuple[pa.Table, np.ndarray]:
+    """Quality columns + language ID + uint64 simhashes from ONE text
+    pass (single DuckDB query per batch).
+
+    The fused enrich kernel: ``regexp_extract_all(WORD_PATTERN)`` once,
+    then everything falls out vectorized in DuckDB —
+    n_tok = len(ts); n_chars = Σ len(token) (== the single word-char
+    count: every token char counted exactly once); n_stop = tokens ∈
+    STOPWORDS (== the \\b-bounded matches: a bounded match is exactly a
+    maximal word-char run, i.e. a whole token); token hashes =
+    hash(lower(token)) — the dedup.simhash_batch family; language-ID
+    trigram flags = contains(lower(t), tri) (== Arrow match_substring
+    on the lowered text), classified by the same ``LangId.classify``.
+    Counts are integer-identical to quality_scores' three-scan form
+    (same RE2) and pred_lang to the LangId Arrow path, so the fused and
+    standalone paths agree bit-for-bit; enrich pays one text scan
+    instead of ~24 (3 quality regex + 20 trigram + simhash).
+    """
+    from ..functions.doc_extract import _duck
+    from .dedup import vote_simhash
+
+    li = LangId()
+    txt = batch[text_col]
+    txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    tbl = pa.table({"t": pc.cast(pc.fill_null(txt, ""), pa.large_string())})  # noqa: F841 — duckdb reads it by name
+    pat = WORD_PATTERN.replace("'", "''")
+    stop_sql = ", ".join("'{}'".format(s.replace("'", "''")) for s in STOPWORDS)
+    tri_sql = "".join(
+        ", contains(lt, '{}') AS tri_{}".format(t.replace("'", "''"), i)
+        for i, t in enumerate(li.trigrams)
+    )
+    res = _duck().execute(
+        f"SELECT len(ts)::BIGINT AS n_tok,"
+        f" coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT AS n_chars,"
+        f" len(list_filter(ts, x -> x IN ({stop_sql})))::BIGINT AS n_stop,"
+        f" list_transform(ts, x -> hash(lower(x))) AS hs"
+        f"{tri_sql}"
+        f" FROM (SELECT regexp_extract_all(t, '{pat}') AS ts, lower(t) AS lt FROM tbl)"
+    ).arrow()
+    n_tok = res["n_tok"].to_numpy(zero_copy_only=False)
+    n_chars = res["n_chars"].to_numpy(zero_copy_only=False)
+    n_stop = res["n_stop"].to_numpy(zero_copy_only=False)
+    hs_col = res["hs"].combine_chunks()
+    flat = pc.list_flatten(hs_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    sims = vote_simhash(n_tok.astype(np.int64), flat)
+    pres = {
+        t: pc.cast(res[f"tri_{i}"], pa.int8()).to_numpy(zero_copy_only=False)
+        for i, t in enumerate(li.trigrams)
+    }
+    out = _quality_columns(batch, n_tok, n_stop, n_chars)
+    out = out.append_column("pred_lang", li.classify(pres, batch.num_rows))
+    return out, sims
 
 
 def md5_fingerprints(batch: pa.Table, text_col: str = "text", out_col: str = "fp") -> pa.Table:
@@ -88,23 +148,29 @@ class LangId:
         # tie-break, same as the scalar "n > best_n" loop
         self.trigrams = sorted({t for s in self.profiles.values() for t in s})
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        """Vectorized: per-trigram substring presence (a text's trigram
-        set contains t iff t is a substring), summed into a docs×langs
-        count matrix; argmax + zero-mask reproduces the scalar loop."""
-        low = pc.utf8_lower(batch["text"])
-        pres = {
-            t: pc.cast(pc.match_substring(low, t), pa.int8()).to_numpy(zero_copy_only=False)
-            for t in self.trigrams
-        }
-        m = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int32)
+    def classify(self, pres: dict[str, np.ndarray], n: int) -> pa.Array:
+        """Shared classification core: per-trigram presence vectors →
+        docs×langs count matrix → argmax + zero-mask (reproduces the
+        scalar "n > best_n" loop). Used by both the Arrow path below and
+        the fused-DuckDB enrich kernel — one definition, two producers."""
+        m = np.zeros((n, len(self.langs)), dtype=np.int32)
         for j, lang in enumerate(self.langs):
             for t in self.profiles[lang]:
                 m[:, j] += pres[t]
         best = np.argmax(m, axis=1)
         hit = m[np.arange(len(best)), best] > 0
         out = np.where(hit, np.asarray(self.langs, dtype=object)[best], "und")
-        return batch.append_column("pred_lang", pa.array(out.tolist(), pa.string()))
+        return pa.array(out.tolist(), pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Vectorized: per-trigram substring presence (a text's trigram
+        set contains t iff t is a substring), summed via ``classify``."""
+        low = pc.utf8_lower(batch["text"])
+        pres = {
+            t: pc.cast(pc.match_substring(low, t), pa.int8()).to_numpy(zero_copy_only=False)
+            for t in self.trigrams
+        }
+        return batch.append_column("pred_lang", self.classify(pres, batch.num_rows))
 
 
 def extract_pattern_rows(

@@ -61,8 +61,14 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
 
@@ -76,6 +82,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     n_pass = n_fail = n_rowsonly = 0
+    report: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -83,17 +90,20 @@ def main():
             mine = normalize(to_pandas(fn(sf_dir)))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            report[name] = {"status": "fail", "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         sql = ORACLE_SQL.get(name)
         if sql is None:
             print(f"ROWS {name}: {len(mine)} rows (no oracle)")
+            report[name] = {"status": "rows_only", "rows": len(mine)}
             n_rowsonly += 1
             continue
         try:
             oracle = normalize(con.execute(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle raised {e}")
+            report[name] = {"status": "fail", "err": f"oracle: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -108,11 +118,22 @@ def main():
                 problems.append(f"first diffs:\n{merged.head(5)}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(str(p) for p in problems))
+            report[name] = {"status": "fail", "err": "; ".join(str(p) for p in problems)}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(mine)} rows")
+            report[name] = {"status": "pass", "rows": len(mine)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_rows_only": n_rowsonly, "queries": report},
+                f, indent=1,
+            )
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 

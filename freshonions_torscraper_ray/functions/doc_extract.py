@@ -119,8 +119,9 @@ _DUCK_CON = None  # per-process cached connection (threads=1 — each Ray
 
 def _duck():
     """The per-process DuckDB connection used as a vectorized string/
-    regex kernel library (findall_batch here; quality_lang_fused in
-    stages/textstats.py)."""
+    regex kernel library (findall_batch here; enrich_fused in
+    stages/textstats.py; simhash_batch in stages/dedup.py; the postings
+    builder in stages/text_index.py)."""
     global _DUCK_CON
     if _DUCK_CON is None:
         import duckdb

@@ -48,6 +48,47 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_genuine
         FROM documents
     """,
+    # n-gram Jaccard near-dup: word 5-gram shingles (same lowercased
+    # [a-z0-9_]+ tokenizer as the engine), candidates = pairs sharing a
+    # shingle with document frequency in [2, 20] (stop-shingle pruning),
+    # jaccard = EXACT distinct-shingle-set overlap as one raw double
+    # division (bit-identical to the engine's integer-division double)
+    "dedup_jaccard": """
+        WITH words AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+          FROM documents
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS sh
+          FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+        elig AS (
+          SELECT sh FROM shingles GROUP BY sh
+          HAVING count(*) BETWEEN 2 AND 20
+        ),
+        cand AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+          FROM shingles a JOIN elig USING (sh) JOIN shingles b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nboth
+          FROM shingles a JOIN shingles b USING (sh)
+          JOIN (SELECT doc_a, doc_b FROM cand) c
+            ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b, c.n_shared,
+               CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.5
+    """,
     "ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT CAST(0 AS BIGINT) AS query_id, vec_id,

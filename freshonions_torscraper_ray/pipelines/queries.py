@@ -183,6 +183,32 @@ def q_dedup_simhash(sf_dir: str):
     return dd.simhash_near_dups(ds, max_hamming=6)
 
 
+# k=5 shingles + tight stop-shingle cutoff: the synthetic corpus draws
+# from a SMALL vocabulary, so 3-grams collide across unrelated docs
+# (sf0.1: 1.2M candidate expansions, one task pegged for minutes);
+# 5-grams keep candidates ∝ true near-dups (sf0.1: 13k expansions, 256
+# verified pairs) while still catching every planted dup (jaccard ≈ 0.99)
+DEDUP_JACCARD_K = 5
+DEDUP_JACCARD_THRESHOLD = 0.5
+DEDUP_JACCARD_MAX_DF = 20
+
+
+def q_dedup_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup pairs — the EXACT (non-sketch) member of
+    the near-dup family, and the one with a full SQL expression: a
+    distributed inverted shingle index (df-bounded candidate generation)
+    + exact shingle-set Jaccard verification. Output (doc_a, doc_b,
+    n_shared eligible shingles, raw-double jaccard) hash-matches the
+    DuckDB twin bit-for-bit — no rounding anywhere."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dd.jaccard_near_dups(
+        ds,
+        k=DEDUP_JACCARD_K,
+        threshold=DEDUP_JACCARD_THRESHOLD,
+        max_df=DEDUP_JACCARD_MAX_DF,
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: simhash pair graph → connected components →
     (doc_id, component, keep) — the step after any pair-producing dedup
@@ -694,6 +720,7 @@ QUERIES = {
     "clone_groups": q_clone_groups,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_jaccard": q_dedup_jaccard,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,

@@ -289,15 +289,18 @@ def minhash_candidate_pairs(ds, params: MinHashParams = MinHashParams(), id_col:
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
-def _exact_jaccard(sa: np.ndarray, sb: np.ndarray) -> float:
+def _exact_jaccard(sa: np.ndarray, sb: np.ndarray, digits: int | None = 4) -> float:
     if sa.size == 0 and sb.size == 0:
         return 1.0
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     denom = sa.size + sb.size - inter
-    return round(inter / denom, 4) if denom else 0.0
+    if not denom:
+        return 0.0
+    j = inter / denom
+    return round(j, digits) if digits is not None else j
 
 
-def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8, broadcast_threshold: int = 20_000):
+def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8, broadcast_threshold: int = 20_000, digits: int | None = 4):
     """Scale-true exact-Jaccard verification of candidate pairs.
 
     Never materializes corpus text on the driver (the round-1
@@ -364,7 +367,7 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
             v = _VERIFIER_CACHE.get(tref.hex())
             if v is None:
                 _VERIFIER_CACHE.clear()
-                v = _VERIFIER_CACHE[tref.hex()] = ExactJaccardVerifier(tref, shingle_k)
+                v = _VERIFIER_CACHE[tref.hex()] = ExactJaccardVerifier(tref, shingle_k, digits)
             return v(t)
 
         return pairs_mat.map_batches(verify, batch_format="pyarrow")
@@ -392,7 +395,7 @@ def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc
 
         jac = np.empty(len(a_ids), dtype=np.float64)
         for i in range(len(a_ids)):
-            jac[i] = _exact_jaccard(sh(a_ids[i], a_txt[i]), sh(b_ids[i], b_txt[i]))
+            jac[i] = _exact_jaccard(sh(a_ids[i], a_txt[i]), sh(b_ids[i], b_txt[i]), digits)
         keep = [c for c in t.column_names if c not in ("id_a", "id_b", "text_a", "text_b")]
         return t.select(keep).append_column("jaccard", pa.array(jac))
 
@@ -410,11 +413,12 @@ class ExactJaccardVerifier:
     ``verify_pairs_distributed`` — the dict it receives there holds ONLY
     candidate-filtered texts (O(pairs)), never the corpus."""
 
-    def __init__(self, texts_ref, shingle_k: int = 3):
+    def __init__(self, texts_ref, shingle_k: int = 3, digits: int | None = 4):
         import ray
 
         self.texts = ray.get(texts_ref)
         self.k = shingle_k
+        self.digits = digits
         self._cache: dict = {}
 
     def _sh(self, doc_id):
@@ -429,31 +433,17 @@ class ExactJaccardVerifier:
         b_ids = batch["doc_b"].to_numpy(zero_copy_only=False)
         jac = np.empty(len(a_ids), dtype=np.float64)
         for i in range(len(a_ids)):
-            sa, sb = self._sh(a_ids[i]), self._sh(b_ids[i])
-            if sa.size == 0 and sb.size == 0:
-                jac[i] = 1.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            jac[i] = round(inter / (sa.size + sb.size - inter), 4) if (sa.size + sb.size - inter) else 0.0
+            jac[i] = _exact_jaccard(self._sh(a_ids[i]), self._sh(b_ids[i]), self.digits)
         return batch.append_column("jaccard", pa.array(jac))
 
 
-def simhash_batch(texts) -> np.ndarray:
-    """uint64 SimHash per doc, batched: ONE RE2 token scan + vectorized
-    64-bit token hashing for the whole batch (DuckDB
-    ``regexp_extract_all`` + ``hash()`` — the same vectorized kernel
-    library as ``findall_batch``), then per-doc bit voting on small
-    cache-resident matrices.
-
-    Replaces the per-doc Python ``re.findall`` + per-token dict-cache
-    loop (the round-2 enrich bottleneck, ~1.1k urls/s/core). The
-    WHOLE-BLOCK voting matrix was tried and REVERTED in round 2 (BENCH
-    ledger: it saturates shared DRAM at 32 workers); per-doc
-    64·n_tokens-byte uint8 matrices stay L2-resident. Token-hash family
-    = DuckDB ``hash()`` — engine-internal only (simhash surfaces are
-    rows-only or compared engine-vs-engine, never against a fixed
-    external value), so the family is free to choose for speed.
-    """
+def token_hash_lists(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Batched tokenize+hash: (per-doc token counts, flattened uint64
+    token hashes) via ONE DuckDB ``regexp_extract_all`` + ``hash()``
+    scan — the shared kernel under ``simhash_batch`` and the n-gram
+    Jaccard shingler. Token hash = DuckDB ``hash(lower(token))`` —
+    engine-internal only (never compared against a fixed external
+    value), so the family is free to choose for speed."""
     from ..functions.doc_extract import _duck
 
     if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
@@ -472,6 +462,21 @@ def simhash_batch(texts) -> np.ndarray:
     )
     dl = pc.list_value_length(hs_col).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(hs_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    return dl, flat
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """uint64 SimHash per doc, batched: ONE RE2 token scan + vectorized
+    64-bit token hashing for the whole batch (``token_hash_lists``),
+    then per-doc bit voting on small cache-resident matrices.
+
+    Replaces the per-doc Python ``re.findall`` + per-token dict-cache
+    loop (the round-2 enrich bottleneck, ~1.1k urls/s/core). The
+    WHOLE-BLOCK voting matrix was tried and REVERTED in round 2 (BENCH
+    ledger: it saturates shared DRAM at 32 workers); per-doc
+    64·n_tokens-byte uint8 matrices stay L2-resident.
+    """
+    dl, flat = token_hash_lists(texts)
     return vote_simhash(dl, flat)
 
 
@@ -587,6 +592,150 @@ def simhash_near_dups(ds, max_hamming: int = 6, id_col: str = "doc_id", text_col
     from ray.data.aggregate import Min
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+class JaccardShingler:
+    """map_batches stage: text → one row per DISTINCT word-k-gram shingle:
+    (sh int64 hash, doc_id, n_sh = the doc's distinct-shingle count).
+
+    Fully vectorized: one DuckDB tokenize+hash scan per batch
+    (``token_hash_lists``), then the k-window polynomial mix, window
+    validity mask, and per-doc dedup are single numpy expressions over
+    the whole batch — no per-doc Python loop. Docs with < k tokens emit
+    no rows (exactly the SQL ``range(1, len(w)-1)`` window semantics the
+    oracle twin uses — NOT the partial-shingle fallback of
+    ``shingle_hashes``, which only verification uses and only ever on
+    docs with ≥ k tokens)."""
+
+    def __init__(self, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+        self.k, self.id_col, self.text_col = k, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        dl, flat = token_hash_lists(batch[self.text_col])
+        k = self.k
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], ids.type), pa.array([], pa.int64())],
+            names=["sh", "doc_id", "n_sh"],
+        )
+        if flat.size < k:
+            return empty
+        m = flat.size - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _MIX[j % 4] + flat[j : j + m]
+        doc_idx = np.repeat(np.arange(len(dl), dtype=np.int64), dl)
+        valid = doc_idx[:m] == doc_idx[k - 1 :]  # window stays inside one doc
+        sh, d = acc[valid], doc_idx[:m][valid]
+        if sh.size == 0:
+            return empty
+        order = np.lexsort((sh, d))
+        sh, d = sh[order], d[order]
+        keep = np.ones(sh.size, dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
+        sh, d = sh[keep], d[keep]
+        n_sh = np.bincount(d, minlength=len(dl))[d]
+        return pa.Table.from_arrays(
+            [pa.array(sh.view(np.int64)), ids.take(pa.array(d)), pa.array(n_sh.astype(np.int64))],
+            names=["sh", "doc_id", "n_sh"],
+        )
+
+
+def _jaccard_pairs_partition(max_df: int):
+    """Per-coarse-partition candidate pair generation for the inverted
+    shingle index. All-vectorized: sort by shingle, run-length group
+    bounds, df filter (2 ≤ df ≤ ``max_df`` — classic stop-shingle
+    pruning caps the quadratic blowup of boilerplate shingles), then the
+    closed-form rank→(i,j) triangle expansion emits every within-group
+    pair in one numpy expression. Local (doc_a, doc_b) pre-aggregation
+    (run-length count) keeps the global pair shuffle small."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=g["doc_id"].dtype if len(g) else "int64"),
+                "doc_b": pd.Series([], dtype=g["doc_id"].dtype if len(g) else "int64"),
+                "n_shared_part": pd.Series([], dtype="int64"),
+            }
+        )
+        if len(g) < 2:
+            return out_empty
+        sh = g["sh"].to_numpy()
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, sh))
+        sh, d = sh[order], d[order]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        sizes = np.diff(bounds)
+        ok = (sizes >= 2) & (sizes <= max_df)
+        if not ok.any():
+            return out_empty
+        msz = sizes[ok].astype(np.int64)
+        starts = bounds[:-1][ok].astype(np.int64)
+        ppg = msz * (msz - 1) // 2
+        total = int(ppg.sum())
+        grp = np.repeat(np.arange(len(msz), dtype=np.int64), ppg)
+        offs = np.concatenate(([0], np.cumsum(ppg)[:-1]))
+        r = np.arange(total, dtype=np.int64) - offs[grp]
+        # rank → (i < j) within the group triangle; sqrt seed + two
+        # integer corrections make it exact for any int64 rank
+        j = ((1.0 + np.sqrt(1.0 + 8.0 * r)) / 2.0).astype(np.int64)
+        j = np.where(j * (j - 1) // 2 > r, j - 1, j)
+        j = np.where((j + 1) * j // 2 <= r, j + 1, j)
+        i = r - j * (j - 1) // 2
+        a = d[starts[grp] + i]
+        b = d[starts[grp] + j]  # docs sorted within group ⇒ a < b
+        # local pre-agg: count shared shingles per pair
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        pb = np.flatnonzero(np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]), True])
+        cnt = np.diff(pb).astype(np.int64)
+        return pd.DataFrame({"doc_a": a[pb[:-1]], "doc_b": b[pb[:-1]], "n_shared_part": cnt})
+
+    return pairs
+
+
+def jaccard_candidate_pairs(ds, k: int = 3, max_df: int = 50, num_parts: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+    """n-gram Jaccard candidate pairs via a distributed inverted shingle
+    index: shingle explode (vectorized) → coarse-bucket shuffle
+    (``sh & (num_parts-1)`` — every row of one shingle lands in one
+    partition, so document frequency is exact/global) → within-partition
+    df-bounded pair expansion with local pre-aggregation → global
+    (doc_a, doc_b) Sum. The shuffle moves (int64, id, int64) rows —
+    O(tokens) per doc, the inherent cost of EXACT inverted-index
+    candidates (MinHash-LSH is the cheap sketch alternative; this
+    operator is its exact-recall twin for df-bounded shingles)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    mask = _part_mask(num_parts)
+    rows = ds.map_batches(
+        JaccardShingler(k, id_col, text_col), batch_format="pyarrow", batch_size=1024, concurrency=4
+    )
+    rows = rows.map_batches(
+        lambda t: t.append_column("part", _pc.cast(_pc.bit_wise_and(t["sh"], mask), pa.int32())),
+        batch_format="pyarrow",
+    )
+    pairs = rows.groupby("part").map_groups(_jaccard_pairs_partition(max_df), batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Sum("n_shared_part", alias_name="n_shared"))
+
+
+def jaccard_near_dups(ds, k: int = 3, threshold: float = 0.5, max_df: int = 50, num_parts: int = 64, id_col: str = "doc_id", text_col: str = "text"):
+    """n-gram Jaccard near-dup pairs: inverted-index candidates
+    (``jaccard_candidate_pairs``) + exact shingle-set Jaccard
+    verification (``verify_pairs_distributed`` — semi-filter + adaptive
+    join; no corpus text on the driver), filtered to
+    ``jaccard >= threshold``.
+
+    Jaccard is emitted as the RAW double of one exact integer division
+    (``digits=None``) so the value is bit-identical to the SQL twin's
+    ``CAST(nboth AS DOUBLE) / (na + nb - nboth)``."""
+    pairs = jaccard_candidate_pairs(ds, k, max_df, num_parts, id_col, text_col)
+    verified = verify_pairs_distributed(pairs, ds, shingle_k=k, id_col=id_col, text_col=text_col, digits=None)
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], pa.scalar(float(threshold)))),
+        batch_format="pyarrow",
+    )
 
 
 def exact_dedup(ds, key_col: str, order_col: str):

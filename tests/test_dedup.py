@@ -162,3 +162,59 @@ def test_pair_output_invariant_to_partition_fanout():
     assert mh_pairs(512) == mref
     with pytest.raises(ValueError):
         dd.simhash_near_dups(ds, num_parts=48)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_near_dups_match_brute_force():
+    """n-gram Jaccard near-dups vs an independent string-shingle brute
+    force: same pairs, same n_shared (eligible shared shingles), same
+    RAW double jaccard — and output invariant to the partition fan-out."""
+    import itertools
+    import re
+
+    import ray.data as rd
+
+    rng = np.random.RandomState(11)
+    docs = []
+    for g in range(5):
+        base = " ".join(f"j{g}tok{i}" for i in range(100))
+        for v in range(3):
+            words = base.split()
+            for _ in range(v * 2):
+                words[int(rng.randint(0, len(words)))] = f"alt{g}{v}{rng.randint(9)}"
+            docs.append({"doc_id": g * 3 + v, "text": " ".join(words)})
+    for i in range(15, 30):
+        docs.append({"doc_id": i, "text": " ".join(f"solo{i}w{j}" for j in range(60))})
+    docs.append({"doc_id": 30, "text": "tiny doc"})  # < k tokens: no shingles
+
+    k, thr, max_df = 3, 0.5, 50
+
+    # independent truth: STRING shingle sets (the oracle-SQL semantics)
+    def shingles(text):
+        w = re.findall(r"[a-z0-9_]+", text.lower())
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sh = {d["doc_id"]: shingles(d["text"]) for d in docs}
+    df: dict = {}
+    for s in sh.values():
+        for x in s:
+            df[x] = df.get(x, 0) + 1
+    elig = {x for x, n in df.items() if 2 <= n <= max_df}
+    truth = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        shared = sh[a] & sh[b] & elig
+        if not shared:
+            continue
+        j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+        if j >= thr:
+            truth[(a, b)] = (len(shared), j)
+    assert len(truth) >= 10  # planted groups all pair up
+
+    ds = rd.from_arrow(pa.Table.from_pylist(docs))
+    for num_parts in (4, 64):
+        out = dd.jaccard_near_dups(ds, k=k, threshold=thr, max_df=max_df, num_parts=num_parts).to_pandas()
+        got = {
+            (int(r.doc_a), int(r.doc_b)): (int(r.n_shared), float(r.jaccard))
+            for r in out.itertuples()
+        }
+        assert got == truth  # exact — raw doubles compare bit-for-bit

@@ -56,7 +56,7 @@ from ..state.scheduler import make_scheduler_actor
 from ..store import RoundStore
 
 # schedule-table schema + helpers live with the scheduler
-# (state/scheduler.py: SCHED_FIELDS, rows_to_sched_table, split_by_bucket)
+# (state/scheduler.py: SCHED_FIELDS, rows_to_sched_table, owner_grouped_blocks)
 
 
 class CrawlEngine:
@@ -281,6 +281,7 @@ class CrawlEngine:
             tmp_dir = self.store.begin_round(rnd)
             stage_futs = [h.schedule_stage.remote(rnd, tmp_dir) for h in self.sched_handles]
         staged = ray.get(stage_futs)
+        t_stage = time.monotonic()
         counts = [c for c, _, _ in staged]
         n = sum(counts)
         n_banned = sum(b for _, b, _ in staged)
@@ -306,11 +307,15 @@ class CrawlEngine:
                 for h in self.sched_handles
             ]
             per_shard = ray.get([refs[-1] for refs in slice_refs])
+            t_slice = time.monotonic()
             range_totals = [sum(ps[r] for ps in per_shard) for r in range(R)]
             bases, acc = [], self.fetch_order
             for r in range(R):
                 bases.append(acc)
                 acc += range_totals[r]
+            if not self.fetch_pool:  # released by export_state_parquet
+                self._make_fetch_pool()
+            pool = self.fetch_pool
             merge_futs = [
                 self.sched_handles[r].merge_ranges.remote(
                     rnd,
@@ -318,28 +323,33 @@ class CrawlEngine:
                     bases[r],
                     [slice_refs[s][r] for s in range(len(self.sched_handles))],
                     self.web_meta["n_buckets"],
+                    len(pool),
                 )
                 for r in range(R)
                 if range_totals[r]
             ]
             block_lists = ray.get(merge_futs)
             t_sched = time.monotonic()
-            # bucket-affine fetch: each (bucket, block-ref) goes to the
+            if os.environ.get("ONIONRAY_PROFILE"):
+                import sys
+
+                print(
+                    f"PROFSCHED r{rnd}: stage={t_stage - t0:.2f} "
+                    f"slice={t_slice - t_stage:.2f} merge={t_sched - t_slice:.2f} R={R}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            # bucket-affine fetch: each (bucket, block-slice) goes to the
             # FetchWorker that OWNS that content partition — buckets are
             # parsed once per run, served from actor memory across all
-            # rounds. The driver routes ObjectRefs only; block data moves
-            # merger → object store → fetch actor.
-            if not self.fetch_pool:  # released by export_state_parquet
-                self._make_fetch_pool()
-            pool = self.fetch_pool
-            # regroup the R mergers' sub-blocks per bucket (refs only) so
-            # each bucket is ONE process call / ONE set of parquet parts
-            # per round — R independent splits would multiply the write
-            # count by R. Ref lists stay in merger (range) order.
+            # rounds. The driver routes (ref, offset, len) slice payloads
+            # only; block data moves merger → object store → fetch actor.
+            # Regroup the R mergers' per-bucket slices (metadata only) so
+            # routing sees global per-bucket sizes.
             by_bucket: dict[int, list] = {}
             for bl in block_lists:
-                for b, nr, ref in bl:
-                    by_bucket.setdefault(b, []).append((nr, ref))
+                for b, nr, payload in bl:
+                    by_bucket.setdefault(b, []).append((nr, payload))
             # skew-aware routing [B: north_rule]: hot-bucket splitting +
             # conditional owner-preferring greedy assignment — the pure
             # plan function lives with the fetch stage (property-tested)
@@ -360,7 +370,17 @@ class CrawlEngine:
                     file=sys.stderr,
                     flush=True,
                 )
-            futs = [pool[w].process.remote(refs, rnd, tmp_dir) for w, refs in submit]
+            # ONE process call per worker per round (not one per bucket):
+            # the worker resolves the distinct owner blocks once, slices
+            # zero-copy, and runs the fetch/extract kernel in bounded
+            # chunks — per-call kernel fixed costs no longer multiply by
+            # bucket count (the measured tail-round killer: ~11-row
+            # bucket blocks each paying full kernel setup).
+            grouped: dict[int, list] = {}
+            for w, payloads in submit:
+                grouped.setdefault(w, []).extend(payloads)
+            gsubmit = sorted(grouped.items())
+            futs = [pool[w].process.remote(payloads, rnd, tmp_dir) for w, payloads in gsubmit]
             # NO barrier between fetch and drain: actor tasks execute in
             # submission order, so each worker's drain/retry/write calls
             # queue behind ITS OWN process calls — early finishers drain
@@ -442,7 +462,7 @@ class CrawlEngine:
         p_rows: list[tuple] = []
         if n:
             per_w: dict[int, list[int]] = {}
-            for (w, _refs), (nrows, ncand) in zip(submit, res):
+            for (w, _payloads), (nrows, ncand) in zip(gsubmit, res):
                 a = per_w.setdefault(w, [0, 0])
                 a[0] += nrows
                 a[1] += ncand

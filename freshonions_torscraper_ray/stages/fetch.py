@@ -61,6 +61,14 @@ PAGE_COLS = [
 # pool without paying actor creation per round.
 _STORE_CACHE: dict[tuple[str, int], ContentStore] = {}
 
+# fetch/extract kernel chunk rows: large enough that per-call fixed
+# costs (DuckDB findall_batch setup, Arrow kernel dispatch) are noise,
+# small enough that one chunk's wide output (text columns) stays
+# comfortably in a worker's heap. Purely an execution knob — results
+# are chunk-boundary independent (deliberately NOT CrawlConfig: cfg is
+# fingerprinted as "everything that influences crawl ordering").
+KERNEL_ROWS = 8192
+
 
 def _cached_store(docs_dir: str, n_buckets: int) -> ContentStore:
     key = (docs_dir, n_buckets)
@@ -364,9 +372,10 @@ def make_fetch_worker():
     cpu-s/round at 150k domains). Each FetchWorker instead OWNS the
     buckets ``{b : b %% pool_size == actor_id}`` for the whole crawl:
     every bucket is parsed once per run, then served from memory across
-    all rounds. The round loop submits one ``process`` call per
-    (bucket, schedule-block); fetch+extract+candidate-accept+output-write
-    all happen inside the actor (single pass, no driver traffic).
+    all rounds. The round loop submits ONE ``process`` call per worker
+    per round carrying (ref, offset, len) slice payloads;
+    fetch+extract+candidate-accept+output-write all happen inside the
+    actor (single pass, no driver traffic).
     """
     import ray
 
@@ -383,28 +392,52 @@ def make_fetch_worker():
             self._out: dict[str, list[pa.Table]] = {}
 
         def process(self, block, rnd: int, out_dir: str) -> tuple[int, int]:
-            """Fetch+extract one bucket-block; candidates are ACCUMULATED
-            in-actor (min-seq merged across this actor's blocks) and
-            pushed to the seen shards once per round via
-            :meth:`drain_accepts`; output tables are BUFFERED in-actor
-            and written once per round via :meth:`flush_outputs` (one
-            part per table per actor, overlapped with the drain phase —
-            not one tiny file per bucket). ``block`` may be a list of
-            ObjectRefs (one sub-block per schedule-rank merger) — fetched
-            actor-side and concatenated, never via the driver."""
+            """Fetch+extract this worker's whole round share (ONE call
+            per worker per round); candidates are ACCUMULATED in-actor
+            (min-seq merged) and pushed to the seen shards once per round
+            via :meth:`drain_accepts`; output tables are BUFFERED
+            in-actor and written once per round via :meth:`flush_outputs`
+            (one part per table per actor, overlapped with the drain
+            phase — not one tiny file per bucket). ``block`` may be:
+
+            - a ``pa.Table`` (tests / direct callers),
+            - a list of ObjectRefs — fetched actor-side, concatenated,
+            - a list of ``(ref, offset, n_rows)`` slice payloads naming
+              zero-copy slices of the mergers' owner-grouped blocks —
+              the distinct refs are resolved ONCE, never via the driver.
+
+            The kernel runs in bounded chunks (``KERNEL_ROWS``) so its
+            per-call fixed costs amortize on fat rounds without holding
+            more than a chunk's wide output in flight at a time; chunk
+            boundaries cannot affect results (row-independent kernel,
+            min-seq candidate merge is arrival-order independent)."""
             if isinstance(block, list):
                 import ray as _ray
 
-                parts = _ray.get(block)
+                if block and isinstance(block[0], tuple):
+                    by_ref: dict = {}
+                    for ref, off, nr in block:
+                        by_ref.setdefault(ref, []).append((off, nr))
+                    refs = list(by_ref)
+                    parts = [
+                        t.slice(off, nr)
+                        for t, ref in zip(_ray.get(refs), refs)
+                        for off, nr in by_ref[ref]
+                    ]
+                else:
+                    parts = _ray.get(block)
                 block = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-            wide = self.fe(block)
-            n_cand = _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
-            if getattr(self.cfg, "recheck_dead", False):
-                self._collect_retries(wide, rnd)
-            tables = derive_round_tables(wide, rnd, enrich=getattr(self.cfg, "enrich", False))
-            for name, t in tables.items():
-                self._out.setdefault(name, []).append(t)
-            return (wide.num_rows, n_cand)
+            n_cand = 0
+            enrich = getattr(self.cfg, "enrich", False)
+            recheck = getattr(self.cfg, "recheck_dead", False)
+            for s in range(0, block.num_rows, KERNEL_ROWS):
+                wide = self.fe(block.slice(s, KERNEL_ROWS))
+                n_cand += _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
+                if recheck:
+                    self._collect_retries(wide, rnd)
+                for name, t in derive_round_tables(wide, rnd, enrich=enrich).items():
+                    self._out.setdefault(name, []).append(t)
+            return (block.num_rows, n_cand)
 
         def flush_outputs(self, out_dir: str, rnd: int) -> int:
             """Write this round's buffered tables (one parquet part per

@@ -63,18 +63,37 @@ def rows_to_sched_table(rows: list[tuple]) -> pa.Table:
     return t.take(pa.compute.sort_indices(t, sort_keys=_SORT_KEYS))
 
 
-def split_by_bucket(sched: pa.Table, n_buckets: int) -> list[tuple[int, pa.Table]]:
-    """Split a schedule table into (content-bucket, sub-table) pairs —
-    one fetch RPC per content-store partition, routed to the worker that
-    owns it. Execution order is free to differ — crawl order lives in
-    the fetch_order column, not in block order."""
+def owner_grouped_blocks(
+    sched: pa.Table, n_buckets: int, pool_size: int
+) -> list[tuple[pa.Table, list[tuple[int, int, int]]]]:
+    """Group a schedule table into ONE block per owning fetch worker
+    (worker ``b % pool_size`` owns content bucket ``b``), each with its
+    per-bucket ``(bucket, offset, n_rows)`` slice index — buckets are
+    contiguous runs inside their owner block. The caller ships one
+    object per owner instead of one per bucket; routing still sees
+    per-bucket sizes via the slice index. Execution order is free to
+    differ — crawl order lives in the fetch_order column, not in block
+    order."""
     from ..functions.hashing import hash64_array
 
     doms = sched["domain"].to_pylist()
     buckets = hash64_array(doms) % n_buckets
-    out = []
-    for b in np.unique(buckets):
-        out.append((int(b), sched.filter(pa.array(buckets == b))))
+    owners = buckets % pool_size
+    order = np.lexsort((buckets, owners))  # owner-major, bucket-minor, stable
+    srt = sched.take(pa.array(order))
+    b_srt = buckets[order]
+    o_srt = owners[order]
+    out: list[tuple[pa.Table, list[tuple[int, int, int]]]] = []
+    o_cuts = np.flatnonzero(np.diff(o_srt)) + 1
+    for lo, hi in zip(np.r_[0, o_cuts], np.r_[o_cuts, len(o_srt)]):
+        blk = srt.slice(lo, hi - lo).combine_chunks()
+        bs = b_srt[lo:hi]
+        b_cuts = np.flatnonzero(np.diff(bs)) + 1
+        index = [
+            (int(bs[s]), int(s), int(e - s))
+            for s, e in zip(np.r_[0, b_cuts], np.r_[b_cuts, len(bs)])
+        ]
+        out.append((blk, index))
     return out
 
 
@@ -543,14 +562,21 @@ def make_scheduler_actor():
             ]
             return (*slices, [s.num_rows for s in slices])
 
-        def merge_ranges(self, rnd: int, tmp_dir: str, base: int, slice_refs: list, n_buckets: int):
+        def merge_ranges(
+            self, rnd: int, tmp_dir: str, base: int, slice_refs: list, n_buckets: int, pool_size: int
+        ):
             """Merge one key range across all shards: concat + (vtime,url)
             sort + fetch_order = base..base+n, persist the schedule part,
-            split by content bucket and ray.put each block. Returns small
-            (bucket, n_rows, block_ref) tuples — the driver routes refs to
-            the bucket-pinned fetch workers without touching row data.
-            ``rnd`` keys the part filename for debuggability (round-2
-            ADVICE: it was previously unused)."""
+            then ``ray.put`` ONE owner-grouped block per fetch worker
+            (not one per content bucket — that was O(n_buckets × mergers)
+            tiny object-store round-trips per round, the measured
+            anti-scaling term of the schedule phase). Returns small
+            ``(bucket, n_rows, (block_ref, offset, n_rows))`` tuples: the
+            driver's skew-aware routing still sees per-bucket sizes, the
+            payload names a zero-copy slice of the owner block, and each
+            fetch worker pulls (at most) one object per merger under
+            static routing. ``rnd`` keys the part filename for
+            debuggability (round-2 ADVICE: it was previously unused)."""
             import pyarrow.parquet as pq
 
             tabs = [x for x in ray.get(list(slice_refs)) if x.num_rows]
@@ -564,9 +590,11 @@ def make_scheduler_actor():
             d = os.path.join(tmp_dir, "schedule")
             os.makedirs(d, exist_ok=True)
             pq.write_table(out, os.path.join(d, f"part-r{rnd:06d}-base{base:012d}.parquet"))
-            return [
-                (b, blk.num_rows, ray.put(blk)) for b, blk in split_by_bucket(out, n_buckets)
-            ]
+            res = []
+            for blk, index in owner_grouped_blocks(out, n_buckets, pool_size):
+                ref = ray.put(blk)
+                res.extend((b, nr, (ref, off, nr)) for b, off, nr in index)
+            return res
 
         def add_retry_cols(self, cols):
             self.s.add_retry_cols(cols)

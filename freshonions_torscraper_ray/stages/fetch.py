@@ -101,9 +101,9 @@ class FetchExtract:
         domains = batch["domain"].to_numpy(zero_copy_only=False)
         depths = batch["depth"].to_numpy(zero_copy_only=False)
 
-        docs, hit = self.store.lookup(list(urls), list(domains))
+        docs, hit = self.store.lookup(urls, domains)
         spans_col = docs["spans"].to_pylist() if docs.num_rows else []
-        hit = np.asarray(hit) == 1  # lookup returns 1 = hit, -1 = miss
+        hit = hit == 1  # lookup returns 1 = hit, -1 = miss
         hit_idx = np.flatnonzero(hit)
         # two-stage extract: per-doc span walk, then ONE vectorized RE2
         # pass per pattern over the whole batch (findall_batch — the

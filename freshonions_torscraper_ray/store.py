@@ -25,10 +25,11 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .functions.hashing import hash64_signed
+from .functions.hashing import hash64_array, hash64_signed
 
 
 def _write_manifest_atomic(rdir: str, manifest: dict) -> None:
@@ -205,7 +206,11 @@ class ContentStore:
     def __init__(self, docs_dir: str, n_buckets: int):
         self.docs_dir = docs_dir
         self.n_buckets = n_buckets
-        self._cache: dict[int, dict[str, int]] = {}
+        # bucket → pandas Index over doc_id (C-level hash table; built
+        # once per parse, vectorized get_indexer per lookup batch — the
+        # old per-bucket Python dict cost a scalar dict-build at parse
+        # time AND a per-URL .get loop at lookup time)
+        self._index: dict[int, object] = {}
         self._tables: dict[int, pa.Table] = {}
         self._lru: list[int] = []
 
@@ -213,7 +218,7 @@ class ContentStore:
         return hash64_signed(domain) % self.n_buckets
 
     def _load(self, bucket: int) -> None:
-        if bucket in self._cache:
+        if bucket in self._index:
             if self._lru and self._lru[-1] != bucket:
                 try:
                     self._lru.remove(bucket)
@@ -223,57 +228,53 @@ class ContentStore:
             return
         while len(self._lru) >= self.MAX_CACHED_BUCKETS:
             old = self._lru.pop(0)
-            self._cache.pop(old, None)
+            self._index.pop(old, None)
             self._tables.pop(old, None)
         bdir = os.path.join(self.docs_dir, f"bucket={bucket}")
         if not os.path.exists(bdir):
-            self._cache[bucket] = {}
+            self._index[bucket] = None
             self._tables[bucket] = None
             self._lru.append(bucket)
             return
+        import pandas as pd
+
         t = pq.read_table(bdir)
         self._tables[bucket] = t
-        ids = t.column("doc_id").to_pylist()
-        self._cache[bucket] = {u: i for i, u in enumerate(ids)}
+        self._index[bucket] = pd.Index(t.column("doc_id").to_numpy(zero_copy_only=False))
         self._lru.append(bucket)
 
-    def lookup(self, urls: list[str], domains: list[str]) -> tuple[pa.Table, list[int]]:
-        """Batch lookup → (documents table of hits, per-input row index or -1).
+    def lookup(self, urls, domains) -> tuple[pa.Table, np.ndarray]:
+        """Batch lookup → (documents table of hits, per-input 1=hit/-1=miss).
 
         Returns hit docs in input order; misses are 404s (dead path /
-        dead domain) handled by the caller.
-        """
-        idx_per_bucket: dict[int, list[int]] = {}
-        for i, d in enumerate(domains):
-            idx_per_bucket.setdefault(self.bucket_of(d), []).append(i)
-        hit_rows: list[tuple[int, int, int]] = []  # (input_idx, bucket, row)
-        status = [-1] * len(urls)
-        for b, idxs in idx_per_bucket.items():
+        dead domain) handled by the caller. Fully vectorized: one
+        blake2b pass for bucketing, one ``get_indexer`` per touched
+        bucket, one take per bucket + one reorder take."""
+        urls = np.asarray(urls, dtype=object)
+        n = len(urls)
+        buckets = hash64_array(domains) % self.n_buckets
+        status = np.full(n, -1, dtype=np.int8)
+        parts: list[pa.Table] = []
+        pos_parts: list[np.ndarray] = []
+        for b in np.unique(buckets):
+            b = int(b)
             self._load(b)
-            cache = self._cache[b]
-            for i in idxs:
-                row = cache.get(urls[i])
-                if row is not None:
-                    hit_rows.append((i, b, row))
-                    status[i] = 1
-        hit_rows.sort()
-        if not hit_rows:
+            idx = self._index[b]
+            if idx is None:
+                continue
+            sel = np.flatnonzero(buckets == b)
+            rows = idx.get_indexer(urls[sel])
+            hit = rows >= 0
+            if not hit.any():
+                continue
+            pos = sel[hit]
+            status[pos] = 1
+            parts.append(self._tables[b].take(rows[hit]))
+            pos_parts.append(pos)
+        if not parts:
             from .schemas import DOCUMENTS
 
             return DOCUMENTS.empty_table(), status
-        # one take per bucket + one reorder take (input order) — NOT a
-        # 1-row slice + concat per hit (O(hits) table objects)
-        by_bucket: dict[int, list[tuple[int, int]]] = {}
-        for pos, (_, b, r) in enumerate(hit_rows):
-            by_bucket.setdefault(b, []).append((pos, r))
-        parts = []
-        pos_order: list[int] = []
-        for b in sorted(by_bucket):
-            pr = by_bucket[b]
-            parts.append(self._tables[b].take([r for _, r in pr]))
-            pos_order.extend(p for p, _ in pr)
-        cat = pa.concat_tables(parts)
-        inv = [0] * len(pos_order)
-        for i, p in enumerate(pos_order):
-            inv[p] = i
-        return cat.take(inv).combine_chunks(), status
+        cat = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        order = np.argsort(np.concatenate(pos_parts), kind="stable")
+        return cat.take(order).combine_chunks(), status

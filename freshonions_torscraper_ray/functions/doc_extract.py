@@ -100,6 +100,105 @@ def finish_extract(core: dict, src_url: str, depth: int, max_depth: int,
     return {**core, "emails": emails, "btc": btc, "candidates": candidates}
 
 
+def extract_cores_batch(src_urls, spans_col) -> list[dict]:
+    """Vectorized :func:`extract_doc_core` over a whole hit batch.
+
+    Takes the Arrow ``list<struct{kind,text,media_ref}>`` spans column
+    DIRECTLY (the scalar path's ``spans.to_pylist()`` materialized every
+    span as a Python dict — measured 72% of fetch+extract wall time) and
+    computes size / clone_fp / title / text with Arrow kernels + numpy
+    segment ops; the only remaining per-row Python is link
+    canonicalization, over link spans only. Output dicts are identical
+    to the scalar walk (golden- and conformance-verified):
+
+    - size        = Σ len(text)+len(media_ref) over ALL spans (code points)
+    - clone_fp    = hash64_signed("\\x1e".join(f"{k}\\x1f{t}\\x1f{r}"))
+    - title       = first kind=="title" span with non-empty text, else ""
+    - text        = "\\n".join(title texts (always) + non-empty text/link texts)
+    - links       = [(canonicalize(ref), domain, anchor)] over kind=="link"
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .hashing import hash64_array
+
+    arr = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+    n = len(arr)
+    if n == 0:
+        return []
+    counts = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    parent = np.repeat(np.arange(n), counts)
+    flat = arr.flatten()  # doc-major span order, slice-safe
+    kind = flat.field("kind")
+    text = flat.field("text")
+    ref = flat.field("media_ref")
+
+    span_sizes = pc.add(pc.utf8_length(text), pc.utf8_length(ref)).to_numpy(zero_copy_only=False)
+    sizes = np.bincount(parent, weights=span_sizes, minlength=n).astype(np.int64)
+
+    fp_span = pc.binary_join_element_wise(kind, text, ref, "\x1f")
+    fp_doc = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets), fp_span), "\x1e"
+    ).to_numpy(zero_copy_only=False)
+    clone_fps = hash64_array(fp_doc)
+
+    kind_np = kind.to_numpy(zero_copy_only=False)
+    is_title = kind_np == "title"
+    nonempty = pc.not_equal(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+    keep = is_title | (((kind_np == "text") | (kind_np == "link")) & nonempty)
+    kept_counts = np.bincount(parent[keep], minlength=n)
+    kept_offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(kept_counts, out=kept_offsets[1:])
+    texts = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(kept_offsets), text.filter(pa.array(keep))),
+        "\n",
+    ).to_pylist()
+
+    titles = [""] * n
+    # scalar rule is "if not title: title = t" → the first NON-EMPTY
+    # title text wins (an empty title span does not latch)
+    title_take = is_title & nonempty
+    t_parent = parent[title_take]
+    if len(t_parent):
+        firsts, first_idx = np.unique(t_parent, return_index=True)  # parent sorted → first
+        title_texts = text.filter(pa.array(title_take))
+        for d, j in zip(firsts, first_idx):
+            titles[d] = title_texts[j].as_py()
+
+    links_per_doc: list[list] = [_EMPTY_LINKS] * n
+    is_link = kind_np == "link"
+    if is_link.any():
+        l_parent = parent[is_link]
+        l_refs = ref.filter(pa.array(is_link)).to_pylist()
+        l_anchors = text.filter(pa.array(is_link)).to_pylist()
+        for d, r, a in zip(l_parent, l_refs, l_anchors):
+            canon = canonicalize_url(r)
+            if canon is not None:
+                lst = links_per_doc[d]
+                if lst is _EMPTY_LINKS:
+                    lst = links_per_doc[d] = []
+                lst.append((canon, url_domain(canon), a))
+
+    frontpage = [u.endswith(".onion/") for u in src_urls]
+    return [
+        {
+            "title": titles[i],
+            "text": texts[i],
+            "size": int(sizes[i]),
+            "clone_fp": int(clone_fps[i]),
+            "is_frontpage": frontpage[i],
+            "links": links_per_doc[i],
+        }
+        for i in range(n)
+    ]
+
+
+_EMPTY_LINKS: list = []  # shared sentinel: most docs have no links
+
+
 def extract_doc(src_url: str, spans: list[dict], depth: int, max_depth: int) -> dict:
     """Single-doc reference path (the oracle calls this): core span walk
     + per-doc findall + candidate assembly. The distributed fetch stage

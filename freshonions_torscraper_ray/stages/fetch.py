@@ -102,18 +102,17 @@ class FetchExtract:
         depths = batch["depth"].to_numpy(zero_copy_only=False)
 
         docs, hit = self.store.lookup(urls, domains)
-        spans_col = docs["spans"].to_pylist() if docs.num_rows else []
         hit = hit == 1  # lookup returns 1 = hit, -1 = miss
         hit_idx = np.flatnonzero(hit)
-        # two-stage extract: per-doc span walk, then ONE vectorized RE2
-        # pass per pattern over the whole batch (findall_batch — the
-        # regex scans were 61% of per-doc extract time), then per-doc
-        # candidate assembly. Identical results to extract_doc
-        # (golden/conformance-verified).
-        from ..functions.doc_extract import extract_doc_core, findall_batch, finish_extract
+        # two-stage extract: vectorized span-column extract (Arrow
+        # kernels — the old per-doc walk paid spans.to_pylist(), 72% of
+        # stage wall), then ONE vectorized RE2 pass per pattern over the
+        # whole batch (findall_batch), then per-doc candidate assembly.
+        # Identical results to extract_doc (golden/conformance-verified).
+        from ..functions.doc_extract import extract_cores_batch, findall_batch, finish_extract
         from ..functions.regexes import BTC_RE, EMAIL_RE, ONION_ANY_RE
 
-        cores = [extract_doc_core(urls[i], spans_col[j]) for j, i in enumerate(hit_idx)]
+        cores = extract_cores_batch(urls[hit_idx], docs["spans"]) if docs.num_rows else []
         found = findall_batch([c["text"] for c in cores], [EMAIL_RE, BTC_RE, ONION_ANY_RE])
         exs = [
             finish_extract(

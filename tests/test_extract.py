@@ -100,3 +100,34 @@ def test_clone_fingerprint_is_span_sequence_equality_hash():
     f2 = extract.clone_fingerprints(t2)[0]
     f3 = extract.clone_fingerprints(t3)[0]
     assert f1 == f2 != f3
+
+
+def test_extract_cores_batch_matches_scalar_walk():
+    """Vectorized batch extract ≡ per-doc extract_doc_core on adversarial
+    spans: empty docs, empty title texts, media-only docs, multi-title,
+    invalid + duplicate links, unicode, empty text/link spans."""
+    import random
+
+    from freshonions_torscraper_ray.functions.doc_extract import (
+        extract_cores_batch,
+        extract_doc_core,
+    )
+
+    rng = random.Random(7)
+    kinds = ["title", "text", "link", "image", "video"]
+    texts = ["", "a", "héllo wörld", "x" * 50, "anchor", "Tïtle"]
+    refs = ["", f"http://{DOM}/p", f"HTTPS://{DOM2}:443/q#frag", "not a url",
+            f"http://{DOM}/p", "ftp://nope", f"http://{'c'*16}.onion:8080/r"]
+    docs = []
+    for i in range(200):
+        docs.append(
+            spans_of(*[
+                (rng.choice(kinds), rng.choice(texts), rng.choice(refs))
+                for _ in range(rng.randrange(0, 12))
+            ])
+        )
+    urls = [f"http://{DOM}/" if i % 3 == 0 else f"http://{DOM}/p/{i}" for i in range(len(docs))]
+    col = pa.array(docs, DOCUMENTS.field("spans").type)
+    vec = extract_cores_batch(urls, col)
+    for u, s, got in zip(urls, docs, vec):
+        assert got == extract_doc_core(u, s)

@@ -66,55 +66,41 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def enrich_fused(batch: pa.Table, text_col: str = "text") -> tuple[pa.Table, np.ndarray]:
-    """Quality columns + language ID + uint64 simhashes from ONE text
-    pass (single DuckDB query per batch).
+    """Quality columns + language ID + uint64 simhashes from one pass.
 
-    The fused enrich kernel: ``regexp_extract_all(WORD_PATTERN)`` once,
-    then everything falls out vectorized in DuckDB —
-    n_tok = len(ts); n_chars = Σ len(token) (== the single word-char
-    count: every token char counted exactly once); n_stop = tokens ∈
-    STOPWORDS (== the \\b-bounded matches: a bounded match is exactly a
-    maximal word-char run, i.e. a whole token); token hashes =
-    hash(lower(token)) — the dedup.simhash_batch family; language-ID
-    trigram flags = contains(lower(t), tri) (== Arrow match_substring
-    on the lowered text), classified by the same ``LangId.classify``.
-    Counts are integer-identical to quality_scores' three-scan form
-    (same RE2) and pred_lang to the LangId Arrow path, so the fused and
-    standalone paths agree bit-for-bit; enrich pays one text scan
-    instead of ~24 (3 quality regex + 20 trigram + simhash).
+    Tokens, quality counts and token hashes come from the byte-level
+    numpy kernel (``functions/tokenize.py::token_stats`` — one scan of
+    the Arrow data buffer, no token-string materialization); language-ID
+    trigram flags come from one DuckDB ``contains(lower(t), tri)``
+    query (measured 3× faster than 20 Arrow ``match_substring`` scans),
+    classified by the same ``LangId.classify``. Counts are
+    integer-identical to quality_scores' three-RE2-scan form (the byte
+    mask reproduces [A-Za-z0-9_] code-point semantics on UTF-8) and
+    pred_lang to the LangId Arrow path, so the fused and standalone
+    paths agree bit-for-bit; token hashes are the shared
+    ``dedup.token_hash_lists`` family, so enrich simhashes join against
+    SimHasher output.
     """
     from ..functions.doc_extract import _duck
+    from ..functions.tokenize import token_stats
     from .dedup import vote_simhash
 
     li = LangId()
     txt = batch[text_col]
     txt = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    st = token_stats(txt)
+    sims = vote_simhash(st.n_tok, st.hashes)
     tbl = pa.table({"t": pc.cast(pc.fill_null(txt, ""), pa.large_string())})  # noqa: F841 — duckdb reads it by name
-    pat = WORD_PATTERN.replace("'", "''")
-    stop_sql = ", ".join("'{}'".format(s.replace("'", "''")) for s in STOPWORDS)
-    tri_sql = "".join(
-        ", contains(lt, '{}') AS tri_{}".format(t.replace("'", "''"), i)
+    tri_sql = ", ".join(
+        "contains(lt, '{}') AS tri_{}".format(t.replace("'", "''"), i)
         for i, t in enumerate(li.trigrams)
     )
-    res = _duck().execute(
-        f"SELECT len(ts)::BIGINT AS n_tok,"
-        f" coalesce(list_sum(list_transform(ts, x -> length(x))), 0)::BIGINT AS n_chars,"
-        f" len(list_filter(ts, x -> x IN ({stop_sql})))::BIGINT AS n_stop,"
-        f" list_transform(ts, x -> hash(lower(x))) AS hs"
-        f"{tri_sql}"
-        f" FROM (SELECT regexp_extract_all(t, '{pat}') AS ts, lower(t) AS lt FROM tbl)"
-    ).arrow()
-    n_tok = res["n_tok"].to_numpy(zero_copy_only=False)
-    n_chars = res["n_chars"].to_numpy(zero_copy_only=False)
-    n_stop = res["n_stop"].to_numpy(zero_copy_only=False)
-    hs_col = res["hs"].combine_chunks()
-    flat = pc.list_flatten(hs_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-    sims = vote_simhash(n_tok.astype(np.int64), flat)
+    res = _duck().execute(f"SELECT {tri_sql} FROM (SELECT lower(t) AS lt FROM tbl)").arrow()
     pres = {
         t: pc.cast(res[f"tri_{i}"], pa.int8()).to_numpy(zero_copy_only=False)
         for i, t in enumerate(li.trigrams)
     }
-    out = _quality_columns(batch, n_tok, n_stop, n_chars)
+    out = _quality_columns(batch, st.n_tok, st.n_stop, st.n_chars)
     out = out.append_column("pred_lang", li.classify(pres, batch.num_rows))
     return out, sims
 

@@ -171,16 +171,18 @@ def extract_cores_batch(src_urls, spans_col) -> list[dict]:
     links_per_doc: list[list] = [_EMPTY_LINKS] * n
     is_link = kind_np == "link"
     if is_link.any():
+        from .regexes import canonicalize_urls_batch
+
         l_parent = parent[is_link]
-        l_refs = ref.filter(pa.array(is_link)).to_pylist()
-        l_anchors = text.filter(pa.array(is_link)).to_pylist()
-        for d, r, a in zip(l_parent, l_refs, l_anchors):
-            canon = canonicalize_url(r)
+        l_mask = pa.array(is_link)
+        canon_a, dom_a = canonicalize_urls_batch(ref.filter(l_mask))
+        l_anchors = text.filter(l_mask).to_pylist()
+        for d, canon, dom, a in zip(l_parent, canon_a.to_pylist(), dom_a.to_pylist(), l_anchors):
             if canon is not None:
                 lst = links_per_doc[d]
                 if lst is _EMPTY_LINKS:
                     lst = links_per_doc[d] = []
-                lst.append((canon, url_domain(canon), a))
+                lst.append((canon, dom, a))
 
     frontpage = [u.endswith(".onion/") for u in src_urls]
     return [

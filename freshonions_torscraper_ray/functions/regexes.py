@@ -63,3 +63,68 @@ def url_domain(url: str) -> str:
     rest = url.split("://", 1)[1]
     host = rest.split("/", 1)[0]
     return host.split(":", 1)[0]
+
+
+# named-group twin of URL_RE for pyarrow.compute.extract_regex ([0-9]
+# instead of \d — identical on the ASCII fast path, and explicit about
+# the charset)
+_URL_EXTRACT_PATTERN = (
+    r"^(?P<scheme>https?)://(?P<host>[a-z2-7]{16}\.onion|[a-z2-7]{56}\.onion)"
+    r"(?::(?P<port>[0-9]+))?(?P<path>/[^\s#]*)?$"
+)
+# printable-ASCII gate: on this charset Python re and RE2 agree on \s,
+# \d, lower() and strip() (the only whitespace present can be 0x20), so
+# the vectorized path is character-exact vs canonicalize_url
+_SAFE_ASCII_PATTERN = r"^[ -~]*$"
+
+
+def canonicalize_urls_batch(refs) -> tuple:
+    """Vectorized :func:`canonicalize_url` over an Arrow string array.
+
+    Returns ``(canon, domain)`` arrays; invalid URLs are null in both.
+    Printable-ASCII rows (everything a real crawl emits) go through
+    Arrow RE2 kernels — trim/lower/defragment/extract/reassemble — and
+    the rare rest falls back to the scalar function row by row, so the
+    result is exactly ``[canonicalize_url(r) for r in refs]``
+    (unit-tested on adversarial unicode whitespace/digits).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(refs, pa.ChunkedArray):
+        refs = refs.combine_chunks()
+    n = len(refs)
+    if n == 0:
+        return pa.array([], pa.string()), pa.array([], pa.string())
+    safe = pc.match_substring_regex(pc.fill_null(refs, "\x80"), _SAFE_ASCII_PATTERN)
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(refs))
+    s = pc.replace_substring_regex(s, r"#(?s:.*)$", "", max_replacements=1)
+    m = pc.extract_regex(s, _URL_EXTRACT_PATTERN)
+    ok = pc.and_(m.is_valid(), safe)
+    scheme = pc.struct_field(m, "scheme")
+    host = pc.struct_field(m, "host")
+    port = pc.struct_field(m, "port")
+    path = pc.struct_field(m, "path")
+    path = pc.if_else(pc.equal(path, ""), "/", path)
+    default = pc.if_else(pc.equal(scheme, "http"), "80", "443")
+    portpart = pc.if_else(
+        pc.or_(pc.equal(port, ""), pc.equal(port, default)),
+        "",
+        pc.binary_join_element_wise(":", port, ""),
+    )
+    canon = pc.binary_join_element_wise(scheme, "://", host, portpart, path, "")
+    canon = pc.if_else(ok, canon, pa.scalar(None, pa.string()))
+    domain = pc.if_else(ok, host, pa.scalar(None, pa.string()))
+    if not pc.all(pc.or_(safe, refs.is_null())).as_py():
+        # non-ASCII stragglers: scalar fallback keeps exact parity
+        unsafe = pc.and_(pc.invert(safe), refs.is_valid())
+        idx = pc.indices_nonzero(unsafe).to_numpy(zero_copy_only=False)
+        c_list = canon.to_pylist()
+        d_list = domain.to_pylist()
+        raw = refs.take(pa.array(idx)).to_pylist()
+        for i, r in zip(idx, raw):
+            c = canonicalize_url(r)
+            c_list[i] = c
+            d_list[i] = None if c is None else url_domain(c)
+        return pa.array(c_list, pa.string()), pa.array(d_list, pa.string())
+    return canon, domain

@@ -131,3 +131,32 @@ def test_extract_cores_batch_matches_scalar_walk():
     vec = extract_cores_batch(urls, col)
     for u, s, got in zip(urls, docs, vec):
         assert got == extract_doc_core(u, s)
+
+
+def test_canonicalize_urls_batch_matches_scalar():
+    """Vectorized canonicalizer ≡ scalar on adversarial refs: unicode
+    whitespace/digits (scalar-fallback path), fragments, default ports,
+    case, invalid hosts/schemes, nulls."""
+    import pyarrow as pa
+
+    from freshonions_torscraper_ray.functions.regexes import (
+        canonicalize_url,
+        canonicalize_urls_batch,
+        url_domain,
+    )
+
+    v2, v3 = "a" * 16 + ".onion", "b" * 56 + ".onion"
+    cases = [
+        "", " ", f"http://{v2}", f"HTTP://{v2.upper()}/Path#Frag",
+        f"  https://{v3}:443/q  ", f"https://{v3}:8443/q", f"http://{v2}:80/",
+        f"http://{v2}:81/", "not a url", f"ftp://{v2}/", "http://short.onion/",
+        f"http://{v2}/#", f"http://{v2}#x/y", f"http://{v2}/p#a#b",
+        f"\xa0http://{v2}/\xa0", f"\x1chttp://{v2}/", f"http://{v2}:٨٠/",
+        f"http://{v2}/p\xa0q", f"http://{v2}/p q", f"http://{v2}:0080/",
+        None, f"http://{v2}/\n", f"http://{v2}/a\tb", f"https://{v2}",
+    ]
+    canon, dom = canonicalize_urls_batch(pa.array(cases, pa.string()))
+    for raw, cb, db in zip(cases, canon.to_pylist(), dom.to_pylist()):
+        cs = None if raw is None else canonicalize_url(raw)
+        ds = None if cs is None else url_domain(cs)
+        assert (cb, db) == (cs, ds), raw

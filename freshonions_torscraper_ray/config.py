@@ -43,6 +43,13 @@ class CrawlConfig:
     # stored Domain.language — O10), quality scoring, simhash fingerprint.
     # Deterministic; adds pred_lang/n_tokens/stop_ratio/simhash columns.
     enrich: bool = False
+    # incremental search-index sink (reference: every crawled page was
+    # indexed into Elasticsearch as it was fetched — SURVEY §2.1 S5).
+    # Each fetch worker emits a per-round postings SEGMENT
+    # (term_hash, url, tf, dl) for its status-200 pages;
+    # stages/text_index.py::compact_crawl_index merges segments into the
+    # partition-pruned query layout (the Lucene segment-merge shape).
+    index_text: bool = False
     # alive/dead re-check scheduling (reference cron alive-check, O32):
     # a 404'd FRONTPAGE re-enters the frontier with depressed priority
     # (1000 + retries) after a backoff of recheck_backoff*(retries+1)

@@ -189,3 +189,16 @@ def token_hash_lists_np(texts) -> tuple[np.ndarray, np.ndarray]:
     drop-in signature of ``stages.dedup.token_hash_lists``."""
     st = token_stats(texts)
     return st.n_tok, st.hashes
+
+
+def term_hash64(term: str) -> int:
+    """uint64 hash of one query term under the engine token family.
+
+    ``term`` must itself be a single word token (the search surface's
+    contract); raises otherwise so a typo'd multi-word query fails
+    loudly instead of silently hashing its first token.
+    """
+    st = token_stats(pa.array([term], pa.large_string()))
+    if int(st.n_tok[0]) != 1 or int(st.n_chars[0]) != len(term):
+        raise ValueError(f"not a single word token: {term!r}")
+    return int(st.hashes[0])

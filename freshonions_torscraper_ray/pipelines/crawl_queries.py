@@ -31,12 +31,13 @@ from ..config import CrawlConfig
 from ..oracle import build_content, build_robots, crawl_oracle
 from ..synth import domain_name, write_synth_web
 
-FIX_DIR = "/tmp/onionray_crawlq_v3"
+FIX_DIR = "/tmp/onionray_crawlq_v4"
 N_DOMAINS = 60
 SEED = 42
 # 8 rounds with alive re-checks enabled: the driver gate also covers the
 # backoff/retry scheduling path; budget-capped tails keep the frontier
-# residue non-empty for comparison
+# residue non-empty for comparison. index_text exercises the incremental
+# search-index sink (per-round postings segments) in the same run.
 CFG = CrawlConfig(
     max_rounds=8,
     num_scheduler_shards=3,
@@ -44,6 +45,7 @@ CFG = CrawlConfig(
     recheck_dead=True,
     recheck_backoff=2,
     recheck_max_retries=1,
+    index_text=True,
 )
 
 PAGE_QCOLS = [
@@ -168,6 +170,43 @@ def q_crawl_frontier_residue(sf_dir: str):
     """Unfetched frontier residue (budget-capped tails) equality."""
     edir = ensure_engine_fixture()
     return pq.read_table(os.path.join(edir, "state", "frontier"))
+
+
+def _crawl_fts_index() -> str:
+    """Compact the engine fixture's per-round postings segments (written
+    by the fetch workers under cfg.index_text) into the query layout."""
+    from ..stages.text_index import compact_crawl_index
+    from ..store import RoundStore
+
+    edir = ensure_engine_fixture()
+    idx = compact_crawl_index(RoundStore(os.path.join(edir, "store")))
+    assert idx is not None, "engine fixture ran without index_text"
+    return idx
+
+
+CRAWL_SEARCH_TERM = "market"
+CRAWL_BM25_TERMS = ("market", "wallet")
+
+
+def q_crawl_search_rank(sf_dir: str):
+    """S5/O30 over the crawl-fed INCREMENTAL index: fetch workers emit a
+    postings segment per round (the reference indexed every crawled page
+    into Elasticsearch as it was fetched); segments compact into the
+    partition-pruned layout; score = token tf of the query term. The SQL
+    twin recomputes tf from the ORACLE's pages text, so a hash match
+    verifies the whole sink → segment → compaction → query path."""
+    from ..stages.text_index import crawl_term_tf_topk
+
+    return crawl_term_tf_topk(_crawl_fts_index(), CRAWL_SEARCH_TERM, k=20)
+
+
+def q_crawl_search_bm25(sf_dir: str):
+    """BM25 over the crawl-fed incremental index (same formula and
+    rounding discipline as ``search_rank_bm25``; df/n/avgdl over the
+    status-200 crawl corpus)."""
+    from ..stages.text_index import crawl_bm25_topk
+
+    return crawl_bm25_topk(_crawl_fts_index(), CRAWL_BM25_TERMS, k=20)
 
 
 def q_crawl_clone_domains(sf_dir: str):
@@ -588,6 +627,8 @@ CRAWL_QUERIES = {
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
     "crawl_soft404": q_crawl_soft404,
+    "crawl_search_rank": q_crawl_search_rank,
+    "crawl_search_bm25": q_crawl_search_bm25,
 }
 
 
@@ -703,5 +744,52 @@ def crawl_oracle_sql() -> dict[str, str]:
         "crawl_soft404": f"""
             SELECT domain, useful_404
             FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'soft404.parquet')}')
+        """,
+        # incremental-index twins recompute tf/dl from the ORACLE's page
+        # text with the identical token definition (lowercased
+        # WORD_PATTERN tokens over status-200 pages), so the hash match
+        # verifies the fetch-worker postings segments + compaction, not
+        # just the scoring math
+        "crawl_search_rank": f"""
+            WITH tf AS (
+                SELECT url,
+                       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                       x -> x = '{CRAWL_SEARCH_TERM}'))::BIGINT AS score
+                FROM read_parquet('{p('pages.parquet')}')
+                WHERE status = 200
+            )
+            SELECT url, score FROM tf WHERE score > 0
+            ORDER BY score DESC, url ASC
+            LIMIT 20
+        """,
+        "crawl_search_bm25": f"""
+            WITH d AS (
+                SELECT url,
+                       len(ts)::DOUBLE AS dl,
+                       len(list_filter(ts, x -> x = '{CRAWL_BM25_TERMS[0]}'))::DOUBLE AS tf0,
+                       len(list_filter(ts, x -> x = '{CRAWL_BM25_TERMS[1]}'))::DOUBLE AS tf1
+                FROM (
+                    SELECT url, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+                    FROM read_parquet('{p('pages.parquet')}')
+                    WHERE status = 200
+                )
+            ), s AS (
+                SELECT count(*)::DOUBLE AS n,
+                       sum(dl) / count(*) AS avgdl,
+                       sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                       sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+                FROM d
+            )
+            SELECT url,
+                   round(
+                       ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+                         * (tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl))
+                     + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+                         * (tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)),
+                   4) AS score
+            FROM d, s
+            WHERE tf0 > 0 OR tf1 > 0
+            ORDER BY score DESC, url ASC
+            LIMIT 20
         """,
     }

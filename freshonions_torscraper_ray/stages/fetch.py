@@ -260,20 +260,28 @@ def enrich_pages(pages: pa.Table) -> pa.Table:
     return pages.append_column("simhash", pa.array(sims.view(np.int64)))
 
 
-def derive_round_tables(wide: pa.Table, rnd: int, enrich: bool = False) -> dict[str, pa.Table]:
-    """Derive the four output tables (pages/links/emails/btc) from the
-    wide fetch output — pure column work, no I/O."""
+def derive_round_tables(wide: pa.Table, rnd: int, enrich: bool = False, index_text: bool = False) -> dict[str, pa.Table]:
+    """Derive the output tables (pages/links/emails/btc [+ postings
+    segment]) from the wide fetch output — pure column work, no I/O."""
     pages = wide.select(PAGE_COLS).append_column(
         "round", pa.array([rnd] * wide.num_rows, pa.int32())
     )
     if enrich:
         pages = enrich_pages(pages)
-    return {
+    out = {
         "pages": pages,
         "links": _explode_links(wide),
         "emails": _explode_addr(wide, "emails"),
         "btc": _explode_addr(wide, "btc"),
     }
+    if index_text:
+        # incremental search-index sink (cfg.index_text): one postings
+        # SEGMENT per worker per round, compacted at query time by
+        # stages/text_index.py::compact_crawl_index
+        from .text_index import crawl_postings_table
+
+        out["postings"] = crawl_postings_table(pages)
+    return out
 
 
 def write_table_parts(tables: dict[str, pa.Table], base_dir: str, part: str) -> None:
@@ -428,13 +436,14 @@ def make_fetch_worker():
                 block = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
             n_cand = 0
             enrich = getattr(self.cfg, "enrich", False)
+            index_text = getattr(self.cfg, "index_text", False)
             recheck = getattr(self.cfg, "recheck_dead", False)
             for s in range(0, block.num_rows, KERNEL_ROWS):
                 wide = self.fe(block.slice(s, KERNEL_ROWS))
                 n_cand += _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
                 if recheck:
                     self._collect_retries(wide, rnd)
-                for name, t in derive_round_tables(wide, rnd, enrich=enrich).items():
+                for name, t in derive_round_tables(wide, rnd, enrich=enrich, index_text=index_text).items():
                     self._out.setdefault(name, []).append(t)
             return (block.num_rows, n_cand)
 

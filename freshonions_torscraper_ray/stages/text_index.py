@@ -164,6 +164,115 @@ def build_or_load_text_index(parquet_path: str, num_parts: int = 64, id_col: str
     return idx
 
 
+# --------------------------------------------------------------------
+# Crawl-fed incremental index (reference: every crawled page was indexed
+# into Elasticsearch as it was fetched — the S5 sink was CONTINUOUS, not
+# a batch job). Fetch workers emit per-round postings SEGMENTS
+# (term_hash, url, tf, dl, part) for their status-200 pages;
+# compact_crawl_index merges all committed segments into the same
+# hive-partitioned query layout the batch index uses — the Lucene
+# segment-merge shape. Terms are stored as the engine token-family
+# hashes (functions/tokenize.py), not strings: segments stay ~16 B/term
+# and query-time pruning hashes the query term with the same family.
+
+
+def crawl_postings_table(pages: pa.Table, num_parts: int = 64, url_col: str = "url", text_col: str = "text") -> pa.Table:
+    """(term_hash, url, tf, dl, part) postings rows for one pages block —
+    fully vectorized: one byte-level ``token_stats`` pass, then a
+    lexsort + run-length count per (doc, term_hash). Only status-200
+    pages are indexed (the reference only indexed fetched pages)."""
+    from ..functions.tokenize import token_stats
+
+    empty = pa.Table.from_arrays(
+        [
+            pa.array([], pa.int64()),
+            pa.array([], pa.string()),
+            pa.array([], pa.int32()),
+            pa.array([], pa.int64()),
+            pa.array([], pa.int32()),
+        ],
+        names=["term_hash", "url", "tf", "dl", "part"],
+    )
+    if "status" in pages.column_names:
+        pages = pages.filter(pc.equal(pages["status"], 200))
+    if pages.num_rows == 0:
+        return empty
+    st = token_stats(pages[text_col])
+    if st.hashes.size == 0:
+        return empty
+    tok_doc = np.repeat(np.arange(pages.num_rows, dtype=np.int64), st.n_tok)
+    order = np.lexsort((st.hashes, tok_doc))
+    d, h = tok_doc[order], st.hashes[order]
+    bounds = np.flatnonzero(np.r_[True, (d[1:] != d[:-1]) | (h[1:] != h[:-1]), True])
+    tf = np.diff(bounds).astype(np.int32)
+    d, h = d[bounds[:-1]], h[bounds[:-1]]
+    mask = np.uint64(num_parts - 1)
+    urls = pages[url_col]
+    urls = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls
+    return pa.Table.from_arrays(
+        [
+            pa.array(h.view(np.int64)),
+            urls.take(pa.array(d)),
+            pa.array(tf),
+            pa.array(st.n_tok[d], pa.int64()),
+            pa.array((h & mask).astype(np.int32)),
+        ],
+        names=["term_hash", "url", "tf", "dl", "part"],
+    )
+
+
+def compact_crawl_index(store, num_parts: int = 64) -> str | None:
+    """Merge all committed per-round postings segments of a crawl store
+    into the partition-pruned query layout (+ stats.json). Idempotent
+    per (store, latest round): re-crawling more rounds re-compacts into
+    a new directory; a compaction for the same state is reused.
+
+    Returns the index dir, or None if the store holds no postings
+    (crawl ran without ``index_text``)."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    latest = store.latest_round()
+    seg_paths = store.table_paths("postings", upto=latest)
+    if not seg_paths:
+        return None
+    key = hashlib.md5(f"{os.path.abspath(store.root)}|{latest}|{num_parts}|{_FTS_VERSION}".encode()).hexdigest()[:16]
+    idx = f"/tmp/onionray_fts_crawl/{key}"
+    if os.path.exists(f"{idx}/_SUCCESS"):
+        return idx
+    segs = rd.read_parquet(seg_paths)
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    segs.write_parquet(f"{tmp}/postings", partition_cols=["part"])
+    # corpus stats: n_docs = ALL indexed (status-200) pages, zero-token
+    # pages included; sum_dl from one dl row per distinct url (dl is
+    # constant per url, so Max == the value)
+    pages = rd.read_parquet(store.table_paths("pages", upto=latest), columns=["status"])
+    n_docs = pages.map_batches(
+        lambda t: pa.table({"n": [t.filter(pc.equal(t["status"], 200)).num_rows]}),
+        batch_format="pyarrow",
+    ).sum("n")
+    per_url = rd.read_parquet(seg_paths, columns=["url", "dl"]).groupby("url").aggregate(Max("dl", alias_name="dl"))
+    agg = per_url.aggregate(Sum("dl", alias_name="sum_dl"))
+    stats = {
+        "n_docs": int(n_docs or 0),
+        "avgdl": (agg["sum_dl"] or 0) / max(int(n_docs or 0), 1),
+        "num_parts": num_parts,
+        "version": _FTS_VERSION,
+    }
+    with open(f"{tmp}/stats.json", "w") as f:
+        json.dump(stats, f)
+    with open(f"{tmp}/_SUCCESS", "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, idx)
+    except OSError:  # concurrent builder won the rename — use theirs
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return idx
+
+
 def _pruned_postings(index_dir: str, terms: list[str]):
     """Partition-pruned postings for the query terms: only the terms'
     ``part=`` directories are even listed. Returns (dataset|None, stats)."""
@@ -194,6 +303,132 @@ def _pruned_postings(index_dir: str, terms: list[str]):
 def _empty_scores() -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["doc_id", "score"]
+    )
+
+
+def _pruned_crawl_postings(index_dir: str, terms: list[str]):
+    """Partition-pruned crawl postings for the query terms (hash-keyed:
+    the query term is hashed with the engine token family and only its
+    ``part=`` directories are listed)."""
+    import ray.data as rd
+
+    from ..functions.tokenize import term_hash64
+
+    with open(f"{index_dir}/stats.json") as f:
+        stats = json.load(f)
+    mask = stats["num_parts"] - 1
+    hashes = [term_hash64(t) for t in terms]
+    parts = sorted({h & mask for h in hashes})
+    paths = [
+        f
+        for p in parts
+        for f in sorted(glob.glob(f"{index_dir}/postings/part={p}/*.parquet"))
+    ]
+    if not paths:
+        return None, None, stats
+    key_set = pa.array(np.array(hashes, dtype=np.uint64).view(np.int64))
+    cand = rd.read_parquet(paths, columns=["term_hash", "url", "tf", "dl"])
+    return (
+        cand.map_batches(
+            lambda t: t.filter(pc.is_in(t["term_hash"], value_set=key_set)),
+            batch_format="pyarrow",
+        ),
+        key_set,
+        stats,
+    )
+
+
+def _empty_url_scores() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.array([], pa.string()), pa.array([], pa.float64())], names=["url", "score"]
+    )
+
+
+def crawl_term_tf_topk(index_dir: str, term: str, k: int = 20):
+    """O30 search over the crawl-fed incremental index: score = token tf
+    of ``term``, top-k by (score desc, url asc); reads only the term's
+    partition of the compacted segments."""
+    import ray.data as rd
+
+    pruned, _keys, _stats = _pruned_crawl_postings(index_dir, [term])
+    if pruned is None:
+        return rd.from_arrow(_empty_url_scores())
+
+    def score(t: pa.Table) -> pa.Table:
+        u = t["url"]
+        return pa.Table.from_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u, pc.cast(t["tf"], pa.int64())],
+            names=["url", "score"],
+        )
+
+    return (
+        pruned.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "url"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def crawl_bm25_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: float = 0.75):
+    """BM25 over the crawl-fed incremental index — same formula (and the
+    same DuckDB-twin parity discipline) as ``bm25_index_topk``, keyed by
+    term hash and scoring crawl urls."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    terms = list(terms)
+    pruned, key_set, stats = _pruned_crawl_postings(index_dir, terms)
+    if pruned is None:
+        return rd.from_arrow(_empty_url_scores())
+    pruned = pruned.materialize()  # consumed twice: df aggregate + scoring
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["term_hash"], value_set=key_set).to_numpy(zero_copy_only=False)
+        return pa.table({f"df_{i}": [int((idx == i).sum())] for i in range(len(terms))})
+
+    agg = pruned.map_batches(df_partial, batch_format="pyarrow").aggregate(
+        *[Sum(f"df_{i}", alias_name=f"df_{i}") for i in range(len(terms))]
+    )
+    if not agg:
+        return rd.from_arrow(_empty_url_scores())
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    idf = np.array(
+        [
+            np.log((n_docs - (agg[f"df_{i}"] or 0) + 0.5) / ((agg[f"df_{i}"] or 0) + 0.5) + 1.0)
+            for i in range(len(terms))
+        ],
+        dtype=np.float64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ti = pc.index_in(t["term_hash"], value_set=key_set).to_numpy(zero_copy_only=False)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = idf[ti] * (tf * (k1 + 1.0)) / (tf + norm)
+        u = t["url"]
+        return pa.Table.from_arrays(
+            [u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u, pa.array(s, pa.float64())],
+            names=["url", "part_score"],
+        )
+
+    summed = (
+        pruned.map_batches(score, batch_format="pyarrow")
+        .groupby("url")
+        .aggregate(Sum("part_score", alias_name="raw"))
+    )
+    return (
+        summed.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [
+                    t["url"].combine_chunks() if isinstance(t["url"], pa.ChunkedArray) else t["url"],
+                    pa.array(round_half_away(t["raw"].to_numpy(zero_copy_only=False), 4), pa.float64()),
+                ],
+                names=["url", "score"],
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["score", "url"], descending=[True, False])
+        .limit(k)
     )
 
 

@@ -181,13 +181,15 @@ class FetchExtract:
         return pa.Table.from_arrays([arrays[f] for f, _ in RESULT_FIELDS], schema=RESULT_SCHEMA)
 
 
-def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) -> int:
-    """Merge a block's candidates into the per-actor accumulator
-    (min discovered_seq wins). Returns the raw candidate count.
+def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, acc: list) -> int:
+    """Stage a block's candidates into the per-actor accumulator as
+    COLUMNS (no per-candidate Python). Returns the raw candidate count.
 
     Seq packing is vectorized (one numpy expression over the flattened
-    candidate lists, with the same overflow guard as ``pack_seq``); only
-    the dict merge itself — inherent actor state — is a Python loop."""
+    candidate lists, with the same overflow guard as ``pack_seq``); the
+    min-seq dedup happens once per round in :meth:`drain_accepts` — a
+    lexsort first-per-url, arrival-order independent like the dict merge
+    it replaced."""
     import pyarrow.compute as pc
 
     cu_col = wide["cand_urls"]
@@ -203,14 +205,15 @@ def _merge_candidates(wide: pa.Table, cfg: CrawlConfig, rnd: int, best: dict) ->
     if rnd >= (1 << (63 - cfg.ROUND_SHIFT)) or (len(f) and int(f.max()) >= (1 << (cfg.ROUND_SHIFT - cfg.FETCH_SHIFT))) or int(pos.max()) >= (1 << cfg.FETCH_SHIFT):
         raise OverflowError(f"pack_seq overflow in round {rnd} (see CrawlConfig.pack_seq)")
     seqs = (np.int64(rnd) << np.int64(cfg.ROUND_SHIFT)) | (f << np.int64(cfg.FETCH_SHIFT)) | pos
-    urls = pc.list_flatten(cu_col).to_pylist()
-    doms = pc.list_flatten(wide["cand_domains"]).to_pylist()
-    deps = pc.list_flatten(wide["cand_depths"]).to_numpy(zero_copy_only=False)
-    get = best.get
-    for u, d, dep, seq in zip(urls, doms, deps, seqs):
-        cur = get(u)
-        if cur is None or seq < cur[4]:
-            best[u] = (u, d, int(dep), float(dep), int(seq))
+    dc = wide["cand_domains"]
+    acc.append(
+        (
+            pc.list_flatten(cu_col),
+            pc.list_flatten(dc.combine_chunks() if isinstance(dc, pa.ChunkedArray) else dc),
+            pc.list_flatten(wide["cand_depths"]).to_numpy(zero_copy_only=False),
+            seqs,
+        )
+    )
     return total
 
 
@@ -394,7 +397,7 @@ def make_fetch_worker():
             self.fe.store.MAX_CACHED_BUCKETS = n_buckets + 1  # pin owned buckets
             self.cfg = cfg
             self.seen = seen_handles
-            self._cand_acc: dict = {}
+            self._cand_acc: list = []  # staged candidate columns per kernel chunk
             self._retry_rows: list[tuple] = []
             self._out: dict[str, list[pa.Table]] = {}
 
@@ -506,26 +509,49 @@ def make_fetch_worker():
             return len(rows)
 
         def drain_accepts(self) -> int:
-            """Route this round's accumulated candidates to the seen
-            shards (columnar payloads); called once per round after all
-            process() calls."""
+            """Min-seq dedup this round's staged candidate columns (one
+            lexsort first-per-url — the vectorized form of the old dict
+            merge) and route them to the seen shards (columnar
+            payloads); called once per round after all process() calls."""
+            import pyarrow.compute as _pc
             import ray as _ray
 
-            from ..functions.hashing import hash64_signed
+            from ..functions.hashing import hash64_array
 
-            best = self._cand_acc
-            self._cand_acc = {}
-            if not best or not self.seen:
+            parts = self._cand_acc
+            self._cand_acc = []
+            if not parts or not self.seen:
                 return 0
+            urls = pa.concat_arrays([p[0] for p in parts])
+            doms = pa.concat_arrays([p[1] for p in parts])
+            deps = np.concatenate([p[2] for p in parts])
+            seqs = np.concatenate([p[3] for p in parts])
+            codes = _pc.dictionary_encode(urls).indices.to_numpy(zero_copy_only=False)
+            order = np.lexsort((seqs, codes))
+            cs = codes[order]
+            first = order[np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])]
+            first.sort()  # deterministic payload order (first-seen)
+            u_py = urls.take(pa.array(first)).to_pylist()
+            d_py = doms.take(pa.array(first)).to_pylist()
+            dep_sel = deps[first]
+            seq_sel = seqs[first]
             n_shards = len(self.seen)
-            by_shard: dict[int, list[tuple]] = {}
-            for u, row in best.items():
-                by_shard.setdefault(hash64_signed(u) % n_shards, []).append(row)
+            shard = hash64_array(u_py) % n_shards
+            u_np = np.asarray(u_py, dtype=object)
+            d_np = np.asarray(d_py, dtype=object)
+            prio = dep_sel.astype(np.float64)
             futs = []
-            for s, rows in by_shard.items():
-                cols = tuple(list(c) for c in zip(*rows))
-                futs.append(self.seen[s].accept.remote(cols))
+            for s in np.unique(shard):
+                m = np.flatnonzero(shard == s)
+                cols = (
+                    u_np[m].tolist(),
+                    d_np[m].tolist(),
+                    dep_sel[m].tolist(),
+                    prio[m].tolist(),
+                    seq_sel[m].tolist(),
+                )
+                futs.append(self.seen[int(s)].accept.remote(cols))
             _ray.get(futs)
-            return len(best)
+            return len(u_py)
 
     return FetchWorker

@@ -100,33 +100,50 @@ def finish_extract(core: dict, src_url: str, depth: int, max_depth: int,
     return {**core, "emails": emails, "btc": btc, "candidates": candidates}
 
 
-def extract_cores_batch(src_urls, spans_col) -> list[dict]:
-    """Vectorized :func:`extract_doc_core` over a whole hit batch.
+def span_core_columns(spans_col) -> dict:
+    """Fully columnar :func:`extract_doc_core` over a whole hit batch —
+    no per-doc Python at all.
 
     Takes the Arrow ``list<struct{kind,text,media_ref}>`` spans column
     DIRECTLY (the scalar path's ``spans.to_pylist()`` materialized every
     span as a Python dict — measured 72% of fetch+extract wall time) and
-    computes size / clone_fp / title / text with Arrow kernels + numpy
-    segment ops; the only remaining per-row Python is link
-    canonicalization, over link spans only. Output dicts are identical
-    to the scalar walk (golden- and conformance-verified):
+    computes every output with Arrow kernels + numpy segment ops.
+    Semantics identical to the scalar walk (golden/conformance/unit
+    verified):
 
-    - size        = Σ len(text)+len(media_ref) over ALL spans (code points)
-    - clone_fp    = hash64_signed("\\x1e".join(f"{k}\\x1f{t}\\x1f{r}"))
-    - title       = first kind=="title" span with non-empty text, else ""
-    - text        = "\\n".join(title texts (always) + non-empty text/link texts)
-    - links       = [(canonicalize(ref), domain, anchor)] over kind=="link"
+    - size      = Σ len(text)+len(media_ref) over ALL spans (code points)
+    - clone_fp  = hash64_signed("\\x1e".join(f"{k}\\x1f{t}\\x1f{r}"))
+    - title     = first kind=="title" span with non-empty text, else ""
+    - text      = "\\n".join(title texts (always) + non-empty text/link texts)
+    - links     = canonicalized link spans (invalid targets dropped),
+                  returned FLATTENED: (link_parent, dsts, doms, anchors)
+
+    Returns {"n", "sizes" (np i64), "clone_fps" (np i64),
+    "titles" (pa string, full batch), "texts" (pa large_string),
+    "link_parent" (np i64), "link_dsts"/"link_doms"/"link_anchors" (pa)}.
     """
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from .hashing import hash64_array
+    from .regexes import canonicalize_urls_batch
 
     arr = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
     n = len(arr)
+    empty_s = pa.array([], pa.string())
     if n == 0:
-        return []
+        return {
+            "n": 0,
+            "sizes": np.zeros(0, np.int64),
+            "clone_fps": np.zeros(0, np.int64),
+            "titles": empty_s,
+            "texts": pa.array([], pa.large_string()),
+            "link_parent": np.zeros(0, np.int64),
+            "link_dsts": empty_s,
+            "link_doms": empty_s,
+            "link_anchors": empty_s,
+        }
     counts = pc.list_value_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
@@ -155,43 +172,65 @@ def extract_cores_batch(src_urls, spans_col) -> list[dict]:
     texts = pc.binary_join(
         pa.LargeListArray.from_arrays(pa.array(kept_offsets), text.filter(pa.array(keep))),
         "\n",
-    ).to_pylist()
+    )
 
-    titles = [""] * n
     # scalar rule is "if not title: title = t" → the first NON-EMPTY
-    # title text wins (an empty title span does not latch)
+    # title text wins (an empty title span does not latch). Built with a
+    # null-index take + fill_null — no per-doc scatter loop.
     title_take = is_title & nonempty
     t_parent = parent[title_take]
+    idx_map = np.full(n, -1, np.int64)
     if len(t_parent):
         firsts, first_idx = np.unique(t_parent, return_index=True)  # parent sorted → first
-        title_texts = text.filter(pa.array(title_take))
-        for d, j in zip(firsts, first_idx):
-            titles[d] = title_texts[j].as_py()
+        idx_map[firsts] = first_idx
+    titles = pc.fill_null(
+        pc.take(text.filter(pa.array(title_take)), pa.array(idx_map, mask=idx_map < 0)), ""
+    )
 
-    links_per_doc: list[list] = [_EMPTY_LINKS] * n
     is_link = kind_np == "link"
-    if is_link.any():
-        from .regexes import canonicalize_urls_batch
+    l_parent = parent[is_link]
+    l_mask = pa.array(is_link)
+    canon_a, dom_a = canonicalize_urls_batch(ref.filter(l_mask))
+    valid = canon_a.is_valid().to_numpy(zero_copy_only=False)
+    v_mask = pa.array(valid)
+    return {
+        "n": n,
+        "sizes": sizes,
+        "clone_fps": clone_fps,
+        "titles": titles,
+        "texts": texts,
+        "link_parent": l_parent[valid],
+        "link_dsts": canon_a.filter(v_mask),
+        "link_doms": dom_a.filter(v_mask),
+        "link_anchors": text.filter(l_mask).filter(v_mask),
+    }
 
-        l_parent = parent[is_link]
-        l_mask = pa.array(is_link)
-        canon_a, dom_a = canonicalize_urls_batch(ref.filter(l_mask))
-        l_anchors = text.filter(l_mask).to_pylist()
-        for d, canon, dom, a in zip(l_parent, canon_a.to_pylist(), dom_a.to_pylist(), l_anchors):
-            if canon is not None:
-                lst = links_per_doc[d]
-                if lst is _EMPTY_LINKS:
-                    lst = links_per_doc[d] = []
-                lst.append((canon, dom, a))
 
-    frontpage = [u.endswith(".onion/") for u in src_urls]
+def extract_cores_batch(src_urls, spans_col) -> list[dict]:
+    """Per-doc dict adapter over :func:`span_core_columns` — the batch
+    twin of :func:`extract_doc_core`, kept for tests and scalar callers
+    (the fetch stage consumes the columns directly)."""
+    cc = span_core_columns(spans_col)
+    n = cc["n"]
+    if n == 0:
+        return []
+    links_per_doc: list[list] = [_EMPTY_LINKS] * n
+    for d, canon, dom, a in zip(
+        cc["link_parent"], cc["link_dsts"].to_pylist(), cc["link_doms"].to_pylist(), cc["link_anchors"].to_pylist()
+    ):
+        lst = links_per_doc[d]
+        if lst is _EMPTY_LINKS:
+            lst = links_per_doc[d] = []
+        lst.append((canon, dom, a))
+    titles = cc["titles"].to_pylist()
+    texts = cc["texts"].to_pylist()
     return [
         {
             "title": titles[i],
             "text": texts[i],
-            "size": int(sizes[i]),
-            "clone_fp": int(clone_fps[i]),
-            "is_frontpage": frontpage[i],
+            "size": int(cc["sizes"][i]),
+            "clone_fp": int(cc["clone_fps"][i]),
+            "is_frontpage": src_urls[i].endswith(".onion/"),
             "links": links_per_doc[i],
         }
         for i in range(n)
@@ -199,6 +238,138 @@ def extract_cores_batch(src_urls, spans_col) -> list[dict]:
 
 
 _EMPTY_LINKS: list = []  # shared sentinel: most docs have no links
+
+
+def _as_array(col):
+    """Arrow column → plain Array (ChunkedArray-safe)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # combine keeps the type
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+    return col
+
+
+def _dedup_first_per_doc(parent: "np.ndarray", values, n_docs: int):
+    """Order-preserving per-doc dedup of flattened (parent, value) rows
+    (the vectorized form of ``_dedup_first``): keep the FIRST occurrence
+    of each value within its doc, preserving original order. Rows must
+    be parent-major in original order. Returns (counts, kept_values)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    values = _as_array(values)
+    codes = pc.dictionary_encode(values).indices.to_numpy(zero_copy_only=False)
+    pos = np.arange(len(codes))
+    order = np.lexsort((pos, codes, parent))
+    p_s, c_s = parent[order], codes[order]
+    keep = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])] if len(order) else np.zeros(0, bool)
+    sel = np.sort(order[keep])  # parent-major rows → global order == per-doc order
+    counts = np.bincount(parent[sel], minlength=n_docs)
+    return counts, values.take(pa.array(sel, pa.int64()))
+
+
+def extract_finish_columnar(core, src_urls, depths: "np.ndarray", max_depth: int) -> dict:
+    """Fully columnar :func:`finish_extract` over the hit batch: one
+    vectorized RE2 pass per pattern, per-doc order-preserving dedup of
+    the finds, and the frontier-candidate assembly (same-domain depth
+    rule + keep-first-occurrence contract from the module docstring) as
+    numpy/Arrow expressions — no per-doc Python.
+
+    ``core`` is :func:`span_core_columns` output; ``src_urls`` an Arrow
+    string array of the hit docs' URLs (canonical). Returns flattened
+    list-column pieces keyed for the fetch stage:
+    {"emails"/"btc": (counts, values), "cands": (counts, urls, doms, deps)}.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .regexes import BTC_RE, EMAIL_RE, ONION_ANY_RE
+
+    n = core["n"]
+    texts = core["texts"]
+    emails_l, btc_l, onions_l = findall_batch_arrow(texts, [EMAIL_RE, BTC_RE, ONION_ANY_RE])
+    out = {}
+    for name, la in (("emails", emails_l), ("btc", btc_l)):
+        flat = pc.list_flatten(la)
+        par = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+        counts, vals = _dedup_first_per_doc(par, flat, n)
+        out[name] = (counts, vals)
+
+    # candidate assembly — the ordering contract: link targets in span
+    # order first, then harvested onion frontpages in match order;
+    # keep-first per (doc, url). A same-domain link past max_depth is
+    # DROPPED WITHOUT claiming its url (exactly the scalar cseen rule:
+    # it never enters cseen, so a later harvest of the same url can
+    # still add it).
+    src_host = pc.fill_null(
+        pc.struct_field(pc.extract_regex(src_urls, r"^https?://(?P<h>[^/:]+)"), "h"), ""
+    )
+    lp = core["link_parent"]
+    l_doms = core["link_doms"]
+    same = pc.equal(l_doms, pc.take(src_host, pa.array(lp))).to_numpy(zero_copy_only=False)
+    d_next = depths[lp] + 1
+    keep_l = ~(same & (d_next > max_depth))
+    l_deps = np.where(same, d_next, 0).astype(np.int32)[keep_l]
+    k_mask = pa.array(keep_l)
+    l_urls = core["link_dsts"].filter(k_mask)
+    l_doms_k = l_doms.filter(k_mask)
+    lp_k = lp[keep_l]
+
+    # harvested onions: dedup-first per doc, then frontpage URL form
+    o_flat = pc.list_flatten(onions_l)
+    o_par = pc.list_parent_indices(onions_l).to_numpy(zero_copy_only=False)
+    o_counts, o_hosts = _dedup_first_per_doc(o_par, o_flat, n)
+    hp = np.repeat(np.arange(n), o_counts)
+    o_urls = pc.binary_join_element_wise("http://", o_hosts, "/", "")
+
+    cand_par = np.concatenate([lp_k, hp])
+    cand_urls = pa.concat_arrays([l_urls.cast(pa.string()), o_urls.cast(pa.string())])
+    cand_doms = pa.concat_arrays([l_doms_k.cast(pa.string()), o_hosts.cast(pa.string())])
+    cand_deps = np.concatenate([l_deps, np.zeros(len(hp), np.int32)])
+    # keep-first per (doc, url): global concat position orders all link
+    # rows before all onion rows, and each part is parent-major, so
+    # within one doc the order is (links in span order, onions in match
+    # order) — exactly the scalar append order
+    codes = pc.dictionary_encode(cand_urls).indices.to_numpy(zero_copy_only=False)
+    pos = np.arange(len(codes))
+    order = np.lexsort((pos, codes, cand_par))
+    p_s, c_s = cand_par[order], codes[order]
+    keep = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])] if len(order) else np.zeros(0, bool)
+    sel = order[keep]
+    sel = sel[np.lexsort((sel, cand_par[sel]))]  # parent-major, original order within doc
+    counts = np.bincount(cand_par[sel], minlength=n)
+    sel_pa = pa.array(sel)
+    out["cands"] = (counts, cand_urls.take(sel_pa), cand_doms.take(sel_pa), cand_deps[sel])
+    return out
+
+
+def findall_batch_arrow(texts, patterns: list) -> list:
+    """Arrow-native :func:`findall_batch`: takes an Arrow string array,
+    returns one ``list<string>`` array per pattern (no Python list
+    materialization). Same DuckDB RE2 kernel and group-free contract."""
+    import pyarrow as pa
+
+    for p in patterns:
+        if p.groups:
+            raise ValueError(
+                f"findall_batch requires group-free patterns (re.findall returns "
+                f"captures, regexp_extract_all returns full matches): {p.pattern!r}"
+            )
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tbl = pa.table({"t": pc.cast(texts, pa.large_string())})  # noqa: F841 — duckdb reads it by name
+    sel = ", ".join(
+        "regexp_extract_all(t, '{}') AS m{}".format(p.pattern.replace("'", "''"), i)
+        for i, p in enumerate(patterns)
+    )
+    res = _duck().execute(f"SELECT {sel} FROM tbl").arrow()
+    return [_as_array(res[f"m{i}"]) for i in range(len(patterns))]
 
 
 def extract_doc(src_url: str, spans: list[dict], depth: int, max_depth: int) -> dict:

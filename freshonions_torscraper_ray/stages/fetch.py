@@ -84,10 +84,11 @@ class FetchExtract:
         self.cfg = config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Per-doc span parsing (extract_doc) is inherently scalar; all
-        COLUMN work is vectorized — passthrough columns are zero-copy
-        casts of the input batch, defaults are numpy/pyarrow kernels, and
-        the scalar loop touches only HIT rows and only extract fields."""
+        """Fully columnar fetch+extract: span-core columns (Arrow
+        kernels + numpy segment ops), one vectorized RE2 pass per
+        pattern, vectorized dedup/candidate assembly — no per-doc
+        Python anywhere. Identical results to per-doc extract_doc
+        (golden/conformance/unit-verified)."""
         import pyarrow.compute as pc
 
         n = batch.num_rows
@@ -104,55 +105,41 @@ class FetchExtract:
         docs, hit = self.store.lookup(urls, domains)
         hit = hit == 1  # lookup returns 1 = hit, -1 = miss
         hit_idx = np.flatnonzero(hit)
-        # two-stage extract: vectorized span-column extract (Arrow
-        # kernels — the old per-doc walk paid spans.to_pylist(), 72% of
-        # stage wall), then ONE vectorized RE2 pass per pattern over the
-        # whole batch (findall_batch), then per-doc candidate assembly.
-        # Identical results to extract_doc (golden/conformance-verified).
-        from ..functions.doc_extract import extract_cores_batch, findall_batch, finish_extract
-        from ..functions.regexes import BTC_RE, EMAIL_RE, ONION_ANY_RE
 
-        cores = extract_cores_batch(urls[hit_idx], docs["spans"]) if docs.num_rows else []
-        found = findall_batch([c["text"] for c in cores], [EMAIL_RE, BTC_RE, ONION_ANY_RE])
-        exs = [
-            finish_extract(
-                c, urls[i], int(depths[i]), self.cfg.max_depth,
-                found[0][j], found[1][j], found[2][j],
-            )
-            for j, (c, i) in enumerate(zip(cores, hit_idx))
-        ]
+        from ..functions.doc_extract import extract_finish_columnar, span_core_columns
 
+        url_col = col("url", pa.string())
+        core = span_core_columns(docs["spans"])
+        fin = extract_finish_columnar(
+            core, url_col.take(pa.array(hit_idx, pa.int64())), depths[hit_idx].astype(np.int64), self.cfg.max_depth
+        )
+
+        # scatter hit-doc scalars to full-batch columns (misses keep 0/"")
         size = np.zeros(n, np.int64)
         clone_fp = np.zeros(n, np.int64)
-        if len(hit_idx):
-            size[hit_idx] = [ex["size"] for ex in exs]
-            clone_fp[hit_idx] = [ex["clone_fp"] for ex in exs]
-        title: list = [""] * n
-        text: list = [""] * n
-        empty: list = []
-        lists: dict[str, list] = {
-            name: [empty] * n
-            for name in (
-                "link_dsts", "link_dst_domains", "link_anchors",
-                "emails", "btc", "cand_urls", "cand_domains", "cand_depths",
-            )
-        }
-        for j, i in enumerate(hit_idx):
-            ex = exs[j]
-            title[i] = ex["title"]
-            text[i] = ex["text"]
-            links = ex["links"]
-            if links:
-                lists["link_dsts"][i] = [l[0] for l in links]
-                lists["link_dst_domains"][i] = [l[1] for l in links]
-                lists["link_anchors"][i] = [l[2] for l in links]
-            lists["emails"][i] = ex["emails"]
-            lists["btc"][i] = ex["btc"]
-            cands = ex["candidates"]
-            if cands:
-                lists["cand_urls"][i] = [c[0] for c in cands]
-                lists["cand_domains"][i] = [c[1] for c in cands]
-                lists["cand_depths"][i] = [c[2] for c in cands]
+        size[hit_idx] = core["sizes"]
+        clone_fp[hit_idx] = core["clone_fps"]
+        idx_map = np.full(n, -1, np.int64)
+        idx_map[hit_idx] = np.arange(len(hit_idx))
+        take_hits = pa.array(idx_map, mask=idx_map < 0)
+        title = pc.fill_null(pc.take(core["titles"], take_hits), "")
+        text = pc.fill_null(pc.take(core["texts"], take_hits), "")
+
+        def list_col(counts_hit: np.ndarray, values, typ: pa.DataType):
+            """hit-doc (counts, flat values) → full-batch list column."""
+            counts = np.zeros(n, np.int64)
+            counts[hit_idx] = counts_hit
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(counts, out=offs[1:])
+            values = values if isinstance(values, pa.Array) else pa.array(values, typ.value_type)
+            if values.type != typ.value_type:
+                values = values.cast(typ.value_type)
+            return pa.ListArray.from_arrays(pa.array(offs, pa.int32()).cast(pa.int32()), values)
+
+        link_counts = np.bincount(core["link_parent"], minlength=len(hit_idx)) if len(hit_idx) else np.zeros(0, np.int64)
+        e_counts, e_vals = fin["emails"]
+        b_counts, b_vals = fin["btc"]
+        c_counts, c_urls, c_doms, c_deps = fin["cands"]
 
         retries = (
             col("retries", pa.int32())
@@ -161,14 +148,15 @@ class FetchExtract:
         )
         # miss rows: extract_doc's is_frontpage is exactly endswith(".onion/"),
         # so ONE vectorized kernel covers hits and misses alike
+        T = RESULT_SCHEMA.field
         arrays = {
-            "url": col("url", pa.string()),
+            "url": url_col,
             "domain": col("domain", pa.string()),
             "status": pa.array(np.where(hit, np.int32(200), np.int32(404))),
             "size": pa.array(size),
-            "title": pa.array(title, pa.string()),
-            "text": pa.array(text, pa.large_string()),
-            "is_frontpage": pc.ends_with(col("url", pa.string()), pattern=".onion/"),
+            "title": title.cast(pa.string()),
+            "text": text.cast(pa.large_string()),
+            "is_frontpage": pc.ends_with(url_col, pattern=".onion/"),
             "clone_fp": pa.array(clone_fp),
             "depth": col("depth", pa.int32()),
             "priority": col("priority", pa.float32()),
@@ -176,7 +164,14 @@ class FetchExtract:
             "vtime": col("vtime", pa.float64()),
             "fetch_order": col("fetch_order", pa.int64()),
             "retries": retries,
-            **{name: pa.array(vals, RESULT_SCHEMA.field(name).type) for name, vals in lists.items()},
+            "link_dsts": list_col(link_counts, core["link_dsts"], T("link_dsts").type),
+            "link_dst_domains": list_col(link_counts, core["link_doms"], T("link_dst_domains").type),
+            "link_anchors": list_col(link_counts, core["link_anchors"], T("link_anchors").type),
+            "emails": list_col(e_counts, e_vals, T("emails").type),
+            "btc": list_col(b_counts, b_vals, T("btc").type),
+            "cand_urls": list_col(c_counts, c_urls, T("cand_urls").type),
+            "cand_domains": list_col(c_counts, c_doms, T("cand_domains").type),
+            "cand_depths": list_col(c_counts, pa.array(c_deps, pa.int32()), T("cand_depths").type),
         }
         return pa.Table.from_arrays([arrays[f] for f, _ in RESULT_FIELDS], schema=RESULT_SCHEMA)
 

@@ -160,3 +160,69 @@ def test_canonicalize_urls_batch_matches_scalar():
         cs = None if raw is None else canonicalize_url(raw)
         ds = None if cs is None else url_domain(cs)
         assert (cb, db) == (cs, ds), raw
+
+
+def test_columnar_finish_matches_scalar_finish_extract():
+    """Full columnar extract (span_core_columns + extract_finish_columnar)
+    ≡ per-doc extract_doc on adversarial spans: dup links, same-domain
+    depth drops (incl. the cseen subtlety: a depth-dropped link does NOT
+    claim its url), harvested onions colliding with link targets, dup
+    emails/btc, empty docs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from freshonions_torscraper_ray.functions.doc_extract import (
+        extract_doc,
+        extract_finish_columnar,
+        span_core_columns,
+    )
+
+    v2 = "a" * 16 + ".onion"
+    other = "b" * 16 + ".onion"
+    third = "c" * 56 + ".onion"
+    MAXD = 2
+    docs = [
+        # same-domain link at max depth boundary + harvested onion of SAME url
+        (f"http://{v2}/p/1", 2, [
+            ("link", "anchor", f"http://{v2}/p/2"),       # depth 3 > MAXD → dropped, url unclaimed
+            ("text", f"mention {v2} and {other} twice {other}", ""),
+            ("link", "x", f"http://{other}/"),
+        ]),
+        # dup links + dup emails/btc
+        (f"http://{other}/", 0, [
+            ("link", "a1", f"http://{v2}/"),
+            ("link", "a2", f"http://{v2}/"),               # dup url → kept once (first)
+            ("link", "a3", f"HTTP://{v2}:80/"),            # canonicalizes to same → dup
+            ("text", "e@x.com e@x.com f@y.org 1BvBMSEYstWetqTFn5Au4m4GFg7xJaNVN2", ""),
+            ("link", "", f"http://{third}/deep"),
+        ]),
+        (f"http://{v2}/", 0, []),  # empty doc
+        # cross-domain + harvest-new
+        (f"http://{third}/", 1, [
+            ("text", f"go {v2}", ""),
+            ("link", "self", f"http://{third}/p/1"),       # same-domain depth 2 ≤ MAXD
+        ]),
+    ]
+    spans_t = pa.array(
+        [[{"kind": k, "text": t, "media_ref": r, "offset": 0} for k, t, r in sp] for _, _, sp in docs],
+        DOCUMENTS.field("spans").type,
+    )
+    urls = pa.array([u for u, _, _ in docs], pa.string())
+    depths = np.array([d for _, d, _ in docs], np.int64)
+    core = span_core_columns(spans_t)
+    fin = extract_finish_columnar(core, urls, depths, MAXD)
+
+    e_counts, e_vals = fin["emails"]
+    b_counts, b_vals = fin["btc"]
+    c_counts, c_urls, c_doms, c_deps = fin["cands"]
+    e_vals, b_vals = e_vals.to_pylist(), b_vals.to_pylist()
+    c_urls, c_doms, c_deps = c_urls.to_pylist(), c_doms.to_pylist(), list(c_deps)
+    eo = bo = co = 0
+    for i, (u, d, sp) in enumerate(docs):
+        ref = extract_doc(u, [{"kind": k, "text": t, "media_ref": r} for k, t, r in sp], d, MAXD)
+        assert e_vals[eo:eo + e_counts[i]] == ref["emails"], u
+        assert b_vals[bo:bo + b_counts[i]] == ref["btc"], u
+        got_c = list(zip(c_urls[co:co + c_counts[i]], c_doms[co:co + c_counts[i]],
+                         [int(x) for x in c_deps[co:co + c_counts[i]]]))
+        assert got_c == ref["candidates"], u
+        eo += e_counts[i]; bo += b_counts[i]; co += c_counts[i]

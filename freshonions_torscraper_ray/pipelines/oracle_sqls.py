@@ -259,6 +259,61 @@ ORACLE_SQL: dict[str, str] = {
                ), -1) AS signup_event_id
         FROM events e WHERE e.event_type = 'purchase'
     """,
+    "quality_repetition": """
+        WITH x AS (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS w FROM documents),
+        bg AS (SELECT doc_id, w[j] || ' ' || w[j+1] AS g
+               FROM x, unnest(range(1, len(w))) AS t2(j)),
+        bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb
+               FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+        tg AS (SELECT doc_id, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS g
+               FROM x, unnest(range(1, len(w) - 1)) AS t2(j)),
+        tm AS (SELECT doc_id, count(*) AS nt, count(DISTINCT g) AS nd FROM tg GROUP BY 1)
+        SELECT x.doc_id,
+               len(w)::BIGINT AS n_tokens,
+               round(coalesce(1.0 * mx / nb, 0), 4) AS top_bigram_frac,
+               round(coalesce(1.0 - 1.0 * nd / nt, 0), 4) AS dup_trigram_frac
+        FROM x LEFT JOIN bm ON x.doc_id = bm.doc_id LEFT JOIN tm ON x.doc_id = tm.doc_id
+    """,
+    "ngram_top": """
+        WITH x AS (SELECT regexp_extract_all(text, '[A-Za-z0-9_]+') AS w FROM documents),
+        g AS (SELECT w[j] || ' ' || w[j+1] AS ngram
+              FROM x, unnest(range(1, len(w))) AS t2(j))
+        SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+        ORDER BY cnt DESC, ngram LIMIT 100
+    """,
+    "tfidf_keywords": """
+        WITH tf AS (
+            SELECT doc_id, tok AS token, count(*)::BIGINT AS tf
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2),
+        df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.token, round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+              FROM s)
+        SELECT doc_id, token, tfidf FROM r WHERE rn <= 3
+    """,
+    "parts_top_by_brand": """
+        WITH r AS (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_retailprice DESC, p_partkey) AS rn
+            FROM part)
+        SELECT p_brand, p_partkey, p_retailprice FROM r WHERE rn <= 3
+    """,
+    "decontaminate": """
+        WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      w[j] || ' ' || w[j+1] || ' ' || w[j+2] || ' ' || w[j+3] || ' ' || w[j+4] AS sh
+               FROM w, unnest(range(1, len(w) - 3)) AS t2(j)),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0)
+        SELECT s.doc_id, count(*)::BIGINT AS n_hits
+        FROM sh s JOIN bench USING (sh)
+        WHERE s.doc_id % 10 <> 0
+        GROUP BY 1
+    """,
 }
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture

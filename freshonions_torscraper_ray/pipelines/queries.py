@@ -24,6 +24,7 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import regexes as rx
 from ..functions.rounding import pc_round4, round_half_away
+from ..stages import corpus as cp
 from ..stages import dedup as dd
 from ..stages import similarity as sim
 from ..stages import textstats as ts
@@ -707,6 +708,115 @@ def q_events_asof_purchase(sf_dir: str):
 
 # -------------------------------------------------------------- registry
 
+# ------------------------------------------- corpus / training-data ops
+
+
+def q_quality_repetition(sf_dir: str):
+    """Gopher-style repetition quality filters: top-bigram fraction +
+    duplicate-trigram fraction per doc (stages/corpus.py). Task-pool
+    map_batches; the DuckDB kernel IS the oracle's expression, so the
+    rounded fractions hash-match by construction."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(cp.repetition_stats, batch_format="pyarrow")
+
+
+def q_ngram_top(sf_dir: str):
+    """Corpus-level top-100 word bigrams: per-batch partial counts
+    (map-side combiner bounds the shuffle at distinct-ngrams-per-batch)
+    → tiny groupby-sum → deterministic (cnt desc, ngram asc) top-k."""
+    ds = _read(sf_dir, "documents", ["text"])
+    partials = ds.map_batches(cp.ngram_partial_counts, batch_format="pyarrow")
+    counts = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
+    return counts.sort(["cnt", "ngram"], descending=[True, False]).limit(100)
+
+
+def q_tfidf_keywords(sf_dir: str):
+    """Top-3 TF-IDF keywords per doc: (doc, token, tf) rows ⋈ token-keyed
+    df aggregate, then per-doc top-k. The df side is vocabulary-sized —
+    token-keyed Dataset.join is the 100-TB path (broadcast it instead
+    when the vocabulary fits one worker). Scores round half-away to 6 on
+    both sides before ranking so backend-libm ulp noise can't flip the
+    (tfidf desc, token asc) selection window."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tf = docs.map_batches(cp.tf_rows, batch_format="pyarrow")
+    df = (
+        tf.map_batches(lambda t: t.select(["token"]), batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(lambda t: t.rename_columns(["tok", "df"]), batch_format="pyarrow")
+    )
+    joined = tf.join(df, join_type="inner", num_partitions=8, on=("token",), right_on=("tok",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = round_half_away(tfv * np.log(n_docs / dfv), 6)
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["token"], pa.array(s)], names=["doc_id", "token", "tfidf"]
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    top = scored.groupby("doc_id").map_groups(
+        cp.topk_per_group_final(["doc_id"], "tfidf", 3, "token"), batch_format="pandas"
+    )
+    return top.select_columns(["doc_id", "token", "tfidf"])
+
+
+def q_parts_top_by_brand(sf_dir: str):
+    """Per-group top-k (top-3 parts per brand by retail price): map-side
+    partial top-k thins each batch to ≤k rows per group BEFORE the
+    shuffle, so the groupby moves O(groups × k) rows, not the table."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+    partials = ds.map_batches(
+        cp.topk_per_group_partial(["p_brand"], "p_retailprice", 3, "p_partkey"),
+        batch_format="pandas",
+    )
+    return partials.groupby("p_brand").map_groups(
+        cp.topk_per_group_final(["p_brand"], "p_retailprice", 3, "p_partkey"),
+        batch_format="pandas",
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: flag corpus docs sharing
+    any word-5-gram with the held-out benchmark slice (doc_id % 10 == 0
+    — the deterministic stand-in for an external benchmark suite).
+    Benchmark shingle set is broadcast ONCE via ray.put (benchmark
+    suites are MB-scale by construction); the corpus side is one
+    shingle-kernel + pc.is_in semi-filter per batch — no corpus
+    shuffle, output is contamination-sized."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    def corpus_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 != 0))
+
+    bench_sh = sorted(
+        set(
+            docs.map_batches(bench_only, batch_format="pyarrow")
+            .map_batches(lambda t: cp.shingle_rows(t, k=5), batch_format="pyarrow")
+            .unique("sh")
+        )
+    )
+    ref = ray.put(pa.array(bench_sh, pa.large_string()))
+    return docs.map_batches(corpus_only, batch_format="pyarrow").map_batches(
+        cp.ContaminationFlagger,
+        fn_constructor_args=(ref, 5),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -748,6 +858,11 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_purchase": q_events_asof_purchase,
+    "quality_repetition": q_quality_repetition,
+    "ngram_top": q_ngram_top,
+    "tfidf_keywords": q_tfidf_keywords,
+    "parts_top_by_brand": q_parts_top_by_brand,
+    "decontaminate": q_decontaminate,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

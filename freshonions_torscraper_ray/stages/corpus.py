@@ -1,0 +1,209 @@
+"""Corpus-level training-data operators: repetition quality, n-gram
+statistics, TF-IDF keywords, and benchmark decontamination.
+
+These extend the reference's light text handling (SURVEY.md §2.2 O10,
+§2.6 — language field + ES analyzers were all it had) with the ops a
+large-scale training-data pipeline runs over the same crawl output:
+
+- ``repetition_stats``      Gopher-style repetition quality signals
+                            (top-bigram fraction, duplicate-trigram
+                            fraction) per document.
+- ``ngram_partial_counts``  per-batch partial n-gram counts — the
+                            combiner half of a corpus-level top-k
+                            n-gram count (pre-aggregate inside
+                            map_batches, tiny groupby after).
+- ``tf_rows``               per-(doc, token) term frequencies, the fan
+                            -out half of TF-IDF.
+- ``shingle_rows``          distinct word-k-gram strings per document,
+                            the overlap unit for decontamination.
+
+All four run as task-pool ``map_batches`` stages using the per-worker
+DuckDB connection (``functions/doc_extract._duck``) as a vectorized
+string/regex kernel library — the established pattern here (batch RE2
+findall, enrich_fused, postings builder): one literal SQL per op so the
+plan caches, single-threaded per worker so Ray owns parallelism, and
+EXACT string semantics shared with the DuckDB oracle twins (no
+hash-collision gap between engine and oracle).
+
+Scale notes (100 TB):
+- repetition/tf/shingle kernels are embarrassingly parallel per batch;
+  nothing shuffles until the (much smaller) aggregate rows.
+- n-gram counting shuffles only per-batch PARTIAL (ngram, cnt) rows —
+  the combiner bounds shuffle volume by distinct-ngrams-per-batch, not
+  token count.
+- TF-IDF's df side is a token-keyed aggregate (vocabulary-sized, heavy
+  -tail but ≪ corpus); the tf⋈df join is token-keyed — broadcast it
+  instead when the vocabulary fits a worker (see q_tfidf_keywords).
+- decontamination broadcasts the BENCHMARK shingle set (benchmark
+  suites are MB-scale by construction — the GPT-3-style setup) via
+  ``ray.put`` once; the corpus side is one ``pc.is_in`` semi-filter per
+  batch, never a corpus-wide shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.doc_extract import _duck
+
+_WORD = "[A-Za-z0-9_]+"
+_LWORD = "[a-z0-9_]+"
+
+
+def _kernel(sql: str, batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Run one literal-SQL DuckDB kernel over (i, t) = (id, text)."""
+    tbl = pa.table(  # noqa: F841 — duckdb reads it by name
+        {"i": batch[id_col], "t": batch[text_col]}
+    )
+    return _duck().execute(sql).arrow()
+
+
+_REPETITION_SQL = f"""
+WITH x AS (SELECT i, regexp_extract_all(t, '{_WORD}') AS w FROM tbl),
+bg AS (SELECT i, w[j] || ' ' || w[j+1] AS g
+       FROM x, unnest(range(1, len(w))) AS t2(j)),
+bm AS (SELECT i, max(c) AS mx, sum(c) AS nb
+       FROM (SELECT i, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+tg AS (SELECT i, w[j] || ' ' || w[j+1] || ' ' || w[j+2] AS g
+       FROM x, unnest(range(1, len(w) - 1)) AS t2(j)),
+tm AS (SELECT i, count(*) AS nt, count(DISTINCT g) AS nd FROM tg GROUP BY 1)
+SELECT x.i AS i,
+       len(w)::BIGINT AS n_tokens,
+       round(coalesce(1.0 * mx / nb, 0), 4) AS top_bigram_frac,
+       round(coalesce(1.0 - 1.0 * nd / nt, 0), 4) AS dup_trigram_frac
+FROM x LEFT JOIN bm ON x.i = bm.i LEFT JOIN tm ON x.i = tm.i
+"""
+
+
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc repetition quality signals (Gopher-style filters):
+
+    - ``top_bigram_frac``: count of the most frequent word bigram over
+      total bigrams (Gopher's "fraction of characters in the most
+      common n-gram", token-denominated) — 0 when < 2 tokens.
+    - ``dup_trigram_frac``: 1 − distinct/total trigrams (Gopher's
+      "fraction of duplicated n-grams") — 0 when < 3 tokens.
+
+    Tokens are RE2 ``[A-Za-z0-9_]+`` matches (same family as
+    token_count); fractions round half-away to 4 on both sides because
+    the kernel IS the oracle's expression.
+    """
+    out = _kernel(_REPETITION_SQL, batch, id_col, text_col)
+    return out.rename_columns([id_col, "n_tokens", "top_bigram_frac", "dup_trigram_frac"])
+
+
+_NGRAM_SQL = {
+    n: f"""
+WITH x AS (SELECT regexp_extract_all(t, '{_WORD}') AS w FROM tbl),
+g AS (SELECT {" || ' ' || ".join(f"w[j+{k}]" for k in range(n))} AS ngram
+      FROM x, unnest(range(1, len(w) - {n - 2})) AS t2(j))
+SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
+"""
+    for n in (1, 2, 3)
+}
+
+
+def ngram_partial_counts(batch: pa.Table, n: int = 2, text_col: str = "text") -> pa.Table:
+    """Partial (ngram, cnt) counts within one batch — the map-side
+    combiner for corpus-level n-gram statistics. Shuffle volume after
+    this is bounded by distinct n-grams per batch, not token count."""
+    tbl = pa.table({"t": batch[text_col]})  # noqa: F841 — duckdb reads it by name
+    return _duck().execute(_NGRAM_SQL[n]).arrow()
+
+
+_TF_SQL = f"""
+WITH w AS (SELECT i, unnest(regexp_extract_all(lower(t), '{_LWORD}')) AS tok FROM tbl)
+SELECT i, tok AS token, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2
+"""
+
+
+def tf_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc, token, tf) rows — lowercased ``[a-z0-9_]+`` tokens (the
+    IR-style fold, same family as the jaccard shingler). One row per
+    DISTINCT (doc, token), so downstream df = a token-keyed Count."""
+    out = _kernel(_TF_SQL, batch, id_col, text_col)
+    return out.rename_columns([id_col, "token", "tf"])
+
+
+def _shingle_sql(k: int) -> str:
+    expr = " || ' ' || ".join(f"w[j+{i}]" for i in range(k))
+    return f"""
+WITH w AS (SELECT i, regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl)
+SELECT DISTINCT i, {expr} AS sh
+FROM w, unnest(range(1, len(w) - {k - 2})) AS t2(j)
+"""
+
+
+_SHINGLE_SQL = {k: _shingle_sql(k) for k in (3, 5, 8, 13)}
+
+
+def shingle_rows(batch: pa.Table, k: int = 5, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Distinct word-k-gram STRINGS per doc (lowercased) — the overlap
+    unit for decontamination. Strings, not hashes: membership against
+    the benchmark set must be exact (a 64-bit sketch collision would
+    silently flag a clean document)."""
+    sql = _SHINGLE_SQL.get(k) or _shingle_sql(k)
+    out = _kernel(sql, batch, id_col, text_col)
+    return out.rename_columns([id_col, "sh"])
+
+
+class ContaminationFlagger:
+    """Actor-pool stage: flag docs sharing any word-k-gram with a
+    benchmark shingle set (GPT-3-style training-set decontamination).
+
+    The benchmark set rides in as an ObjectRef (``ray.put`` once on the
+    driver, zero-copy Arrow read per actor in ``__init__`` — never
+    re-shipped per batch). Per batch: one DuckDB shingle kernel + one
+    ``pc.is_in`` semi-filter + one bincount; emits (doc, n_hits) for
+    hit docs only, so output is contamination-sized, not corpus-sized.
+    """
+
+    def __init__(self, bench_ref, k: int = 5, id_col: str = "doc_id", text_col: str = "text"):
+        import pyarrow.compute as pc
+        import ray
+
+        self._pc = pc
+        shingles = ray.get(bench_ref) if not isinstance(bench_ref, pa.Array) else bench_ref
+        self.value_set = shingles
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pc = self._pc
+        rows = shingle_rows(batch, self.k, self.id_col, self.text_col)
+        hit = pc.is_in(rows["sh"], value_set=self.value_set)
+        ids = rows[self.id_col].filter(hit)
+        if len(ids) == 0:
+            return pa.table({self.id_col: pa.array([], rows[self.id_col].type),
+                             "n_hits": pa.array([], pa.int64())})
+        # distinct-shingle rows in, so per-doc hit count = distinct overlap
+        uids, counts = np.unique(ids.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({self.id_col: pa.array(uids, rows[self.id_col].type),
+                         "n_hits": pa.array(counts.astype(np.int64))})
+
+
+def topk_per_group_partial(keys: list[str], order_col: str, k: int, tie_col: str):
+    """Map-side partial top-k per group: each batch keeps at most k rows
+    per key before the shuffle, so the groupby moves O(groups × k) rows
+    instead of the full table. Order: ``order_col`` desc, ``tie_col``
+    asc (the deterministic window the SQL twin uses)."""
+    import pandas as pd  # noqa: F401 — pandas batch format
+
+    def partial(df):
+        df = df.sort_values([order_col, tie_col], ascending=[False, True], kind="mergesort")
+        return df.groupby(keys, sort=False).head(k)
+
+    return partial
+
+
+def topk_per_group_final(keys: list[str], order_col: str, k: int, tie_col: str):
+    """Reduce-side exact top-k per group (runs inside groupby.map_groups
+    on the already-thinned partials)."""
+
+    def final(df):
+        df = df.sort_values([order_col, tie_col], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return final

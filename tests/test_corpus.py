@@ -1,0 +1,116 @@
+"""Unit tests for the corpus-level training-data operators
+(stages/corpus.py) on planted inputs with hand-computed expectations.
+The oracle-gate coverage is in the conformance harness; these pin the
+kernel semantics themselves (boundary docs, empty cases, tie-breaks)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from freshonions_torscraper_ray.stages import corpus as cp
+
+
+def _docs(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+class TestRepetitionStats:
+    def test_planted_fractions(self):
+        out = cp.repetition_stats(_docs([
+            "a a a a",          # bigrams: 3x "a a" -> top 3/3; trigrams 2x "a a a" -> dup 1-1/2
+            "x y z w",          # all distinct
+            "hi",               # 1 token: no bigrams/trigrams -> 0, 0
+            "",                 # 0 tokens
+        ])).to_pydict()
+        assert out["n_tokens"] == [4, 4, 1, 0]
+        assert out["top_bigram_frac"] == [1.0, pytest.approx(1 / 3, abs=1e-4), 0.0, 0.0]
+        assert out["dup_trigram_frac"] == [0.5, 0.0, 0.0, 0.0]
+
+    def test_two_tokens_no_trigram(self):
+        out = cp.repetition_stats(_docs(["ab ab"])).to_pydict()
+        assert out["top_bigram_frac"] == [1.0]
+        assert out["dup_trigram_frac"] == [0.0]
+
+
+class TestNgramPartial:
+    def test_bigram_counts(self):
+        t = cp.ngram_partial_counts(_docs(["a b a b", "a b"]), n=2)
+        d = dict(zip(t["ngram"].to_pylist(), t["cnt"].to_pylist()))
+        assert d == {"a b": 3, "b a": 1}
+
+    def test_unigram_and_trigram(self):
+        t1 = cp.ngram_partial_counts(_docs(["x x y"]), n=1)
+        assert dict(zip(t1["ngram"].to_pylist(), t1["cnt"].to_pylist())) == {"x": 2, "y": 1}
+        t3 = cp.ngram_partial_counts(_docs(["x y z w"]), n=3)
+        assert set(t3["ngram"].to_pylist()) == {"x y z", "y z w"}
+
+
+class TestTfShingles:
+    def test_tf_rows_lowercase_distinct(self):
+        t = cp.tf_rows(_docs(["The the THE cat"]))
+        d = {(r["doc_id"], r["token"]): r["tf"] for r in t.to_pylist()}
+        assert d == {(0, "the"): 3, (0, "cat"): 1}
+
+    def test_shingle_rows_distinct(self):
+        t = cp.shingle_rows(_docs(["a b c a b c a b c"]), k=3)
+        shs = t["sh"].to_pylist()
+        assert len(shs) == len(set(shs)) == 3  # {a b c, b c a, c a b}
+
+    def test_short_doc_no_shingles(self):
+        t = cp.shingle_rows(_docs(["a b"]), k=5)
+        assert t.num_rows == 0
+
+
+class TestTopkPerGroup:
+    def test_partial_plus_final_equals_window(self):
+        rng = np.random.default_rng(7)
+        df = pd.DataFrame({
+            "g": rng.integers(0, 5, 200),
+            "key": np.arange(200),
+            "v": rng.integers(0, 10, 200).astype(float),  # heavy ties
+        })
+        partial = cp.topk_per_group_partial(["g"], "v", 3, "key")
+        final = cp.topk_per_group_final(["g"], "v", 3, "key")
+        # simulate two map-side batches then the reduce
+        thinned = pd.concat([partial(df.iloc[:97]), partial(df.iloc[97:])])
+        got = (
+            thinned.groupby("g", group_keys=False)[thinned.columns.tolist()]
+            .apply(final)
+            .sort_values(["g", "key"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            df.sort_values(["v", "key"], ascending=[False, True], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(3)
+            .sort_values(["g", "key"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp)
+
+
+class TestContamination:
+    def test_flags_only_overlapping_docs(self, ray_session):
+        import ray
+
+        bench = cp.shingle_rows(_docs(["one two three four five six"]), k=5)
+        ref = ray.put(bench["sh"].combine_chunks().cast(pa.large_string()))
+        flag = cp.ContaminationFlagger(ref, k=5)
+        out = flag(_docs([
+            "one two three four five",            # 5-gram shared with bench
+            "totally unrelated words here now",   # clean
+            "zzz one two three four five six",    # 2 shared 5-grams
+        ]))
+        d = dict(zip(out["doc_id"].to_pylist(), out["n_hits"].to_pylist()))
+        assert d == {0: 1, 2: 2}
+
+    def test_empty_batch_schema(self, ray_session):
+        import ray
+
+        ref = ray.put(pa.array(["a b c d e"], pa.large_string()))
+        flag = cp.ContaminationFlagger(ref, k=5)
+        out = flag(_docs(["short text"]))
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "n_hits"]

@@ -95,6 +95,7 @@ class CrawlEngine:
             )
             for i in range(size)
         ]
+        self._prewarmed = False  # one prewarm per pool instance
 
     def _cfg_fp(self) -> str:
         """Fingerprint of everything that influences crawl ordering —
@@ -356,7 +357,15 @@ class CrawlEngine:
             from ..stages.fetch import plan_fetch_routing
 
             submit, loads, n_splits = plan_fetch_routing(
-                by_bucket, n, len(pool), getattr(cfg, "hot_bucket_factor", 1.0)
+                by_bucket,
+                n,
+                len(pool),
+                getattr(cfg, "hot_bucket_factor", 1.0),
+                # payloads are (block_ref, offset, n_rows): sub-slicing is
+                # arithmetic, so hot buckets split even in single-merger
+                # tail rounds (results unchanged — fetch_order is already
+                # assigned; candidate dedup is arrival-order independent)
+                slicer=lambda p, off, nr: (p[0], p[1] + off, nr),
             )
             self.last_hot_splits = n_splits
             self.hot_splits_total += n_splits
@@ -390,6 +399,20 @@ class CrawlEngine:
             acc_futs = [w.drain_accepts.remote() for w in self.fetch_pool]
             retry_futs = [w.drain_retries.remote(self.sched_handles) for w in self.fetch_pool]
             write_futs = [w.flush_outputs.remote(tmp_dir, rnd) for w in self.fetch_pool]
+            if not self._prewarmed:
+                # queue a one-time owned-bucket prewarm behind this
+                # round's work: it runs in each worker's idle window
+                # while the driver stages the next round, so the rare
+                # buckets first touched in sparse tail rounds don't
+                # concentrate parse cost on one worker mid-round.
+                # Fire-and-forget: actor task order guarantees it
+                # completes before the next round's process() call.
+                nb, nw = self.web_meta["n_buckets"], len(self.fetch_pool)
+                self._prewarm_futs = [
+                    w.prewarm.remote(list(range(i, nb, nw)))
+                    for i, w in enumerate(self.fetch_pool)
+                ]
+                self._prewarmed = True
             res = ray.get(futs)
             t_fetch = time.monotonic()
             ray.get(acc_futs)
@@ -400,6 +423,20 @@ class CrawlEngine:
 
                 print(
                     f"PROFPIPE r{rnd}: fetch={t_fetch - t_sched:.2f} drain={t_pipe - t_fetch:.2f}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                # per-worker process() wall/cpu spread: straggler idle =
+                # (max wall − mean wall) × pool size of pure waiting
+                perf = ray.get([pool[w].perf_stats.remote() for w, _ in gsubmit])
+                walls = sorted(p[0] for p in perf)
+                cpus = [p[1] for p in perf]
+                slow = max(perf, key=lambda p: p[0])
+                print(
+                    f"PROFWRK r{rnd}: nw={len(perf)} wall_min={walls[0]:.2f} "
+                    f"wall_med={walls[len(walls) // 2]:.2f} wall_max={walls[-1]:.2f} "
+                    f"cpu_sum={sum(cpus):.1f} rows={sum(p[2] for p in perf)} "
+                    f"slowest=(wall={slow[0]:.2f} cpu={slow[1]:.2f} rows={slow[2]})",
                     file=sys.stderr,
                     flush=True,
                 )

@@ -14,6 +14,7 @@ domain-hash bucket so each fetch batch touches few partitions.
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -63,11 +64,18 @@ _STORE_CACHE: dict[tuple[str, int], ContentStore] = {}
 
 # fetch/extract kernel chunk rows: large enough that per-call fixed
 # costs (DuckDB findall_batch setup, Arrow kernel dispatch) are noise,
-# small enough that one chunk's wide output (text columns) stays
-# comfortably in a worker's heap. Purely an execution knob — results
-# are chunk-boundary independent (deliberately NOT CrawlConfig: cfg is
-# fingerprinted as "everything that influences crawl ordering").
-KERNEL_ROWS = 8192
+# small enough that one chunk's working set (text + wide output +
+# kernel intermediates, ~10-20x the chunk's raw text bytes) stays
+# LLC-RESIDENT with every core busy. This is the measured wide-width
+# cliff on 2-4 KB pages: at 8192 rows/chunk each worker cycles ~25 MB+
+# through the shared L3, and 16 concurrent workers evict each other
+# continuously — 2.3-3.7x more CPU per URL than at 1024 (interleaved
+# A/B, P=16 standalone kernel: 8192 -> 11-18k urls/s agg, 1024 ->
+# 28-40k; P=4 is flat across sizes because 4 workers fit either way).
+# Purely an execution knob — results are chunk-boundary independent
+# (deliberately NOT CrawlConfig: cfg is fingerprinted as "everything
+# that influences crawl ordering").
+KERNEL_ROWS = int(os.environ.get("ONIONRAY_KERNEL_ROWS", "1024"))
 
 
 def _cached_store(docs_dir: str, n_buckets: int) -> ContentStore:
@@ -295,7 +303,11 @@ def write_table_parts(tables: dict[str, pa.Table], base_dir: str, part: str) -> 
 
 
 def plan_fetch_routing(
-    by_bucket: dict[int, list[tuple[int, object]]], n_rows: int, pool_size: int, factor: float = 1.0
+    by_bucket: dict[int, list[tuple[int, object]]],
+    n_rows: int,
+    pool_size: int,
+    factor: float = 1.0,
+    slicer=None,
 ) -> tuple[list[tuple[int, list]], list[int], int]:
     """Skew-aware routing plan [B: north_rule] — pure function (unit /
     property tested) used by the round loop. Input: per-content-bucket
@@ -309,8 +321,14 @@ def plan_fetch_routing(
     1. HOT-BUCKET SPLITTING: a bucket whose rows exceed ``factor`` × a
        worker's fair share would pin the round tail to one actor (hot
        onion domains hash-cluster into content buckets). Its sub-blocks
-       are dealt into ≤len(sub-blocks) size-balanced parts assigned to
-       neighbouring workers.
+       are dealt into size-balanced parts assigned to neighbouring
+       workers. With ``slicer(payload, offset, n) -> payload`` given
+       (the crawl's payloads are ``(ref, offset, n_rows)`` zero-copy
+       slices, so sub-slicing is pure arithmetic), a hot bucket splits
+       even when it arrives as ONE sub-block — the single-merger tail
+       rounds where a last hot domain would otherwise serialize the
+       round on its owner while every other worker idles. Without a
+       slicer (opaque payloads), only multi-sub-block buckets split.
     2. CONDITIONAL OWNER-PREFERRING GREEDY: static ownership keeps
        every bucket on the worker whose cache holds it; greedy
        rebalancing migrates buckets (one extra partition parse each),
@@ -330,14 +348,33 @@ def plan_fetch_routing(
     n_splits = 0
     for b, items in by_bucket.items():
         size_b = sum(nr for nr, _ in items)
-        if factor > 0 and len(items) > 1 and size_b > factor * fair:
-            k = min(len(items), -(-size_b // fair))
-            bins: list[list] = [[] for _ in range(k)]
-            bloads = [0] * k
-            for nr, payload in sorted(items, key=lambda x: -x[0]):
-                j = bloads.index(min(bloads))
-                bins[j].append(payload)
-                bloads[j] += nr
+        if factor > 0 and size_b > factor * fair and (len(items) > 1 or slicer is not None):
+            if slicer is None:
+                k = min(len(items), -(-size_b // fair))
+                bins: list[list] = [[] for _ in range(k)]
+                bloads = [0] * k
+                for nr, payload in sorted(items, key=lambda x: -x[0]):
+                    j = bloads.index(min(bloads))
+                    bins[j].append(payload)
+                    bloads[j] += nr
+            else:
+                # slice-level split: cut the bucket's row stream into k
+                # near-equal contiguous runs (deterministic: input order)
+                k = -(-size_b // fair)
+                target = -(-size_b // k)
+                bins = [[] for _ in range(k)]
+                bloads = [0] * k
+                j = 0
+                for nr, payload in items:
+                    off = 0
+                    while nr > 0:
+                        if bloads[j] >= target and j < k - 1:
+                            j += 1
+                        take = min(nr, target - bloads[j]) if j < k - 1 else nr
+                        bins[j].append(slicer(payload, off, take))
+                        bloads[j] += take
+                        off += take
+                        nr -= take
             n_splits += k - 1
             for j, grp in enumerate(bins):
                 if grp:
@@ -436,6 +473,9 @@ def make_fetch_worker():
             enrich = getattr(self.cfg, "enrich", False)
             index_text = getattr(self.cfg, "index_text", False)
             recheck = getattr(self.cfg, "recheck_dead", False)
+            prof = os.environ.get("ONIONRAY_PROFILE")
+            if prof:
+                t0w, t0c = time.perf_counter(), time.process_time()
             for s in range(0, block.num_rows, KERNEL_ROWS):
                 wide = self.fe(block.slice(s, KERNEL_ROWS))
                 n_cand += _merge_candidates(wide, self.cfg, rnd, self._cand_acc)
@@ -443,7 +483,24 @@ def make_fetch_worker():
                     self._collect_retries(wide, rnd)
                 for name, t in derive_round_tables(wide, rnd, enrich=enrich, index_text=index_text).items():
                     self._out.setdefault(name, []).append(t)
+            if prof:
+                self._perf = (
+                    time.perf_counter() - t0w,
+                    time.process_time() - t0c,
+                    block.num_rows,
+                )
             return (block.num_rows, n_cand)
+
+        def prewarm(self, owned_buckets: list[int]) -> int:
+            """Parse this worker's owned buckets into its cache (first
+            round boundary, queued behind round-1 work — fills the
+            worker's idle window during driver-side schedule staging)."""
+            return self.fe.store.warm(owned_buckets)
+
+        def perf_stats(self):
+            """Profile-only (ONIONRAY_PROFILE): (wall_s, cpu_s, rows) of
+            this worker's last process() call."""
+            return getattr(self, "_perf", (0.0, 0.0, 0))
 
         def flush_outputs(self, out_dir: str, rnd: int) -> int:
             """Write this round's buffered tables (one parquet part per

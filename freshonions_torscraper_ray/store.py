@@ -243,6 +243,20 @@ class ContentStore:
         self._index[bucket] = pd.Index(t.column("doc_id").to_numpy(zero_copy_only=False))
         self._lru.append(bucket)
 
+    def warm(self, buckets) -> int:
+        """Eagerly parse the given buckets into the cache (idempotent).
+        Used by fetch workers to pre-parse their OWNED buckets during
+        the first round boundary's idle window — otherwise the rare
+        buckets first touched in a sparse tail round concentrate their
+        parse cost on one worker while the rest of the pool idles (the
+        measured tail-round straggler term)."""
+        n = 0
+        for b in buckets:
+            if b not in self._index:
+                self._load(int(b))
+                n += 1
+        return n
+
     def lookup(self, urls, domains) -> tuple[pa.Table, np.ndarray]:
         """Batch lookup → (documents table of hits, per-input 1=hit/-1=miss).
 

@@ -111,6 +111,70 @@ def test_single_hot_bucket_is_split_across_workers(pool, n_sub):
     assert len({w for w, _ in submit}) > 1  # work actually spread
 
 
+def _slicer(p, off, nr):
+    """The crawl's payload form: (ref, offset, n_rows) — pure arithmetic."""
+    return (p[0], p[1] + off, nr)
+
+
+def _coverage(submit):
+    """ref -> sorted [(off, nr)] actually routed."""
+    cov: dict = {}
+    for _w, grp in submit:
+        for ref, off, nr in grp:
+            cov.setdefault(ref, []).append((off, nr))
+    return {r: sorted(v) for r, v in cov.items()}
+
+
+sliced_bucket_strategy = st.dictionaries(
+    st.integers(min_value=0, max_value=63),
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=5000), st.integers(min_value=0, max_value=999)),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(by_bucket=sliced_bucket_strategy, pool=st.integers(min_value=1, max_value=32), factor=st.sampled_from([0.0, 0.5, 1.0, 2.0]))
+def test_sliced_plan_covers_every_row_exactly_once(by_bucket, pool, factor):
+    """With a slicer, payloads may be cut — but the routed slices must
+    tile each original payload's [off, off+nr) exactly, no overlap/gap."""
+    payloads = {
+        (b, i): (nr, ((b, i), 0, nr))
+        for b, items in by_bucket.items()
+        for i, (nr, _) in enumerate(items)
+    }
+    inp = {b: [payloads[(b, i)] for i in range(len(items))] for b, items in by_bucket.items()}
+    n = sum(nr for nr, _ in payloads.values())
+    submit, loads, _ = plan_fetch_routing(inp, n, pool, factor, slicer=_slicer)
+    assert sum(loads) == n
+    cov = _coverage(submit)
+    for key, (nr, _) in payloads.items():
+        runs = cov[key]
+        pos = 0
+        for off, ln in runs:
+            assert off == pos and ln >= 1
+            pos += ln
+        assert pos == nr
+
+
+@settings(max_examples=100, deadline=None)
+@given(pool=st.integers(min_value=2, max_value=32))
+def test_single_subblock_hot_bucket_splits_with_slicer(pool):
+    """Tail-round case: ONE merger, one hot bucket = one sub-block.
+    Without a slicer it cannot split; with one it must."""
+    items = [(4000, ("r", 0, 4000))]
+    no_slice = plan_fetch_routing({7: items}, 4000, pool, 1.0)
+    assert no_slice[2] == 0  # opaque payloads: no split possible
+    submit, loads, n_splits = plan_fetch_routing({7: items}, 4000, pool, 1.0, slicer=_slicer)
+    assert n_splits > 0
+    assert len({w for w, _ in submit}) > 1
+    assert max(loads) <= -(-4000 // pool) + 1  # near-fair
+
+
 def test_crawl_order_exact_under_splitting(engine, oracle_result):
     assert engine.crawl_order() == oracle_result.crawl_order
 

@@ -389,7 +389,25 @@ class CrawlEngine:
             for w, payloads in submit:
                 grouped.setdefault(w, []).extend(payloads)
             gsubmit = sorted(grouped.items())
-            futs = [pool[w].process.remote(payloads, rnd, tmp_dir) for w, payloads in gsubmit]
+            # two-phase tail rounds: rows balance across workers but
+            # BYTES don't (hub pages with thousands of links), and a
+            # sparse round's heavy rows can serialize on one owner while
+            # the pool idles. Below the threshold, owners do the
+            # bucket-affine content LOOKUP only (phase A); the driver
+            # then re-routes extract/enrich slices cost-balanced (1 +
+            # span count) across ALL workers (phase B — no store access,
+            # so no cache churn). Execution knob only: results are
+            # routing-independent (fetch_order pre-assigned, min-seq
+            # candidate dedup), golden-tested.
+            two_phase_rows = int(os.environ.get("ONIONRAY_TWO_PHASE_ROWS", "2048"))
+            if len(pool) > 1 and n <= two_phase_rows * len(pool):
+                from ..stages.fetch import plan_weighted_slices
+
+                joined = ray.get([pool[w].lookup_join.remote(payloads) for w, payloads in gsubmit])
+                psubmit = plan_weighted_slices(joined, len(pool))
+            else:
+                psubmit = gsubmit
+            futs = [pool[w].process.remote(payloads, rnd, tmp_dir) for w, payloads in psubmit]
             # NO barrier between fetch and drain: actor tasks execute in
             # submission order, so each worker's drain/retry/write calls
             # queue behind ITS OWN process calls — early finishers drain
@@ -428,7 +446,7 @@ class CrawlEngine:
                 )
                 # per-worker process() wall/cpu spread: straggler idle =
                 # (max wall − mean wall) × pool size of pure waiting
-                perf = ray.get([pool[w].perf_stats.remote() for w, _ in gsubmit])
+                perf = ray.get([pool[w].perf_stats.remote() for w, _ in psubmit])
                 walls = sorted(p[0] for p in perf)
                 cpus = [p[1] for p in perf]
                 slow = max(perf, key=lambda p: p[0])
@@ -499,7 +517,11 @@ class CrawlEngine:
         p_rows: list[tuple] = []
         if n:
             per_w: dict[int, list[int]] = {}
-            for (w, _payloads), (nrows, ncand) in zip(gsubmit, res):
+            # res aligns with psubmit (the EXECUTING workers — in a
+            # two-phase tail round these differ from the owners in
+            # gsubmit: urls_scheduled stays owner-attributed via loads,
+            # urls_fetched is executor-attributed; both sum to n)
+            for (w, _payloads), (nrows, ncand) in zip(psubmit, res):
                 a = per_w.setdefault(w, [0, 0])
                 a[0] += nrows
                 a[1] += ncand

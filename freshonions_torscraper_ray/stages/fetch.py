@@ -96,7 +96,48 @@ class FetchExtract:
         kernels + numpy segment ops), one vectorized RE2 pass per
         pattern, vectorized dedup/candidate assembly — no per-doc
         Python anywhere. Identical results to per-doc extract_doc
-        (golden/conformance/unit-verified)."""
+        (golden/conformance/unit-verified).
+
+        A batch carrying ``spans``/``doc_hit`` columns (produced by
+        :meth:`join_docs` in a two-phase tail round) skips the content
+        store entirely — extract can then run on ANY worker, not just
+        the bucket owner."""
+        if "doc_hit" in batch.column_names:
+            hit = batch["doc_hit"].to_numpy(zero_copy_only=False) == 1
+            spans = batch["spans"]
+            spans = spans.combine_chunks() if isinstance(spans, pa.ChunkedArray) else spans
+            spans_hit = spans.filter(pa.array(hit))
+            return self._extract(batch.drop_columns(["spans", "doc_hit"]), spans_hit, hit)
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        domains = batch["domain"].to_numpy(zero_copy_only=False)
+        docs, hst = self.store.lookup(urls, domains)
+        return self._extract(batch, docs["spans"], hst == 1)
+
+    def join_docs(self, batch: pa.Table) -> pa.Table:
+        """Phase A of a two-phase tail round: content-store lookup ONLY
+        (the part that needs bucket affinity). Returns the batch with
+        ``spans`` scattered to full length (null on miss) + ``doc_hit``
+        — a self-contained block any worker can extract from."""
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        urls = batch["url"].to_numpy(zero_copy_only=False)
+        domains = batch["domain"].to_numpy(zero_copy_only=False)
+        docs, hst = self.store.lookup(urls, domains)
+        hit = hst == 1
+        hit_idx = np.flatnonzero(hit)
+        idx_map = np.full(n, -1, np.int64)
+        idx_map[hit_idx] = np.arange(len(hit_idx))
+        spans_col = docs["spans"]
+        spans_col = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) else spans_col
+        spans_full = pc.take(spans_col, pa.array(idx_map, mask=idx_map < 0))
+        return batch.append_column("spans", spans_full).append_column(
+            "doc_hit", pa.array(hit.astype(np.int8))
+        )
+
+    def _extract(self, batch: pa.Table, spans_hit, hit: np.ndarray) -> pa.Table:
+        """Extract/assemble from already-joined spans (``spans_hit`` =
+        span lists of the hit rows, in batch order)."""
         import pyarrow.compute as pc
 
         n = batch.num_rows
@@ -106,18 +147,13 @@ class FetchExtract:
             c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
             return c.cast(typ) if c.type != typ else c
 
-        urls = batch["url"].to_numpy(zero_copy_only=False)
-        domains = batch["domain"].to_numpy(zero_copy_only=False)
         depths = batch["depth"].to_numpy(zero_copy_only=False)
-
-        docs, hit = self.store.lookup(urls, domains)
-        hit = hit == 1  # lookup returns 1 = hit, -1 = miss
         hit_idx = np.flatnonzero(hit)
 
         from ..functions.doc_extract import extract_finish_columnar, span_core_columns
 
         url_col = col("url", pa.string())
-        core = span_core_columns(docs["spans"])
+        core = span_core_columns(spans_hit)
         fin = extract_finish_columnar(
             core, url_col.take(pa.array(hit_idx, pa.int64())), depths[hit_idx].astype(np.int64), self.cfg.max_depth
         )
@@ -404,6 +440,68 @@ def plan_fetch_routing(
     return submit, loads, n_splits
 
 
+def _resolve_block(block):
+    """Materialize a process()/lookup_join() input: a table passes
+    through; a list of ObjectRefs is fetched actor-side; a list of
+    ``(ref, offset, n_rows)`` payloads resolves each distinct ref ONCE
+    and takes zero-copy slices."""
+    if isinstance(block, list):
+        import ray as _ray
+
+        if block and isinstance(block[0], tuple):
+            by_ref: dict = {}
+            for ref, off, nr in block:
+                by_ref.setdefault(ref, []).append((off, nr))
+            refs = list(by_ref)
+            parts = [
+                t.slice(off, nr)
+                for t, ref in zip(_ray.get(refs), refs)
+                for off, nr in by_ref[ref]
+            ]
+        else:
+            parts = _ray.get(block)
+        block = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return block
+
+
+def plan_weighted_slices(
+    blocks: list[tuple[object, np.ndarray]], n_workers: int, slices_per_worker: int = 4
+) -> list[tuple[int, list]]:
+    """Cost-balanced re-routing plan for two-phase tail rounds — pure
+    function (property-tested). Input: ``(ref, weights)`` per joined
+    block where ``weights[i]`` is the cost proxy of row i (1 + span
+    count: hub pages with thousands of links are the measured tail-round
+    straggler — rows balance, bytes don't). Output: ``(worker, [(ref,
+    offset, n_rows), ...])`` calls, contiguous slices cut at ~total /
+    (n_workers × slices_per_worker) weight, assigned LPT (heaviest slice
+    to the least-loaded worker; deterministic tie-breaks)."""
+    slices: list[tuple[float, int, int, tuple]] = []  # (wgt, blk, off, payload)
+    total = 0.0
+    for bi, (_ref, w) in enumerate(blocks):
+        total += float(w.sum())
+    if total <= 0:
+        return []
+    target = max(1.0, total / (n_workers * slices_per_worker))
+    for bi, (ref, w) in enumerate(blocks):
+        cum = 0.0
+        off = 0
+        for i in range(len(w)):
+            cum += float(w[i])
+            if cum >= target:
+                slices.append((cum, bi, off, (ref, off, i + 1 - off)))
+                off = i + 1
+                cum = 0.0
+        if off < len(w):
+            slices.append((cum, bi, off, (ref, off, len(w) - off)))
+    loads = [0.0] * n_workers
+    out: list[list] = [[] for _ in range(n_workers)]
+    for wgt, _bi, _off, payload in sorted(slices, key=lambda s: (-s[0], s[1], s[2])):
+        j = loads.index(min(loads))
+        out[j].append(payload)
+        loads[j] += wgt
+    return [(j, grp) for j, grp in enumerate(out) if grp]
+
+
 def make_fetch_worker():
     """Bucket-pinned persistent fetch actor (raw Ray actor by design).
 
@@ -453,22 +551,7 @@ def make_fetch_worker():
             more than a chunk's wide output in flight at a time; chunk
             boundaries cannot affect results (row-independent kernel,
             min-seq candidate merge is arrival-order independent)."""
-            if isinstance(block, list):
-                import ray as _ray
-
-                if block and isinstance(block[0], tuple):
-                    by_ref: dict = {}
-                    for ref, off, nr in block:
-                        by_ref.setdefault(ref, []).append((off, nr))
-                    refs = list(by_ref)
-                    parts = [
-                        t.slice(off, nr)
-                        for t, ref in zip(_ray.get(refs), refs)
-                        for off, nr in by_ref[ref]
-                    ]
-                else:
-                    parts = _ray.get(block)
-                block = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+            block = _resolve_block(block)
             n_cand = 0
             enrich = getattr(self.cfg, "enrich", False)
             index_text = getattr(self.cfg, "index_text", False)
@@ -490,6 +573,21 @@ def make_fetch_worker():
                     block.num_rows,
                 )
             return (block.num_rows, n_cand)
+
+        def lookup_join(self, block) -> tuple:
+            """Phase A of a two-phase tail round: bucket-affine content
+            lookup only. Returns (ObjectRef of the joined block, per-row
+            cost weights = 1 + span count) — the driver re-routes
+            extract/enrich slices cost-balanced across ALL workers."""
+            import pyarrow.compute as pc
+            import ray as _ray
+
+            block = _resolve_block(block)
+            joined = self.fe.join_docs(block)
+            w = pc.fill_null(pc.list_value_length(joined["spans"]), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64) + 1
+            return (_ray.put(joined), w.astype(np.int32))
 
         def prewarm(self, owned_buckets: list[int]) -> int:
             """Parse this worker's owned buckets into its cache (first

@@ -342,18 +342,28 @@ def make_seen_actor():
                 return 0
             urls, domains, depths, prios, seqs = cols
             n_sched = len(sched_handles)
-            part = [hash64_signed(d) % n_sched for d in domains]
+            # vectorized partition: one blake2b pass over the domain
+            # column + numpy fancy-indexing per shard (was a per-URL
+            # Python hash loop + 5 list comprehensions per shard — a
+            # measured slice of the serial drain->flush->stage chain)
+            from ..functions.hashing import hash64_array
+
+            part = hash64_array(domains) % n_sched
+            arrs = [_np.asarray(c, dtype=object) for c in (urls, domains)]
+            deps = _np.asarray(depths, dtype=_np.int64)
+            prs = _np.asarray(prios, dtype=_np.float64)
+            sqs = _np.asarray(seqs, dtype=_np.int64)
             futs = []
-            for shard in set(part):
-                idx = [i for i, p in enumerate(part) if p == shard]
+            for shard in _np.unique(part):
+                idx = _np.flatnonzero(part == shard)
                 futs.append(
-                    sched_handles[shard].add_urls_cols.remote(
+                    sched_handles[int(shard)].add_urls_cols.remote(
                         (
-                            [urls[i] for i in idx],
-                            [domains[i] for i in idx],
-                            [depths[i] for i in idx],
-                            [prios[i] for i in idx],
-                            [seqs[i] for i in idx],
+                            arrs[0][idx].tolist(),
+                            arrs[1][idx].tolist(),
+                            deps[idx].tolist(),
+                            prs[idx].tolist(),
+                            sqs[idx].tolist(),
                         )
                     )
                 )

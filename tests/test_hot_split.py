@@ -175,6 +175,68 @@ def test_single_subblock_hot_bucket_splits_with_slicer(pool):
     assert max(loads) <= -(-4000 // pool) + 1  # near-fair
 
 
+import numpy as np
+
+from freshonions_torscraper_ray.stages.fetch import plan_weighted_slices
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=6),
+    pool=st.integers(min_value=1, max_value=32),
+    heavy=st.integers(min_value=1, max_value=5000),
+)
+def test_weighted_slices_cover_every_row_once(sizes, pool, heavy):
+    """Two-phase tail-round plan: slices must tile every block exactly,
+    regardless of weight skew (one pathological hub row included)."""
+    rng = np.random.RandomState(7)
+    blocks = []
+    for bi, nr in enumerate(sizes):
+        w = rng.randint(1, 30, size=nr).astype(np.int32)
+        if nr:
+            w[rng.randint(nr)] = heavy  # a hub page
+        blocks.append((f"ref{bi}", w))
+    plan = plan_weighted_slices(blocks, pool)
+    cov: dict = {}
+    for wkr, grp in plan:
+        assert 0 <= wkr < pool
+        for ref, off, nr in grp:
+            cov.setdefault(ref, []).append((off, nr))
+    for bi, nr in enumerate(sizes):
+        runs = sorted(cov.get(f"ref{bi}", []))
+        pos = 0
+        for off, ln in runs:
+            assert off == pos and ln >= 1
+            pos += ln
+        assert pos == nr
+
+
+def test_weighted_slices_balance_cost_not_rows():
+    """16 cheap-row blocks + one block whose tail rows are hub pages:
+    LPT must spread the heavy rows across workers."""
+    blocks = [("cheap", np.ones(1600, np.int32))]
+    heavy = np.ones(100, np.int32)
+    heavy[::10] = 2000  # 10 hub pages
+    blocks.append(("hub", heavy))
+    plan = plan_weighted_slices(blocks, 8)
+    loads = {}
+    for wkr, grp in plan:
+        loads[wkr] = loads.get(wkr, 0) + sum(
+            int(blocks[0][1][off:off + nr].sum()) if ref == "cheap" else int(blocks[1][1][off:off + nr].sum())
+            for ref, off, nr in grp
+        )
+    total = 1600 + int(heavy.sum())
+    # no worker carries more than ~2 hub pages' worth over fair share
+    assert max(loads.values()) <= total / 8 + 2 * 2000
+
+
+def test_weighted_slices_deterministic():
+    w1 = np.arange(1, 300, dtype=np.int32)
+    a = plan_weighted_slices([("x", w1), ("y", w1[::-1].copy())], 5)
+    b = plan_weighted_slices([("x", w1), ("y", w1[::-1].copy())], 5)
+    assert a == b
+
+
 def test_crawl_order_exact_under_splitting(engine, oracle_result):
     assert engine.crawl_order() == oracle_result.crawl_order
 

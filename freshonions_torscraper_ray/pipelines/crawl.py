@@ -400,7 +400,10 @@ class CrawlEngine:
             # routing-independent (fetch_order pre-assigned, min-seq
             # candidate dedup), golden-tested.
             two_phase_rows = int(os.environ.get("ONIONRAY_TWO_PHASE_ROWS", "2048"))
-            if len(pool) > 1 and n <= two_phase_rows * len(pool):
+            # lower bound: below ~32 rows/worker the phase barrier +
+            # object-store hop cost more than any straggler they remove
+            # (measured on the small-web headline bench)
+            if len(pool) > 1 and 32 * len(pool) <= n <= two_phase_rows * len(pool):
                 from ..stages.fetch import plan_weighted_slices
 
                 joined = ray.get([pool[w].lookup_join.remote(payloads) for w, payloads in gsubmit])

@@ -44,6 +44,32 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
         FROM documents GROUP BY md5(text)
     """,
+    # flagship composite: exact-dedup + quality-gated training-corpus
+    # export (same stat expressions as quality_score — identical copies
+    # share identical stats, so min() carries them through the dedup)
+    "corpus_export": """
+        WITH toks AS (
+            SELECT doc_id, md5(text) AS fp,
+                   regexp_extract_all(text, '[A-Za-z0-9_]+') AS t
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, fp,
+                   len(t)::BIGINT AS n_tokens,
+                   round(coalesce(len(list_filter(t, x -> x IN ('the', 'a'))) / greatest(len(t), 1), 0), 4) AS stop_ratio,
+                   round(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum') / greatest(len(t), 1), 0), 4) AS mean_token_len
+            FROM toks
+        ),
+        d AS (
+            SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                   min(stop_ratio) AS stop_ratio, min(mean_token_len) AS mean_token_len
+            FROM q GROUP BY fp
+        )
+        SELECT doc_id, n_tokens, stop_ratio, mean_token_len FROM d
+        WHERE n_tokens BETWEEN 25 AND 90
+          AND stop_ratio <= 0.12
+          AND mean_token_len BETWEEN 4.0 AND 5.1
+    """,
     "clone_groups": """
         SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_genuine
         FROM documents

@@ -720,6 +720,42 @@ def q_quality_repetition(sf_dir: str):
     return ds.map_batches(cp.repetition_stats, batch_format="pyarrow")
 
 
+def q_corpus_export(sf_dir: str):
+    """Flagship composite: training-corpus builder. documents → token/
+    quality stats + content fingerprint (two chained vectorized
+    map_batches) → exact dedup (hash-partition groupby on fp, keep min
+    doc_id; all copies share identical stats, so Min carries them) →
+    vectorized quality gates. Every stage is a streaming batch
+    transform; the only shuffle is the fp groupby — the same shape a
+    100 TB corpus export runs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(ts.quality_scores, batch_format="pyarrow")
+    ds = ds.map_batches(ts.md5_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "fp", "n_tokens", "stop_ratio", "mean_token_len"]
+    )
+    ds = ds.groupby("fp").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Min("stop_ratio", alias_name="stop_ratio"),
+        Min("mean_token_len", alias_name="mean_token_len"),
+    )
+
+    def gates(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"]
+        sr = t["stop_ratio"]
+        ml = t["mean_token_len"]
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(nt, 25), pc.less_equal(nt, 90)),
+            pc.and_(
+                pc.less_equal(sr, 0.12),
+                pc.and_(pc.greater_equal(ml, 4.0), pc.less_equal(ml, 5.1)),
+            ),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "stop_ratio", "mean_token_len"])
+
+    return ds.map_batches(gates, batch_format="pyarrow")
+
+
 def q_ngram_top(sf_dir: str):
     """Corpus-level top-100 word bigrams: per-batch partial counts
     (map-side combiner bounds the shuffle at distinct-ngrams-per-batch)
@@ -859,6 +895,7 @@ QUERIES = {
     "events_sessions": q_events_sessions,
     "events_asof_purchase": q_events_asof_purchase,
     "quality_repetition": q_quality_repetition,
+    "corpus_export": q_corpus_export,
     "ngram_top": q_ngram_top,
     "tfidf_keywords": q_tfidf_keywords,
     "parts_top_by_brand": q_parts_top_by_brand,

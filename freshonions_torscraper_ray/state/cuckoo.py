@@ -342,14 +342,24 @@ def make_seen_actor():
                 return 0
             urls, domains, depths, prios, seqs = cols
             n_sched = len(sched_handles)
-            # vectorized partition: one blake2b pass over the domain
-            # column + numpy fancy-indexing per shard (was a per-URL
+            # vectorized partition: hash each DISTINCT domain once per
+            # run (cached — candidates repeat domains heavily across
+            # rounds) + numpy fancy-indexing per shard (was a per-URL
             # Python hash loop + 5 list comprehensions per shard — a
             # measured slice of the serial drain->flush->stage chain)
             from ..functions.hashing import hash64_array
 
-            part = hash64_array(domains) % n_sched
-            arrs = [_np.asarray(c, dtype=object) for c in (urls, domains)]
+            cache = getattr(self, "_dom_shard", None)
+            if cache is None:
+                cache = self._dom_shard = {}
+            doms = _np.asarray(domains, dtype=object)
+            uniq = _np.unique(doms) if len(doms) else doms
+            new = [d for d in uniq if d not in cache]
+            if new:
+                for d, h in zip(new, hash64_array(new) % n_sched):
+                    cache[d] = int(h)
+            part = _np.fromiter((cache[d] for d in doms), dtype=_np.int64, count=len(doms))
+            arrs = [_np.asarray(urls, dtype=object), doms]
             deps = _np.asarray(depths, dtype=_np.int64)
             prs = _np.asarray(prios, dtype=_np.float64)
             sqs = _np.asarray(seqs, dtype=_np.int64)

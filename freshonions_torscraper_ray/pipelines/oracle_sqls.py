@@ -242,6 +242,16 @@ ORACLE_SQL: dict[str, str] = {
     "random_sample_hash": """
         SELECT doc_id FROM documents WHERE doc_id % 97 = 0
     """,
+    "sample_stratified": """
+        SELECT event_type, event_id, user_id FROM (
+            SELECT event_type, event_id, user_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY (event_id * 2654435761) % 4294967296, event_id
+                   ) AS rn
+            FROM events
+        ) WHERE rn <= 5
+    """,
     "union_sources": """
         SELECT DISTINCT custkey FROM (
             SELECT c_custkey AS custkey FROM customer

@@ -628,6 +628,22 @@ def q_random_sample_hash(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def q_sample_stratified(sf_dir: str):
+    """Stratified (per-group) deterministic sample — the data-mixing
+    primitive of a training-corpus pipeline: 5 events per event_type,
+    ranked by a Knuth multiplicative hash both sides can express
+    exactly ((id * 2654435761) mod 2^32; ties by id). Hash-partition
+    groupby + per-group head — no global sort."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        k = (g["event_id"].to_numpy(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        g = g.assign(_k=k).sort_values(["_k", "event_id"]).head(5)
+        return g[["event_type", "event_id", "user_id"]]
+
+    return ds.groupby("event_type").map_groups(pick, batch_format="pandas")
+
+
 def q_union_sources(sf_dir: str):
     """O31 union of id sources + exact distinct."""
     a = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
@@ -890,6 +906,7 @@ QUERIES = {
     "search_rank_bm25": q_search_rank_bm25,
     "dedup_clusters": q_dedup_clusters,
     "random_sample_hash": q_random_sample_hash,
+    "sample_stratified": q_sample_stratified,
     "union_sources": q_union_sources,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,

@@ -131,6 +131,18 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def q_winnow_fingerprint(sf_dir: str):
+    """Rolling-hash (winnowing) document fingerprints — the local
+    fingerprint form that survives partial edits (rows-only: the exact
+    mod-2^61-1 polynomial hash has no SQL expression; unit/property
+    tests cover the scalar-reference equality and the shared-substring
+    guarantee)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(ts.winnow_fingerprints, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_fps", "fp_min", "fp_xor"]
+    )
+
+
 def q_langid_pred(sf_dir: str):
     """O10 language ID (rows-only: heuristic model, not SQL-expressible)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -877,6 +889,7 @@ QUERIES = {
     "token_count": q_token_count,
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprint": q_winnow_fingerprint,
     "langid_pred": q_langid_pred,
     "dedup_exact": q_dedup_exact,
     "clone_groups": q_clone_groups,

@@ -177,3 +177,83 @@ def extract_pattern_rows(
     return pa.Table.from_arrays(
         [pc.take(ids, parent), pc.list_flatten(lists)], names=[id_col, out_col]
     )
+
+
+# ------------------------------------------------- winnowing (rolling hash)
+
+_WINNOW_BASE = np.uint64(1000003)
+
+
+def _kgram_hashes(buf: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial rolling hashes of every byte k-gram of ``buf`` (uint8),
+    mod 2^61-1 — Horner form, k vectorized passes over the whole buffer,
+    no sequential dependency, exact split-multiply arithmetic (reuses
+    the minhash helpers; a plain uint64 multiply wraps mod 2^64 and
+    breaks the hash family)."""
+    from .dedup import _fold_p, _mulmod_p
+
+    n = len(buf) - k + 1
+    if n <= 0:
+        return np.zeros(0, np.uint64)
+    h = np.zeros(n, np.uint64)
+    for j in range(k):
+        h = _fold_p(_mulmod_p(h, _WINNOW_BASE) + buf[j : j + n].astype(np.uint64))
+    return h
+
+
+def winnow_doc_fps(hs: np.ndarray, w: int) -> np.ndarray:
+    """Winnowing selection over one doc's k-gram hash sequence: the min
+    of every w-window, deduplicated to the unique fingerprint set
+    (Schleimer/Wilkerson/Aiken local fingerprinting — guarantees any
+    shared run of >= w+k-1 bytes between two docs yields a shared
+    fingerprint)."""
+    m = len(hs)
+    if m == 0:
+        return np.zeros(0, np.uint64)
+    if m <= w:
+        return np.array([hs.min()], np.uint64)
+    mins = np.lib.stride_tricks.sliding_window_view(hs, w).min(axis=1)
+    return np.unique(mins)
+
+
+def winnow_fingerprints(
+    batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16
+) -> pa.Table:
+    """Rolling-hash document fingerprints (winnowing): one vectorized
+    k-gram hash pass over the batch's flat utf-8 buffer, then a per-doc
+    window-min selection (doc slices are small; the heavy work is the
+    global pass). Output per doc: fingerprint-set size, min and xor —
+    a compact content digest stable under batch boundaries.
+
+    Reference parity: the upstream fingerprinted page content for clone
+    detection (SURVEY §2 O11) with a whole-page hash; winnowing is the
+    local form that also survives partial edits — the named
+    rolling-hash fingerprint of the training-data operator family."""
+    from ..functions.tokenize import _as_large_string_array
+
+    texts = _as_large_string_array(batch[text_col])
+    n = len(texts)
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int64, count=n + 1)
+    total = int(off[-1] - off[0])
+    base = int(off[0])
+    buf = (
+        np.frombuffer(texts.buffers()[2], dtype=np.uint8, count=total, offset=base)
+        if total
+        else np.zeros(0, np.uint8)
+    )
+    H = _kgram_hashes(buf, k)
+    n_fps = np.zeros(n, np.int64)
+    fp_min = np.zeros(n, np.uint64)
+    fp_xor = np.zeros(n, np.uint64)
+    for d in range(n):
+        s, e = int(off[d] - base), int(off[d + 1] - base)
+        m = e - s - k + 1
+        if m <= 0:
+            continue
+        fps = winnow_doc_fps(H[s : s + m], w)
+        n_fps[d] = len(fps)
+        fp_min[d] = fps.min()
+        fp_xor[d] = np.bitwise_xor.reduce(fps)
+    return batch.append_column("n_fps", pa.array(n_fps)).append_column(
+        "fp_min", pa.array(fp_min.astype(np.int64))
+    ).append_column("fp_xor", pa.array(fp_xor.astype(np.int64)))

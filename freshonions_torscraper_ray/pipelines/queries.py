@@ -222,6 +222,31 @@ def q_dedup_jaccard(sf_dir: str):
     )
 
 
+def q_dedup_winnow(sf_dir: str):
+    """Winnowing near-dup candidate pairs: distributed inverted
+    fingerprint index (groupby fp, df-bounded against stop-fingerprints)
+    → in-bucket pairing → (doc_a, doc_b, n_shared) for pairs sharing
+    >= 2 selected fingerprints. Rows-only (the mod-2^61-1 rolling hash
+    has no SQL expression); the pairing shape is the oracle-checked
+    dedup_jaccard's, and the fingerprint kernel is property-tested
+    (scalar-reference equality + shared-substring guarantee)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = ds.map_batches(ts.winnow_fp_rows, batch_format="pyarrow")
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        if len(ids) < 2 or len(ids) > 20:  # df cap: stop-fingerprints
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        iu = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[iu[0]], "doc_b": ids[iu[1]]})
+
+    pairs = rows.groupby("fp").map_groups(pair, batch_format="pandas")
+    counts = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], 2)), batch_format="pyarrow"
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: simhash pair graph → connected components →
     (doc_id, component, keep) — the step after any pair-producing dedup
@@ -896,6 +921,7 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_winnow": q_dedup_winnow,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,

@@ -216,6 +216,45 @@ def winnow_doc_fps(hs: np.ndarray, w: int) -> np.ndarray:
     return np.unique(mins)
 
 
+def winnow_fp_rows(
+    batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16, id_col: str = "doc_id"
+) -> pa.Table:
+    """Exploded (id, fp) winnowing fingerprint rows — the inverted-index
+    feed for winnow-based near-dup pairing (same selection as
+    :func:`winnow_fingerprints`)."""
+    from ..functions.tokenize import _as_large_string_array
+
+    texts = _as_large_string_array(batch[text_col])
+    n = len(texts)
+    off = np.frombuffer(texts.buffers()[1], dtype=np.int64, count=n + 1)
+    total = int(off[-1] - off[0])
+    base = int(off[0])
+    buf = (
+        np.frombuffer(texts.buffers()[2], dtype=np.uint8, count=total, offset=base)
+        if total
+        else np.zeros(0, np.uint8)
+    )
+    H = _kgram_hashes(buf, k)
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    counts = np.zeros(n, np.int64)
+    parts: list[np.ndarray] = []
+    for d in range(n):
+        s, e = int(off[d] - base), int(off[d + 1] - base)
+        m = e - s - k + 1
+        if m <= 0:
+            continue
+        fps = winnow_doc_fps(H[s : s + m], w)
+        counts[d] = len(fps)
+        parts.append(fps)
+    flat = np.concatenate(parts) if parts else np.zeros(0, np.uint64)
+    parent = np.repeat(np.arange(n), counts)
+    return pa.Table.from_arrays(
+        [ids.take(pa.array(parent, pa.int64())), pa.array(flat.astype(np.int64))],
+        names=[id_col, "fp"],
+    )
+
+
 def winnow_fingerprints(
     batch: pa.Table, text_col: str = "text", k: int = 8, w: int = 16
 ) -> pa.Table:

@@ -101,3 +101,40 @@ def test_identical_docs_identical_digests_and_edits_shift_partially():
     fa = scalar_winnow(base)
     fb = scalar_winnow(edited)
     assert fa != fb and fa & fb
+
+
+def test_winnow_fp_rows_explode_matches_sets():
+    from freshonions_torscraper_ray.stages.textstats import winnow_fp_rows
+
+    docs = {
+        1: "the quick brown onion jumped over the hidden service " * 3,
+        2: "completely different text with nothing in common here at all " * 3,
+    }
+    t = winnow_fp_rows(pa.table({"doc_id": list(docs), "text": list(docs.values())}))
+    by_doc: dict[int, set] = {}
+    for r in t.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"] & ((1 << 61) - 1))
+    for d, text in docs.items():
+        assert by_doc[d] == scalar_winnow(text)
+
+
+def test_dedup_winnow_finds_planted_near_dups(ray_session, tmp_path):
+    """Planted near-dup (one word edited) must pair; disjoint docs must not."""
+    import pyarrow.parquet as pq
+
+    from freshonions_torscraper_ray.pipelines.queries import q_dedup_winnow
+
+    base = "onion services host hidden content across the dark web tonight " * 5
+    docs = [
+        (0, base),
+        (1, base.replace("tonight", "tomorrow", 1)),  # near-dup of 0
+        (2, "unrelated corpus text about cooking recipes and gardens " * 5),
+        (3, "another disjoint document on astronomy and telescopes " * 5),
+    ]
+    pq.write_table(
+        pa.table({"doc_id": [d for d, _ in docs], "text": [t for _, t in docs]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in q_dedup_winnow(str(tmp_path)).take_all()}
+    assert (0, 1) in pairs
+    assert all(p == (0, 1) for p in pairs)

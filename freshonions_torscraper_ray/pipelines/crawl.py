@@ -402,8 +402,11 @@ class CrawlEngine:
             two_phase_rows = int(os.environ.get("ONIONRAY_TWO_PHASE_ROWS", "2048"))
             # lower bound: below ~32 rows/worker the phase barrier +
             # object-store hop cost more than any straggler they remove
-            # (measured on the small-web headline bench)
-            if len(pool) > 1 and 32 * len(pool) <= n <= two_phase_rows * len(pool):
+            # (measured on the small-web headline bench). Both bounds are
+            # env execution knobs (invariance-tested: forcing two-phase
+            # ON or OFF for every round yields identical crawl output).
+            two_phase_min = int(os.environ.get("ONIONRAY_TWO_PHASE_MIN_ROWS", "32"))
+            if len(pool) > 1 and two_phase_min * len(pool) <= n <= two_phase_rows * len(pool):
                 from ..stages.fetch import plan_weighted_slices
 
                 joined = ray.get([pool[w].lookup_join.remote(payloads) for w, payloads in gsubmit])

@@ -61,3 +61,19 @@ def test_output_identical_across_parallelism_configs(web_dir, tmp_path_factory, 
         assert order == ref_order
         assert seen == ref_seen
         assert pages == ref_pages
+
+
+def test_output_identical_with_two_phase_forced_on_and_off(
+    web_dir, tmp_path_factory, ray_session, monkeypatch
+):
+    """Two-phase tail rounds are pure execution config: forcing the
+    owner-lookup + cost-balanced-extract path for EVERY round (min=0,
+    max huge) vs disabling it entirely (max=0) must yield identical
+    crawl order, seen set and page contents."""
+    cfg = CONFIGS[1]
+    monkeypatch.setenv("ONIONRAY_TWO_PHASE_MIN_ROWS", "0")
+    monkeypatch.setenv("ONIONRAY_TWO_PHASE_ROWS", str(1 << 30))
+    on = _run(web_dir, tmp_path_factory, cfg)
+    monkeypatch.setenv("ONIONRAY_TWO_PHASE_ROWS", "0")
+    off = _run(web_dir, tmp_path_factory, cfg)
+    assert on == off

@@ -2,9 +2,59 @@
 
 Column names and rounding must match the Ray pipelines exactly (the
 driver sorts columns by name and hash-compares values). Queries with no
-entry here (sketch-based dedup, langid, multi-query ANN) get the driver's
-rows-only check instead.
+entry here (hash-family sketch dedup: minhash/simhash/embedding/ivf, and
+the stubbed media codecs) get the driver's rows-only check instead.
 """
+
+# ---- winnowing twin: replay the engine's exact mod-2^61-1 polynomial
+# rolling hash (k=8 byte-grams, base 1000003, Horner form) in HUGEINT
+# arithmetic, then the same w=16 window-min selection + per-doc DISTINCT.
+# ASCII-content assumption (shared with the engine's byte-level kernels):
+# ord(char) == utf-8 byte only for ASCII text; the testdata fixtures are
+# ASCII (see functions/tokenize.py note).
+_WINNOW_P = (1 << 61) - 1
+_WINNOW_B = 1000003
+_winnow_h = "bs[i]"
+for _j in range(1, 8):
+    _winnow_h = f"(({_winnow_h}) * {_WINNOW_B} + bs[i+{_j}]) % {_WINNOW_P}"
+_WINNOW_FPS_CTE = f"""
+        bl AS (
+          SELECT doc_id,
+                 list_transform(range(1, length(text)+1),
+                                i -> ord(substr(text, i, 1))::HUGEINT) AS bs,
+                 length(text) - 7 AS m
+          FROM documents WHERE length(text) >= 8
+        ),
+        hs AS (
+          SELECT doc_id, i, m, ({_winnow_h})::HUGEINT AS h
+          FROM bl, unnest(range(1, m + 1)) AS t(i)
+        ),
+        wm AS (
+          SELECT doc_id, i, m,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wmin
+          FROM hs
+        ),
+        fps AS (
+          SELECT DISTINCT doc_id, wmin::BIGINT AS fp
+          FROM wm WHERE i <= greatest(m - 15, 1)
+        )
+"""
+
+# ---- langid twin: per-language trigram-presence counts (a text's
+# trigram set contains t iff t is a substring), alphabetical first-max
+# tie-break (argmax order de < en < es < fr), 'und' when every count is 0
+# — the exact LangId.classify rule (stages/textstats.py).
+_LANGID_PROFILES = {
+    "de": ["der", "die", "und", "ein", "sch"],
+    "en": ["the", "and", "ing", "ion", "ent"],
+    "es": ["que", "los", "ent", "cio", "las"],
+    "fr": ["les", "des", "ent", "que", "ion"],
+}
+_langid_counts = ", ".join(
+    "(" + " + ".join(f"contains(lt, '{t}')::INT" for t in sorted(tris)) + f") AS c_{lang}"
+    for lang, tris in _LANGID_PROFILES.items()
+)
 
 ORACLE_SQL: dict[str, str] = {
     "extract_tokens": """
@@ -39,6 +89,39 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "doc_fingerprint": """
         SELECT doc_id, md5(text) AS fp FROM documents
+    """,
+    "winnow_fingerprint": f"""
+        WITH {_WINNOW_FPS_CTE}
+        SELECT d.doc_id,
+               coalesce(a.n_fps, 0) AS n_fps,
+               coalesce(a.fp_min, 0) AS fp_min,
+               coalesce(a.fp_xor, 0) AS fp_xor
+        FROM documents d LEFT JOIN (
+            SELECT doc_id, count(*)::BIGINT AS n_fps,
+                   min(fp) AS fp_min, bit_xor(fp) AS fp_xor
+            FROM fps GROUP BY doc_id
+        ) a USING (doc_id)
+    """,
+    "dedup_winnow": f"""
+        WITH {_WINNOW_FPS_CTE},
+        grp AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 20)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+        FROM fps a JOIN grp USING (fp) JOIN fps b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    "langid_pred": f"""
+        WITH s AS (
+            SELECT doc_id, {_langid_counts}
+            FROM (SELECT doc_id, lower(text) AS lt FROM documents)
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                    WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
@@ -122,6 +205,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
         ORDER BY cos DESC, vec_id ASC
         LIMIT 10
+    """,
+    "ann_multi": """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+            FROM embeddings WHERE vec_id < 4
+        ),
+        s AS (
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 4) AS cos
+            FROM embeddings e CROSS JOIN q
+        ),
+        r AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM s
+        )
+        SELECT query_id, vec_id, cos FROM r WHERE rn <= 5
     """,
     "events_latest_per_user": """
         SELECT user_id, ts AS last_ts, event_id AS last_event_id
@@ -351,6 +451,28 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+# dedup_clusters twin: connected components over the exact-Jaccard pair
+# graph (the dedup_jaccard twin embedded as a CTE) via recursive-CTE
+# min-label propagation — the component minimum reaches every member
+# through the lbl < target prune, so min(lbl) per node = component id
+# (same construction as crawl_link_components' twin).
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["dedup_jaccard"]}),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    n AS (SELECT doc_id AS node FROM documents),
+    walk(node, lbl) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.node
+        WHERE walk.lbl < e.b
+    )
+    SELECT node AS doc_id, min(lbl) AS component, node = min(lbl) AS keep
+    FROM walk GROUP BY node
+"""
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.

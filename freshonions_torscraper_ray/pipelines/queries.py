@@ -133,10 +133,10 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_winnow_fingerprint(sf_dir: str):
     """Rolling-hash (winnowing) document fingerprints — the local
-    fingerprint form that survives partial edits (rows-only: the exact
-    mod-2^61-1 polynomial hash has no SQL expression; unit/property
-    tests cover the scalar-reference equality and the shared-substring
-    guarantee)."""
+    fingerprint form that survives partial edits. Hash-matched against a
+    DuckDB HUGEINT twin that replays the exact mod-2^61-1 Horner hash +
+    window-min selection per document (oracle_sqls._WINNOW_FPS_CTE);
+    property tests additionally cover the shared-substring guarantee."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(ts.winnow_fingerprints, batch_format="pyarrow").select_columns(
         ["doc_id", "n_fps", "fp_min", "fp_xor"]
@@ -144,7 +144,10 @@ def q_winnow_fingerprint(sf_dir: str):
 
 
 def q_langid_pred(sf_dir: str):
-    """O10 language ID (rows-only: heuristic model, not SQL-expressible)."""
+    """O10 language ID. The trigram-presence rule is deterministic and
+    small, so the oracle twin replays it exactly in SQL (per-language
+    ``contains`` counts, alphabetical first-max tie-break, 'und' on
+    zero) — a full hash-match, not a rows-only row."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         ts.LangId, batch_format="pyarrow", concurrency=2, batch_size=2048
@@ -226,10 +229,9 @@ def q_dedup_winnow(sf_dir: str):
     """Winnowing near-dup candidate pairs: distributed inverted
     fingerprint index (groupby fp, df-bounded against stop-fingerprints)
     → in-bucket pairing → (doc_a, doc_b, n_shared) for pairs sharing
-    >= 2 selected fingerprints. Rows-only (the mod-2^61-1 rolling hash
-    has no SQL expression); the pairing shape is the oracle-checked
-    dedup_jaccard's, and the fingerprint kernel is property-tested
-    (scalar-reference equality + shared-substring guarantee)."""
+    >= 2 selected fingerprints. Hash-matched end-to-end: the DuckDB twin
+    recomputes the mod-2^61-1 rolling-hash fingerprints in HUGEINT
+    arithmetic and replays the same df-capped pairing."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     rows = ds.map_batches(ts.winnow_fp_rows, batch_format="pyarrow")
 
@@ -248,16 +250,24 @@ def q_dedup_winnow(sf_dir: str):
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS: simhash pair graph → connected components →
+    """Near-dup CLUSTERS: near-dup pair graph → connected components →
     (doc_id, component, keep) — the step after any pair-producing dedup
     op that a training pipeline actually consumes ("keep one doc per
-    duplicate cluster"). Rows-only (pair generation isn't SQL);
-    the component operator itself is oracle-checked end-to-end by
-    crawl_link_components' recursive-CTE twin."""
+    duplicate cluster"). Edges come from the exact n-gram Jaccard
+    pairing (the SQL-expressible member of the near-dup family), so the
+    whole pipeline — pair generation AND the Boruvka-style component
+    contraction — hash-matches a recursive-CTE min-label-propagation
+    twin. The sketch-based pair producers (minhash/simhash/embedding)
+    plug into the same component operator unchanged."""
     from ..stages.graph import connected_components
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dd.simhash_near_dups(ds, max_hamming=6)
+    pairs = dd.jaccard_near_dups(
+        ds,
+        k=DEDUP_JACCARD_K,
+        threshold=DEDUP_JACCARD_THRESHOLD,
+        max_df=DEDUP_JACCARD_MAX_DF,
+    ).select_columns(["doc_a", "doc_b"])
 
     def to_edges(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -339,15 +349,50 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ann_multi(sf_dir: str):
-    """Multi-query ANN (rows-only; exercises the broadcast-query path)."""
+    """Multi-query ANN over the broadcast-query path: one (n × q) matmul
+    per batch against the 4-vector query matrix, per-batch per-query
+    partial top-k, tiny groupby merge. float64 + half-away round to 4
+    decimals end-to-end, so the DuckDB ``list_cosine_similarity`` twin
+    (per-query ``row_number() <= 5``) hash-matches bit-for-bit — same
+    discipline as the single-query ``ann_topk``."""
     import pyarrow.parquet as pq
 
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    sub = qtab.slice(0, 4)
-    qids = sub["vec_id"].to_pylist()
-    qmat = np.stack([np.asarray(v, dtype=np.float32) for v in sub["embedding"].to_pylist()])
+    qrows = qtab.filter(pc.less(qtab["vec_id"], 4))
+    qids = np.asarray(qrows["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack([np.asarray(v, dtype=np.float64) for v in qrows["embedding"].to_pylist()])
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    k = 5
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return sim.ann_topk(ds, qids, qmat, k=5)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = sim._to_matrix(batch["embedding"]).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = round_half_away(mn @ qn.T, 4)  # (n, q)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        kk = min(4 * k, len(ids))  # partial top-k with tie headroom
+        out_q, out_i, out_c = [], [], []
+        for j in range(len(qids)):
+            s = cos[:, j]
+            top = np.lexsort((ids, -s))[:kk]
+            out_q.append(np.full(kk, qids[j]))
+            out_i.append(ids[top])
+            out_c.append(s[top])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_i),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
 # --------------------------------------------- events: dedup/latest/stats (O22/O24/O32)

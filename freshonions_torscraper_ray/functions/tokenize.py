@@ -14,6 +14,13 @@ stopword count — integer-identical to the RE2 count-kernel forms in
 ``stages/textstats.py`` (same oracle-checked quality formulas) — plus
 the flattened per-token uint64 hashes in doc-major order.
 
+ASCII case-fold caveat: lowering happens per BYTE (A-Z only). A code
+point whose Unicode lowercase maps INTO the ASCII word class (e.g.
+U+212A KELVIN SIGN → 'k') stays a non-word byte here but becomes a
+word char under SQL ``lower(text)`` — so oracle twins that tokenize
+``lower(text)`` agree with these kernels only on ASCII content (true
+of the synth fixtures; see stages/text_index.py note).
+
 Token-hash family: polynomial accumulate over the ASCII-lowered token
 bytes + a splitmix64 finalizer. Engine-internal only (simhash bits,
 shingle identities — never compared against a fixed external value),

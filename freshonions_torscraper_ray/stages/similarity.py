@@ -221,9 +221,11 @@ def _ivf_cache_dir(parquet_path: str, k: int, seed: int) -> str:
     import hashlib
     import os
 
+    # st_mtime_ns, not int(st_mtime): a same-size in-place rewrite within
+    # the same second must not serve a stale index
     st = os.stat(parquet_path)
     key = hashlib.md5(
-        f"{os.path.abspath(parquet_path)}|{st.st_size}|{int(st.st_mtime)}|{k}|{seed}|v1".encode()
+        f"{os.path.abspath(parquet_path)}|{st.st_size}|{st.st_mtime_ns}|{k}|{seed}|v1".encode()
     ).hexdigest()[:16]
     return f"/tmp/onionray_ivf/{key}"
 

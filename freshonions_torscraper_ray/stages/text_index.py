@@ -43,9 +43,11 @@ _FTS_VERSION = "v1"
 
 
 def _fts_cache_dir(parquet_path: str, num_parts: int) -> str:
+    # st_mtime_ns, not int(st_mtime): a same-size in-place rewrite within
+    # the same second must not serve a stale index
     st = os.stat(parquet_path)
     key = hashlib.md5(
-        f"{os.path.abspath(parquet_path)}|{st.st_size}|{int(st.st_mtime)}|{num_parts}|{_FTS_VERSION}".encode()
+        f"{os.path.abspath(parquet_path)}|{st.st_size}|{st.st_mtime_ns}|{num_parts}|{_FTS_VERSION}".encode()
     ).hexdigest()[:16]
     return f"/tmp/onionray_fts/{key}"
 
@@ -180,7 +182,15 @@ def crawl_postings_table(pages: pa.Table, num_parts: int = 64, url_col: str = "u
     """(term_hash, url, tf, dl, part) postings rows for one pages block —
     fully vectorized: one byte-level ``token_stats`` pass, then a
     lexsort + run-length count per (doc, term_hash). Only status-200
-    pages are indexed (the reference only indexed fetched pages)."""
+    pages are indexed (the reference only indexed fetched pages).
+
+    ASCII-content assumption (shared with every byte-level kernel in
+    ``functions/tokenize.py``): token_stats lowercases ASCII bytes only,
+    while the search/BM25 oracle twins tokenize SQL ``lower(text)``.
+    Code points whose lowercase maps INTO ASCII word chars (e.g. U+212A
+    KELVIN SIGN → 'k') would tokenize differently on the two sides; the
+    crawl corpus is ASCII (synth web + onion pages), so the twins hold.
+    Non-ASCII corpora need a case-fold pre-pass before indexing."""
     from ..functions.tokenize import token_stats
 
     empty = pa.Table.from_arrays(
@@ -240,19 +250,81 @@ def compact_crawl_index(store, num_parts: int = 64) -> str | None:
     idx = f"/tmp/onionray_fts_crawl/{key}"
     if os.path.exists(f"{idx}/_SUCCESS"):
         return idx
-    segs = rd.read_parquet(seg_paths)
+
+    # Re-fetch guard: a URL re-checked in a later round can fetch 200
+    # again (changed page); its per-round postings segments would then
+    # double-count tf/df and duplicate urls in top-k. Detect duplicate
+    # 200-urls cheaply from the pages tables (tiny url+status read,
+    # pre-aggregated per batch); on the common static-web path the set
+    # is empty and the single-pass compaction below runs unchanged.
+    pages_ds = rd.read_parquet(store.table_paths("pages", upto=latest), columns=["url", "status"])
+    ok200 = pages_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], 200)).select(["url"]),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    url_counts = ok200.groupby("url").aggregate(Count(alias_name="n")).materialize()
+    dup_urls = url_counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    n_docs_distinct = url_counts.count()  # distinct 200-urls (dedup-correct)
+
+    if len(dup_urls):
+        # slow path: keep each duplicate url's postings from its LATEST
+        # 200 round only. Round identity comes from the segment's
+        # directory (rows carry no round column), so read per round and
+        # semi-filter with a broadcast (url -> latest round) map.
+        import ray
+
+        dup_set = set(dup_urls["url"].tolist())
+        latest_200: dict[str, int] = {}
+        # driver-side scan bounded by #rounds × dup set size: read only
+        # url+status per round, filtered to the dup urls
+        import pyarrow.parquet as _pq
+
+        dup_arr = pa.array(sorted(dup_set), pa.string())
+        for rnd in range(latest + 1):
+            pdir = store.table_path(rnd, "pages")
+            if not os.path.exists(pdir):
+                continue
+            t = _pq.read_table(pdir, columns=["url", "status"])
+            t = t.filter(pc.and_(pc.equal(t["status"], 200), pc.is_in(t["url"], value_set=dup_arr)))
+            for u in t["url"].to_pylist():
+                latest_200[u] = rnd  # rounds ascend → last write wins
+        lref = ray.put((dup_arr, latest_200))
+
+        def keep_latest(rnd: int):
+            def f(t: pa.Table) -> pa.Table:
+                darr, lmap = ray.get(lref)
+                is_dup = pc.is_in(t["url"], value_set=darr).to_numpy(zero_copy_only=False)
+                if not is_dup.any():
+                    return t
+                urls = t["url"].to_numpy(zero_copy_only=False)
+                drop = is_dup & np.array([lmap.get(u, -1) != rnd for u in urls])
+                return t.filter(pa.array(~drop))
+
+            return f
+
+        parts = []
+        for rnd in range(latest + 1):
+            sdir = store.table_path(rnd, "postings")
+            rpaths = [p for p in seg_paths if p.startswith(sdir + os.sep) or os.path.dirname(p) == sdir]
+            if not rpaths:
+                continue
+            parts.append(rd.read_parquet(rpaths).map_batches(keep_latest(rnd), batch_format="pyarrow"))
+        segs = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    else:
+        segs = rd.read_parquet(seg_paths)
+
     tmp = f"{idx}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     segs.write_parquet(f"{tmp}/postings", partition_cols=["part"])
-    # corpus stats: n_docs = ALL indexed (status-200) pages, zero-token
-    # pages included; sum_dl from one dl row per distinct url (dl is
-    # constant per url, so Max == the value)
-    pages = rd.read_parquet(store.table_paths("pages", upto=latest), columns=["status"])
-    n_docs = pages.map_batches(
-        lambda t: pa.table({"n": [t.filter(pc.equal(t["status"], 200)).num_rows]}),
-        batch_format="pyarrow",
-    ).sum("n")
-    per_url = rd.read_parquet(seg_paths, columns=["url", "dl"]).groupby("url").aggregate(Max("dl", alias_name="dl"))
+    # corpus stats: n_docs = DISTINCT indexed (status-200) urls, zero-
+    # token pages included; sum_dl from one dl row per distinct url (dl
+    # is constant per url post-dedup, so Max == the value)
+    n_docs = n_docs_distinct
+    per_url = segs.select_columns(["url", "dl"]).groupby("url").aggregate(Max("dl", alias_name="dl"))
     agg = per_url.aggregate(Sum("dl", alias_name="sum_dl"))
     stats = {
         "n_docs": int(n_docs or 0),

@@ -182,6 +182,28 @@ def extract_pattern_rows(
 # ------------------------------------------------- winnowing (rolling hash)
 
 _WINNOW_BASE = np.uint64(1000003)
+def _utf8_buffer_views(texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(offsets, data-bytes) numpy views of a large_string Array,
+    honoring a nonzero ``texts.offset`` — the offsets buffer is shared
+    with the parent of a sliced array, so it must be indexed by the
+    array offset exactly as ``functions/tokenize.py::token_stats`` does
+    (pyarrow 16's combine_chunks copies today, but a bare sliced Array
+    from a direct caller — or a zero-copy future pyarrow — must not
+    silently fingerprint the wrong rows)."""
+    n = len(texts)
+    off = np.frombuffer(
+        texts.buffers()[1], dtype=np.int64, count=texts.offset + n + 1
+    )[texts.offset : texts.offset + n + 1]
+    total = int(off[-1] - off[0])
+    base = int(off[0])
+    buf = (
+        np.frombuffer(texts.buffers()[2], dtype=np.uint8, count=total, offset=base)
+        if total
+        else np.zeros(0, np.uint8)
+    )
+    return off, buf
+
+
 
 
 def _kgram_hashes(buf: np.ndarray, k: int) -> np.ndarray:
@@ -226,14 +248,8 @@ def winnow_fp_rows(
 
     texts = _as_large_string_array(batch[text_col])
     n = len(texts)
-    off = np.frombuffer(texts.buffers()[1], dtype=np.int64, count=n + 1)
-    total = int(off[-1] - off[0])
+    off, buf = _utf8_buffer_views(texts)
     base = int(off[0])
-    buf = (
-        np.frombuffer(texts.buffers()[2], dtype=np.uint8, count=total, offset=base)
-        if total
-        else np.zeros(0, np.uint8)
-    )
     H = _kgram_hashes(buf, k)
     ids = batch[id_col]
     ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
@@ -272,14 +288,8 @@ def winnow_fingerprints(
 
     texts = _as_large_string_array(batch[text_col])
     n = len(texts)
-    off = np.frombuffer(texts.buffers()[1], dtype=np.int64, count=n + 1)
-    total = int(off[-1] - off[0])
+    off, buf = _utf8_buffer_views(texts)
     base = int(off[0])
-    buf = (
-        np.frombuffer(texts.buffers()[2], dtype=np.uint8, count=total, offset=base)
-        if total
-        else np.zeros(0, np.uint8)
-    )
     H = _kgram_hashes(buf, k)
     n_fps = np.zeros(n, np.int64)
     fp_min = np.zeros(n, np.uint64)

@@ -239,8 +239,18 @@ class ContentStore:
         import pandas as pd
 
         t = pq.read_table(bdir)
+        idx = pd.Index(t.column("doc_id").to_numpy(zero_copy_only=False))
+        if not idx.is_unique:
+            # get_indexer raises an opaque InvalidIndexError mid-crawl on
+            # duplicate keys; fail at parse time with the bucket named
+            dups = idx[idx.duplicated()][:3].tolist()
+            raise ValueError(
+                f"content-store bucket {bucket} ({bdir}) has duplicate "
+                f"doc_id values (e.g. {dups}) — bucket is corrupt or was "
+                "re-written without dedup"
+            )
         self._tables[bucket] = t
-        self._index[bucket] = pd.Index(t.column("doc_id").to_numpy(zero_copy_only=False))
+        self._index[bucket] = idx
         self._lru.append(bucket)
 
     def warm(self, buckets) -> int:

@@ -120,3 +120,25 @@ def test_scheduler_restore_fails_loudly_on_missing_spill_runs(tmp_path):
     shutil.rmtree(spill)
     with pytest.raises(FileNotFoundError, match="spill run"):
         SchedulerShardState.from_state_bytes(blob)
+
+
+def test_content_store_duplicate_doc_id_raises_clear_error(tmp_path):
+    """A corrupted/re-written bucket with duplicate doc_id values must
+    fail at parse time with the bucket named — not as an opaque pandas
+    InvalidIndexError mid-crawl (round-3 ADVICE fix)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from freshonions_torscraper_ray.store import ContentStore
+
+    docs_dir = str(tmp_path / "docs")
+    bdir = os.path.join(docs_dir, "bucket=0")
+    os.makedirs(bdir)
+    t = pa.table({"doc_id": ["http://a/", "http://a/"], "payload": ["x", "y"]})
+    pq.write_table(t, os.path.join(bdir, "part-0.parquet"))
+    cs = ContentStore(docs_dir, n_buckets=1)
+    with pytest.raises(ValueError, match="bucket 0.*duplicate"):
+        cs._load(0)

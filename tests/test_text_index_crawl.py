@@ -80,3 +80,58 @@ def test_term_hash64_contract():
     for bad in ("two words", "", "dash-ed", "héllo"):
         with pytest.raises(ValueError):
             term_hash64(bad)
+
+
+def test_compaction_dedups_refetched_200_urls(ray_session, tmp_path):
+    """A URL that re-fetches 200 in a later round (changed page) must
+    contribute postings from its LATEST round only — df/tf counted once,
+    n_docs over distinct 200-urls (round-3 ADVICE fix)."""
+    from freshonions_torscraper_ray.store import RoundStore
+    from freshonions_torscraper_ray.stages.text_index import compact_crawl_index
+
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    store = RoundStore(str(tmp_path / "store"))
+    r0 = [
+        ("http://a/", 200, "market wallet market"),
+        ("http://b/", 200, "wallet wallet zz"),
+    ]
+    r1 = [
+        ("http://a/", 200, "market fresh fresh fresh"),  # re-fetched, new text
+        ("http://c/", 200, "zz zz wallet"),
+    ]
+    for rnd, rows in ((0, r0), (1, r1)):
+        pages = _pages(rows)
+        store.commit_round(rnd, {"pages": pages, "postings": crawl_postings_table(pages, num_parts=8)})
+
+    idx = compact_crawl_index(store, num_parts=8)
+    assert idx is not None
+    seg = pq.read_table(os.path.join(idx, "postings"))
+    rows_a = {
+        (th, tf, dl)
+        for th, u, tf, dl in zip(
+            seg["term_hash"].to_pylist(), seg["url"].to_pylist(),
+            seg["tf"].to_pylist(), seg["dl"].to_pylist(),
+        )
+        if u == "http://a/"
+    }
+    # only round-1 terms for the re-fetched url, each exactly once
+    expect = crawl_postings_table(_pages([r1[0]]), num_parts=8)
+    want = {
+        (th, tf, dl)
+        for th, tf, dl in zip(
+            expect["term_hash"].to_pylist(), expect["tf"].to_pylist(), expect["dl"].to_pylist()
+        )
+    }
+    assert rows_a == want
+    # every (term_hash, url) pair unique across the whole index
+    pairs = list(zip(seg["term_hash"].to_pylist(), seg["url"].to_pylist()))
+    assert len(pairs) == len(set(pairs))
+    with open(os.path.join(idx, "stats.json")) as f:
+        stats = json.load(f)
+    assert stats["n_docs"] == 3  # a, b, c — a counted once
+    # avgdl over distinct urls with the latest dl for a: (4 + 3 + 3) / 3
+    assert abs(stats["avgdl"] - (4 + 3 + 3) / 3) < 1e-9

@@ -138,3 +138,46 @@ def test_dedup_winnow_finds_planted_near_dups(ray_session, tmp_path):
     pairs = {(r["doc_a"], r["doc_b"]) for r in q_dedup_winnow(str(tmp_path)).take_all()}
     assert (0, 1) in pairs
     assert all(p == (0, 1) for p in pairs)
+
+
+def test_sliced_array_offset_honored():
+    """A bare sliced large_string Array (nonzero .offset) must fingerprint
+    the sliced rows, not the parent's rows from offset 0 (the offsets
+    buffer is shared with the parent — round-3 ADVICE fix)."""
+    from freshonions_torscraper_ray.stages.textstats import _utf8_buffer_views
+
+    docs = [
+        "first document about onions and hidden services " * 2,
+        "second document entirely different words here " * 2,
+        "third document shares nothing with the others " * 2,
+        "fourth document also distinct content throughout " * 2,
+    ]
+    full = pa.array(docs, pa.large_string())
+    sliced = full.slice(1, 2)
+    assert sliced.offset == 1  # precondition: genuinely sliced
+    off_s, buf_s = _utf8_buffer_views(sliced)
+    copied = pa.array(docs[1:3], pa.large_string())
+    off_c, buf_c = _utf8_buffer_views(copied)
+    # rebased offsets and data bytes must describe the same two strings
+    assert np.array_equal(off_s - off_s[0], off_c - off_c[0])
+    assert np.array_equal(buf_s, buf_c)
+
+
+def test_winnow_on_sliced_table_matches_copy():
+    """End-to-end: winnowing a zero-copy Table slice equals winnowing a
+    deep copy of the same rows (guards any future zero-copy
+    combine_chunks path)."""
+    from freshonions_torscraper_ray.stages.textstats import winnow_fp_rows
+
+    docs = [
+        "padding row that must not leak into the slice " * 3,
+        "the quick brown onion jumped over the hidden service " * 3,
+        "completely different text with nothing in common at all " * 3,
+        "trailing padding row that must not leak either " * 3,
+    ]
+    t = pa.table({"doc_id": [0, 1, 2, 3], "text": pa.array(docs, pa.large_string())})
+    sliced = winnow_fp_rows(t.slice(1, 2))
+    copied = winnow_fp_rows(
+        pa.table({"doc_id": [1, 2], "text": pa.array(docs[1:3], pa.large_string())})
+    )
+    assert sliced.to_pylist() == copied.to_pylist()

@@ -128,33 +128,58 @@ class CrawlEngine:
             for i in range(cfg.num_scheduler_shards)
         ]
         # seed insertion (S2/O31): canonicalize (O1 — seed lists are
-        # tolerant free-form input), order = file order, first wins
+        # tolerant free-form input), order = file order, first wins.
+        # Fully batched (round-3 VERDICT #10): one vectorized
+        # canonicalize pass, first-occurrence dedup via np.unique, one
+        # add_if_new RPC per seen shard, one columnar add RPC per
+        # scheduler shard — no per-seed Python on the driver.
+        import numpy as np
         import ray
 
-        from ..functions.regexes import canonicalize_url
+        from ..functions.hashing import hash64_array
+        from ..functions.regexes import canonicalize_urls_batch
 
-        raw_seeds = pq.read_table(os.path.join(self.web_dir, "seeds.parquet"))["url"].to_pylist()
-        seen_rpc: dict[int, list[str]] = {}
-        order: dict[str, int] = {}
-        for i, raw in enumerate(raw_seeds):
-            u = canonicalize_url(raw)
-            if u is not None and u not in order:
-                order[u] = i
-                seen_rpc.setdefault(hash64_signed(u) % cfg.num_cuckoo_shards, []).append(u)
-        masks = ray.get(
-            [self.seen_handles[s].add_if_new.remote(us) for s, us in sorted(seen_rpc.items())]
+        raw_seeds = pq.read_table(os.path.join(self.web_dir, "seeds.parquet"))["url"]
+        canon, doms = canonicalize_urls_batch(raw_seeds.combine_chunks())
+        cu = np.asarray(canon.to_pylist(), dtype=object)
+        du = np.asarray(doms.to_pylist(), dtype=object)
+        valid = np.flatnonzero(canon.is_valid().to_numpy(zero_copy_only=False))
+        uniq_urls, first = (
+            np.unique(cu[valid], return_index=True) if valid.size else (cu[:0], valid)
         )
-        adds: dict[int, list[tuple]] = {}
-        for (s, us), mask in zip(sorted(seen_rpc.items()), masks):
-            for u, is_new in zip(us, mask):
-                if is_new:
-                    from ..functions.regexes import url_domain
-
-                    d = url_domain(u)  # u is canonical here
-                    adds.setdefault(hash64_signed(d) % cfg.num_scheduler_shards, []).append(
-                        (u, d, 0, 0.0, cfg.pack_seq(0, order[u], 0))
+        order_idx = valid[first]  # original file index per unique canon url
+        if order_idx.size and int(order_idx.max()) >= (1 << (cfg.ROUND_SHIFT - cfg.FETCH_SHIFT)):
+            cfg.pack_seq(0, int(order_idx.max()), 0)  # raises the shared overflow error
+        seqs_all = order_idx.astype(np.int64) << np.int64(cfg.FETCH_SHIFT)  # pack_seq(0, i, 0)
+        doms_all = du[order_idx]
+        seen_part = hash64_array(uniq_urls.tolist()) % cfg.num_cuckoo_shards
+        shard_ids = [int(s) for s in np.unique(seen_part)]
+        masks = ray.get(
+            [
+                self.seen_handles[s].add_if_new.remote(uniq_urls[seen_part == s].tolist())
+                for s in shard_ids
+            ]
+        )
+        new_idx = np.concatenate(
+            [np.flatnonzero(seen_part == s)[np.asarray(m, dtype=bool)] for s, m in zip(shard_ids, masks)]
+        ) if shard_ids else np.zeros(0, np.int64)
+        urls_new, doms_new, seqs_new = uniq_urls[new_idx], doms_all[new_idx], seqs_all[new_idx]
+        sched_part = hash64_array(doms_new.tolist()) % cfg.num_scheduler_shards
+        add_futs = []
+        for s in np.unique(sched_part):
+            m = np.flatnonzero(sched_part == s)
+            add_futs.append(
+                self.sched_handles[int(s)].add_urls_cols.remote(
+                    (
+                        urls_new[m].tolist(),
+                        doms_new[m].tolist(),
+                        [0] * len(m),
+                        [0.0] * len(m),
+                        seqs_new[m].tolist(),
                     )
-        ray.get([self.sched_handles[s].add_urls.remote(rows) for s, rows in adds.items()])
+                )
+            )
+        ray.get(add_futs)
         self._make_fetch_pool()
         self.fetch_order = 0
         self.round = 0
@@ -440,7 +465,6 @@ class CrawlEngine:
             res = ray.get(futs)
             t_fetch = time.monotonic()
             ray.get(acc_futs)
-            ray.get(retry_futs)
             t_pipe = time.monotonic()
             if os.environ.get("ONIONRAY_PROFILE"):
                 import sys
@@ -464,7 +488,29 @@ class CrawlEngine:
                     file=sys.stderr,
                     flush=True,
                 )
-            n_new = sum(ray.get([h.flush_to.remote(self.sched_handles) for h in self.seen_handles]))
+            # one-wave seen→sched flush: each seen shard returns its
+            # domain-partitioned frontier columns as num_returns objects;
+            # schedulers pull exactly their partitions from the object
+            # store. One RPC wave each way instead of seen×sched nested
+            # calls — the old two-hop flush_to wall was RPC fan-out
+            # latency (~0.6-0.9 s/fat round at 8×8 shards), not compute.
+            # The add wave is issued IMMEDIATELY (schedulers block on
+            # their part refs in-actor); counts resolve alongside. The
+            # retry wave (sched parked inserts) overlaps the flush —
+            # retry URLs are already-seen, flush URLs are new, and every
+            # scheduler consumer of both is order-insensitive (sorted
+            # merges), so the interleave cannot affect the schedule.
+            S = len(self.sched_handles)
+            part_futs = [
+                h.flush_parts.options(num_returns=S + 1).remote(S) for h in self.seen_handles
+            ]
+            add_futs = [
+                self.sched_handles[j].add_urls_parts.remote([pf[j] for pf in part_futs])
+                for j in range(S)
+            ]
+            n_new = sum(ray.get([pf[-1] for pf in part_futs]))
+            ray.get(add_futs)
+            ray.get(retry_futs)
             n_cand = sum(c for _, c in res)
         else:
             # banned-only round: nothing to fetch, but the bans must be

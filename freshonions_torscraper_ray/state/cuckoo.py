@@ -94,6 +94,56 @@ class CuckooFilter:
                 return True
         return False  # table over-full; caller falls back to exact set only
 
+    def insert_hashes(self, hs: np.ndarray) -> bool:
+        """Vectorized batch insert. Places every hash whose primary or
+        partner bucket has a free slot with numpy scatter passes (the
+        overwhelmingly common case below ~95% load); only the leftovers
+        take the per-item eviction walk. Returns False on the first
+        eviction failure (caller degrades to exact-set-only, same as the
+        per-item path).
+
+        The resulting TABLE CONTENT can differ from per-item insertion
+        order (slot choice within a bucket), which is semantically free:
+        the filter only modulates the false-positive rate — the exact
+        digest set is always the authority — and checkpoint equality is
+        semantic, not byte-level."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        if hs.size == 0:
+            return True
+        fps = ((hs >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fps[fps == 0] = 1
+        mask = self.n_buckets - 1
+        i1 = (hs & np.uint64(mask)).astype(np.int64)
+        i2 = (i1 ^ ((fps.astype(np.int64) * 0x5BD1E995) & mask)) & mask
+        rem = np.ones(len(hs), dtype=bool)
+        for buckets in (i1, i2):
+            idx = np.flatnonzero(rem)
+            if not idx.size:
+                break
+            b = buckets[idx]
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            grp = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            sizes = np.diff(np.r_[grp, len(bs)])
+            ranks = np.arange(len(bs)) - np.repeat(grp, sizes)
+            rows = self.table[bs]  # (m, 4) gather
+            n_empty = (rows == _EMPTY).sum(axis=1)
+            # stable argsort of the occupancy mask puts empty slots first,
+            # so the rank-th item of a bucket group takes the rank-th
+            # empty slot — distinct slots within a group by construction
+            slot_order = np.argsort(rows != _EMPTY, axis=1, kind="stable")
+            place = ranks < n_empty
+            if place.any():
+                slots = slot_order[np.arange(len(bs)), np.minimum(ranks, 3)]
+                sel = idx[order[place]]
+                self.table[bs[place], slots[place]] = fps[sel]
+                self.count += int(place.sum())
+                rem[sel] = False
+        for j in np.flatnonzero(rem):  # rare: both buckets full → evict
+            if not self.insert_hash(int(hs[j])):
+                return False
+        return True
+
     def to_bytes(self) -> bytes:
         """Sparse when lightly loaded: a shard sized for the 10^10-scale
         frontier is mostly zeros early on, and serializing the dense
@@ -236,23 +286,23 @@ class SeenShardState:
 
     def flush_round_cols(self) -> tuple | None:
         """Columnar flush: commit and return (urls, domains, depths,
-        priorities, seqs) parallel lists, or None if empty."""
+        priorities, seqs) parallel lists, or None if empty. Vectorized:
+        one ``hash64_array`` pass + batch set/list extends + the batch
+        cuckoo insert — the per-URL Python loop was a measured slice of
+        the per-round serial flush chain (85 ms / 16k rows / shard)."""
         acc = getattr(self, "round_acc", None)
         if not acc:
             self.round_acc = {}
             return None
-        urls, domains, depths, prios, seqs = [], [], [], [], []
-        exact_add = self.exact.add
-        for url, (domain, depth, priority, seq, dg) in acc.items():
-            h = hash64(url)
-            exact_add(dg)
-            self._delta.append((dg, h))
-            self._insert_filter(h)
-            urls.append(url)
-            domains.append(domain)
-            depths.append(depth)
-            prios.append(priority)
-            seqs.append(seq)
+        from ..functions.hashing import hash64_array
+
+        urls = list(acc.keys())
+        domains, depths, prios, seqs, dgs = map(list, zip(*acc.values()))
+        hs = hash64_array(urls, signed=False)  # full 64-bit: top bits feed the cuckoo fingerprint
+        self.exact.update(dgs)
+        self._delta.extend(zip(dgs, hs.tolist()))
+        if not self.degraded and not self.cuckoo.insert_hashes(hs):
+            self.degraded = True
         self.round_acc = {}
         return (urls, domains, depths, prios, seqs)
 
@@ -330,25 +380,19 @@ def make_seen_actor():
         def flush_round(self):
             return self.s.flush_round()
 
-        def flush_to(self, sched_handles) -> int:
-            """Flush and push survivors actor→actor to the scheduler
-            shards (frontier rows never touch the driver; columnar
-            payloads throughout)."""
+        def _partition_cols(self, cols, n_sched: int) -> list:
+            """Vectorized domain-hash partition of flushed columns into
+            ``n_sched`` column tuples (None for empty partitions). Hash
+            each DISTINCT domain once per run (cached — candidates repeat
+            domains heavily across rounds) + numpy fancy-indexing per
+            shard (was a per-URL Python hash loop + 5 list comprehensions
+            per shard — a measured slice of the serial drain->flush->stage
+            chain)."""
             import numpy as _np
-            import ray as _ray
 
-            cols = self.s.flush_round_cols()
-            if cols is None:
-                return 0
-            urls, domains, depths, prios, seqs = cols
-            n_sched = len(sched_handles)
-            # vectorized partition: hash each DISTINCT domain once per
-            # run (cached — candidates repeat domains heavily across
-            # rounds) + numpy fancy-indexing per shard (was a per-URL
-            # Python hash loop + 5 list comprehensions per shard — a
-            # measured slice of the serial drain->flush->stage chain)
             from ..functions.hashing import hash64_array
 
+            urls, domains, depths, prios, seqs = cols
             cache = getattr(self, "_dom_shard", None)
             if cache is None:
                 cache = self._dom_shard = {}
@@ -359,26 +403,56 @@ def make_seen_actor():
                 for d, h in zip(new, hash64_array(new) % n_sched):
                     cache[d] = int(h)
             part = _np.fromiter((cache[d] for d in doms), dtype=_np.int64, count=len(doms))
-            arrs = [_np.asarray(urls, dtype=object), doms]
+            u_np = _np.asarray(urls, dtype=object)
             deps = _np.asarray(depths, dtype=_np.int64)
             prs = _np.asarray(prios, dtype=_np.float64)
             sqs = _np.asarray(seqs, dtype=_np.int64)
-            futs = []
+            out: list = [None] * n_sched
             for shard in _np.unique(part):
                 idx = _np.flatnonzero(part == shard)
-                futs.append(
-                    sched_handles[int(shard)].add_urls_cols.remote(
-                        (
-                            arrs[0][idx].tolist(),
-                            arrs[1][idx].tolist(),
-                            deps[idx].tolist(),
-                            prs[idx].tolist(),
-                            sqs[idx].tolist(),
-                        )
-                    )
+                out[int(shard)] = (
+                    u_np[idx].tolist(),
+                    doms[idx].tolist(),
+                    deps[idx].tolist(),
+                    prs[idx].tolist(),
+                    sqs[idx].tolist(),
                 )
+            return out
+
+        def flush_to(self, sched_handles) -> int:
+            """Flush and push survivors actor→actor to the scheduler
+            shards (frontier rows never touch the driver; columnar
+            payloads throughout). Two-hop path kept for tests/direct
+            callers — the round loop uses :meth:`flush_parts` (one
+            object-store wave, no nested ray.get)."""
+            import ray as _ray
+
+            cols = self.s.flush_round_cols()
+            if cols is None:
+                return 0
+            parts = self._partition_cols(cols, len(sched_handles))
+            futs = [
+                sched_handles[j].add_urls_cols.remote(p)
+                for j, p in enumerate(parts)
+                if p is not None
+            ]
             _ray.get(futs)
-            return len(urls)
+            return len(cols[0])
+
+        def flush_parts(self, n_sched: int):
+            """One-wave flush: commit the round's accepted URLs and
+            return ``n_sched`` partitioned column tuples PLUS the count
+            as separate return objects (``num_returns=n_sched+1``). The
+            driver forwards only ObjectRefs; each scheduler shard pulls
+            exactly its partitions from the object store — no nested
+            actor ray.get, one RPC wave instead of seen×sched calls
+            (the measured flush wall was RPC fan-out latency, not
+            compute)."""
+            cols = self.s.flush_round_cols()
+            if cols is None:
+                return (*[None] * n_sched, 0)
+            parts = self._partition_cols(cols, n_sched)
+            return (*parts, len(cols[0]))
 
         def size(self) -> int:
             return len(self.s)

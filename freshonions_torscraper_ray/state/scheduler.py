@@ -513,6 +513,18 @@ def make_scheduler_actor():
             self.s.add_urls_cols(cols)
             return len(cols[0])
 
+        def add_urls_parts(self, refs) -> int:
+            """One-wave flush receive: pull this shard's flushed column
+            partitions from the object store (refs produced by the seen
+            shards' ``flush_parts``) and insert. None partitions = that
+            seen shard had nothing for this scheduler."""
+            n = 0
+            for part in ray.get(list(refs)):
+                if part is not None:
+                    self.s.add_urls_cols(part)
+                    n += len(part[0])
+            return n
+
         def schedule(self, current_round: int = 1 << 30):
             return self.s.schedule(current_round)
 

@@ -395,7 +395,9 @@ def q_crawl_top_pages(sf_dir: str):
     edir = ensure_engine_fixture()
     ds = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["url", "size", "status"])
     ds = ds.map_batches(lambda t: t.filter(pc.equal(t["status"], 200)), batch_format="pyarrow")
-    return ds.sort(["size", "url"], descending=[True, False]).limit(20).select_columns(["url", "size"])
+    from ..stages.topk import topk as _topk
+
+    return _topk(ds, ["size", "url"], [True, False], 20).select_columns(["url", "size"])
 
 
 def q_crawl_email_stats(sf_dir: str):

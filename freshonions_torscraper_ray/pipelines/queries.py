@@ -326,8 +326,10 @@ def q_ann_topk(sf_dir: str):
             names=["vec_id", "cos"],
         )
 
+    from ..stages.topk import topk as _topk
+
     partials = ds.map_batches(score, batch_format="pyarrow", batch_size=8192)
-    merged = partials.sort(["cos", "vec_id"], descending=[True, False]).limit(10)
+    merged = _topk(partials, ["cos", "vec_id"], [True, False], 10)
     return merged.map_batches(
         lambda t: t.append_column("query_id", pa.array([0] * t.num_rows, pa.int64())),
         batch_format="pyarrow",
@@ -448,29 +450,17 @@ def q_events_recent(sf_dir: str):
 
 
 def q_orders_by_segment(sf_dir: str):
-    """O18 broadcast hash join: orders ⋈ customer (small side via ray.put)
-    then segment rollup."""
-    import ray
-
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    lookup = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(lookup)
-
-    class AddSegment:
-        def __init__(self):
-            lookup = ray.get(ref)
-            self.s = pd.Series(list(lookup.values()), index=list(lookup.keys()))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = self.s.reindex(keys).fillna("").to_numpy()
-            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+    """O18 fact⋈dimension join via the shared ADAPTIVE join helper
+    (stages/joins.py — round-3 VERDICT #7): broadcast reindex-lookup at
+    this dimension size, distributed hash join if the customer table
+    ever outgrows the broadcast threshold. Then segment rollup."""
+    from ..stages.joins import join_dim_column
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     orders = orders.map_batches(_to_cents(["o_totalprice"]), batch_format="pyarrow")
-    joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
+    joined = join_dim_column(
+        orders, f"{sf_dir}/customer.parquet", "o_custkey", "c_custkey", "c_mktsegment"
+    )
     out = joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total_price")
     )
@@ -525,35 +515,28 @@ def q_link_degree(sf_dir: str):
 
 
 def q_brand_revenue(sf_dir: str):
-    """O18/O26: lineitem ⋈ part (broadcast dimension) → per-brand revenue
-    (discounted, int-cents exact)."""
-    import ray
-
-    import pyarrow.parquet as pq
-
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    lookup = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(lookup)
-
-    class AddBrand:
-        def __init__(self):
-            lookup = ray.get(ref)
-            self.s = pd.Series(list(lookup.values()), index=list(lookup.keys()))
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t["l_partkey"].to_numpy(zero_copy_only=False)
-            brands = self.s.reindex(keys).fillna("").to_numpy()
-            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            disc = t["l_discount"].to_numpy(zero_copy_only=False)
-            rev_cents = round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)
-            out = pa.Table.from_arrays(
-                [pa.array(brands, pa.string()), pa.array(rev_cents, pa.int64())],
-                names=["p_brand", "revenue"],
-            )
-            return out.group_by("p_brand").aggregate([("revenue", "sum"), ("revenue", "count")])
+    """O18/O26: lineitem ⋈ part via the shared ADAPTIVE join helper
+    (stages/joins.py — round-3 VERDICT #7), then per-brand revenue
+    (discounted, int-cents exact) with per-batch partial aggregation
+    bounding the shuffle."""
+    from ..stages.joins import join_dim_column
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    partials = li.map_batches(AddBrand, batch_format="pyarrow", concurrency=2)
+    joined = join_dim_column(
+        li, f"{sf_dir}/part.parquet", "l_partkey", "p_partkey", "p_brand"
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev_cents = round_half_away(price * (1.0 - disc) * 100.0, 0).astype(np.int64)
+        out = pa.Table.from_arrays(
+            [t["p_brand"].combine_chunks(), pa.array(rev_cents, pa.int64())],
+            names=["p_brand", "revenue"],
+        )
+        return out.group_by("p_brand").aggregate([("revenue", "sum"), ("revenue", "count")])
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", concurrency=2)
     out = partials.groupby("p_brand").aggregate(
         Sum("revenue_sum", alias_name="revenue"), Sum("revenue_count", alias_name="n_lines")
     )
@@ -861,7 +844,9 @@ def q_ngram_top(sf_dir: str):
     ds = _read(sf_dir, "documents", ["text"])
     partials = ds.map_batches(cp.ngram_partial_counts, batch_format="pyarrow")
     counts = partials.groupby("ngram").aggregate(Sum("cnt", alias_name="cnt"))
-    return counts.sort(["cnt", "ngram"], descending=[True, False]).limit(100)
+    from ..stages.topk import topk as _topk
+
+    return _topk(counts, ["cnt", "ngram"], [True, False], 100)
 
 
 def q_tfidf_keywords(sf_dir: str):

@@ -1,0 +1,77 @@
+"""Adaptive dimension-join helper (shared join selection).
+
+The broadcast-vs-hash-join threshold logic proven in
+``stages/dedup.py::verify_pairs_distributed`` (round-2 VERDICT), lifted
+into one reusable helper so the TPC-style fact⋈dimension queries can't
+silently outgrow a hard-coded broadcast (round-3 VERDICT #7):
+
+- dimension row count comes from parquet METADATA (no read);
+- at or below ``broadcast_threshold`` rows the dimension rides
+  ``ray.put`` once and every fact batch does a vectorized
+  ``pd.Series.reindex`` lookup inside ``map_batches`` — zero shuffle;
+- above it the join is a distributed ``Dataset.join`` hash shuffle,
+  with ``num_partitions`` scaled to the dimension size.
+
+Both paths have INNER-join semantics (unmatched fact rows are dropped),
+matching the SQL oracle twins exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# fact rows carrying a ~30 B key+value each: 2M rows ≈ 60 MB broadcast —
+# comfortably under a worker heap; beyond that the shuffle join wins
+DEFAULT_BROADCAST_THRESHOLD = 2_000_000
+
+
+def join_dim_column(
+    ds,
+    dim_path: str,
+    fact_key: str,
+    dim_key: str,
+    dim_val: str,
+    broadcast_threshold: int = DEFAULT_BROADCAST_THRESHOLD,
+    concurrency: int = 2,
+):
+    """fact Dataset ⋈ one dimension column → Dataset with ``dim_val``
+    appended (inner semantics). Join strategy is selected from the
+    dimension's parquet metadata row count."""
+    import pyarrow.parquet as pq
+
+    n_dim = pq.read_metadata(dim_path).num_rows
+    if n_dim <= broadcast_threshold:
+        import ray
+
+        dim = pq.read_table(dim_path, columns=[dim_key, dim_val])
+        ref = ray.put((dim[dim_key].to_pylist(), dim[dim_val].to_pylist()))
+
+        class AddDim:
+            def __init__(self):
+                keys, vals = ray.get(ref)
+                self.s = pd.Series(vals, index=keys)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                keys = t[fact_key].to_numpy(zero_copy_only=False)
+                vals = self.s.reindex(keys)
+                mask = vals.notna().to_numpy()
+                if not mask.all():  # inner semantics: drop unmatched
+                    t = t.filter(pa.array(mask))
+                    vals = vals[mask]
+                return t.append_column(dim_val, pa.array(vals.to_numpy()))
+
+        return ds.map_batches(AddDim, batch_format="pyarrow", concurrency=concurrency)
+
+    import ray.data as rd
+
+    dim_ds = rd.read_parquet(dim_path, columns=[dim_key, dim_val])
+    num_partitions = max(1, min(32, int(np.ceil(n_dim / broadcast_threshold)) * 8))
+    return ds.join(
+        dim_ds,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(fact_key,),
+        right_on=(dim_key,),
+    )

@@ -213,8 +213,10 @@ def ivf_topk(ds, query_vec: np.ndarray, centroids: np.ndarray, k: int = 10, npro
             [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
         )
 
+    from .topk import topk as _topk
+
     scored = assigned.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k), probe
+    return _topk(scored, ["cos", "vec_id"], [True, False], k), probe
 
 
 def _ivf_cache_dir(parquet_path: str, k: int, seed: int) -> str:
@@ -311,8 +313,10 @@ def ivf_index_topk(index_dir: str, centroids: np.ndarray, query_vec: np.ndarray,
             [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
         )
 
+    from .topk import topk as _topk
+
     scored = cand.map_batches(score, batch_format="pyarrow")
-    return scored.sort(["cos", "vec_id"], descending=[True, False]).limit(k)
+    return _topk(scored, ["cos", "vec_id"], [True, False], k)
 
 
 def embedding_near_dups(ds, dim: int, threshold: float = 0.97, nbits: int = 10, seed: int = 42):

@@ -38,6 +38,7 @@ import pyarrow.compute as pc
 from ..functions.hashing import hash64
 from ..functions.regexes import WORD_PATTERN
 from ..functions.rounding import round_half_away
+from .topk import topk as _topk
 
 _FTS_VERSION = "v1"
 
@@ -433,10 +434,11 @@ def crawl_term_tf_topk(index_dir: str, term: str, k: int = 20):
             names=["url", "score"],
         )
 
-    return (
-        pruned.map_batches(score, batch_format="pyarrow")
-        .sort(["score", "url"], descending=[True, False])
-        .limit(k)
+    # house-style top-k (stages/topk.py): per-block top-k bounds the
+    # global sort input even if the upstream pruning ever widens
+    return _topk(
+        pruned.map_batches(score, batch_format="pyarrow"),
+        ["score", "url"], [True, False], k,
     )
 
 
@@ -488,7 +490,7 @@ def crawl_bm25_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: floa
         .groupby("url")
         .aggregate(Sum("part_score", alias_name="raw"))
     )
-    return (
+    return _topk(
         summed.map_batches(
             lambda t: pa.Table.from_arrays(
                 [
@@ -498,9 +500,8 @@ def crawl_bm25_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: floa
                 names=["url", "score"],
             ),
             batch_format="pyarrow",
-        )
-        .sort(["score", "url"], descending=[True, False])
-        .limit(k)
+        ),
+        ["score", "url"], [True, False], k,
     )
 
 
@@ -519,10 +520,11 @@ def term_tf_topk(index_dir: str, term: str, k: int = 20):
             names=["doc_id", "score"],
         )
 
-    return (
-        pruned.map_batches(score, batch_format="pyarrow")
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(k)
+    # house-style top-k (stages/topk.py): per-block top-k bounds the
+    # global sort input even if the upstream pruning ever widens
+    return _topk(
+        pruned.map_batches(score, batch_format="pyarrow"),
+        ["score", "doc_id"], [True, False], k,
     )
 
 
@@ -579,7 +581,7 @@ def bm25_index_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: floa
         .groupby("doc_id")
         .aggregate(Sum("part_score", alias_name="raw"))
     )
-    return (
+    return _topk(
         summed.map_batches(
             lambda t: pa.Table.from_arrays(
                 [
@@ -589,7 +591,6 @@ def bm25_index_topk(index_dir: str, terms, k: int = 20, k1: float = 1.2, b: floa
                 names=["doc_id", "score"],
             ),
             batch_format="pyarrow",
-        )
-        .sort(["score", "doc_id"], descending=[True, False])
-        .limit(k)
+        ),
+        ["score", "doc_id"], [True, False], k,
     )

@@ -474,6 +474,47 @@ ORACLE_SQL["dedup_clusters"] = f"""
     FROM walk GROUP BY node
 """
 
+# dedup_cluster_best twin: same component construction, then the
+# highest-quality member per component (n_tokens desc, doc_id asc)
+ORACLE_SQL["dedup_cluster_best"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE_SQL["dedup_jaccard"]}),
+    e AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    n AS (SELECT doc_id AS node FROM documents),
+    walk(node, lbl) AS (
+        SELECT node, node FROM n
+        UNION
+        SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.node
+        WHERE walk.lbl < e.b
+    ),
+    comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node),
+    q AS (
+        SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT comp.component, comp.node AS doc_id, q.n_tokens,
+               row_number() OVER (PARTITION BY comp.component
+                                  ORDER BY q.n_tokens DESC, comp.node) AS rn
+        FROM comp JOIN q ON q.doc_id = comp.node
+    )
+    SELECT component, doc_id, n_tokens FROM r WHERE rn = 1
+"""
+
+ORACLE_SQL["length_quantiles"] = """
+    WITH t AS (
+        SELECT len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           quantile_disc(n_tokens, 0.5)::BIGINT AS p50,
+           quantile_disc(n_tokens, 0.9)::BIGINT AS p90,
+           quantile_disc(n_tokens, 0.99)::BIGINT AS p99
+    FROM t
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

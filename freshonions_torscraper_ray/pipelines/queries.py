@@ -290,6 +290,95 @@ def q_dedup_clusters(sf_dir: str):
     return cc.map_batches(finish, batch_format="pyarrow")
 
 
+def q_dedup_cluster_best(sf_dir: str):
+    """Cluster-REPRESENTATIVE selection — the consumption step after
+    near-dup clustering that a training pipeline actually wants: per
+    connected component of the exact-Jaccard pair graph, keep the
+    highest-quality member (n_tokens desc, doc_id asc tie-break), not
+    merely the smallest id. Composes the component operator with the
+    token-count kernel via a distributed hash join (both sides are
+    corpus-sized — no broadcast) + per-component arg-max. Hash-matched
+    against the recursive-CTE + window-function twin."""
+    from ..stages.graph import connected_components
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dd.jaccard_near_dups(
+        ds, k=DEDUP_JACCARD_K, threshold=DEDUP_JACCARD_THRESHOLD, max_df=DEDUP_JACCARD_MAX_DF
+    ).select_columns(["doc_a", "doc_b"])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()], names=["a", "b"]
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    cc = connected_components(edges, nodes, "node")
+    quality = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(ts.token_counts, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    joined = cc.join(
+        quality, join_type="inner", num_partitions=8, on=("node",), right_on=("doc_id",)
+    )
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "node"], ascending=[False, True]).head(1)
+        return pd.DataFrame(
+            {
+                "component": g["component"].to_numpy(),
+                "doc_id": g["node"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+            }
+        )
+
+    return joined.groupby("component").map_groups(best, batch_format="pandas")
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact corpus length-distribution quantiles (p50/p90/p99 of
+    n_tokens) by DISTRIBUTION COUNTING — the scale-correct exact form
+    for integer-valued stats: per-batch token counts, groupby(n_tokens)
+    count (distinct lengths are bounded, so the shuffle moves only
+    (value, count) rows — never a global sort), then a tiny driver-side
+    cumulative scan replaying DuckDB ``quantile_disc``'s index rule
+    (smallest value with cumulative count >= ceil(q·n); verified
+    empirically against quantile_disc at multiple n)."""
+    import math
+
+    import ray.data as _rd
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        ds.map_batches(ts.token_counts, batch_format="pyarrow")
+        .select_columns(["n_tokens"])
+        .groupby("n_tokens")
+        .aggregate(Count(alias_name="n"))
+    )
+    hist = counts.to_pandas().sort_values("n_tokens").reset_index(drop=True)
+    n = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+
+    def pick(q: float) -> int:
+        if n == 0:
+            return 0
+        return int(hist["n_tokens"][(cum >= math.ceil(q * n)).idxmax()])
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "p50": pa.array([pick(0.5)], pa.int64()),
+                "p90": pa.array([pick(0.9)], pa.int64()),
+                "p99": pa.array([pick(0.99)], pa.int64()),
+            }
+        )
+    )
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -974,6 +1063,8 @@ QUERIES = {
     "search_rank": q_search_rank,
     "search_rank_bm25": q_search_rank_bm25,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_best": q_dedup_cluster_best,
+    "length_quantiles": q_length_quantiles,
     "random_sample_hash": q_random_sample_hash,
     "sample_stratified": q_sample_stratified,
     "union_sources": q_union_sources,

@@ -27,7 +27,7 @@ import pickle
 
 import numpy as np
 
-from ..functions.hashing import hash64, hash64_signed
+from ..functions.hashing import hash64_signed  # noqa: F401 — sharding docs/tests
 
 _EMPTY = np.uint16(0)
 
@@ -181,6 +181,16 @@ def url_digest(url: str) -> bytes:
     return hashlib.blake2b(url.encode("utf-8"), digest_size=16).digest()
 
 
+def digest_hash64(dg: bytes) -> int:
+    """Shard-internal 64-bit hash derived from the exact digest (first 8
+    bytes, little-endian) — one blake2b per URL instead of two. Purely
+    internal to a seen shard (cuckoo slots + delta blobs); both insert
+    paths (add_if_new and the round flush) derive it the same way, which
+    is the correctness requirement (a cuckoo false NEGATIVE would skip
+    the exact-set check and re-crawl a seen URL)."""
+    return int.from_bytes(dg[:8], "little")
+
+
 class SeenShardState:
     """The shard's actual logic — plain object so the oracle/unit tests can
     drive it without Ray; the Ray actor below is a thin wrapper."""
@@ -207,23 +217,17 @@ class SeenShardState:
         pre-dedups exactly, making order irrelevant)."""
         out = []
         for u in urls:
-            h = hash64(u)
+            d = url_digest(u)
+            h = digest_hash64(d)
             if self.degraded or self.cuckoo.contains_hash(h):
                 # maybe-seen → exact authority
-                d = url_digest(u)
                 if d in self.exact:
                     out.append(False)
                     continue
-                self.exact.add(d)
-                self._delta.append((d, h))
-                self._insert_filter(h)
-                out.append(True)
-            else:
-                self._insert_filter(h)
-                d = url_digest(u)
-                self.exact.add(d)
-                self._delta.append((d, h))
-                out.append(True)
+            self.exact.add(d)
+            self._delta.append((d, h))
+            self._insert_filter(h)
+            out.append(True)
         return out
 
     # ---- round-accumulation protocol (shuffle-free frontier dedup) ----
@@ -276,7 +280,7 @@ class SeenShardState:
             return []
         out = []
         for url, (domain, depth, priority, seq, dg) in acc.items():
-            h = hash64(url)
+            h = digest_hash64(dg)
             self.exact.add(dg)
             self._delta.append((dg, h))
             self._insert_filter(h)
@@ -294,11 +298,11 @@ class SeenShardState:
         if not acc:
             self.round_acc = {}
             return None
-        from ..functions.hashing import hash64_array
-
         urls = list(acc.keys())
         domains, depths, prios, seqs, dgs = map(list, zip(*acc.values()))
-        hs = hash64_array(urls, signed=False)  # full 64-bit: top bits feed the cuckoo fingerprint
+        # 64-bit hashes derived from the digests already computed in
+        # accept() — one vectorized frombuffer view, no second blake2b pass
+        hs = np.frombuffer(b"".join(dgs), dtype="<u8").reshape(-1, 2)[:, 0].copy()
         self.exact.update(dgs)
         self._delta.extend(zip(dgs, hs.tolist()))
         if not self.degraded and not self.cuckoo.insert_hashes(hs):

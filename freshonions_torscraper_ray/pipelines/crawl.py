@@ -14,8 +14,9 @@ One crawl round (ONE distributed pass over the round's documents):
         links/emails/btc parquet parts into the staged round dir
     → drain_accepts: per-actor candidate burst → seen shards (cuckoo +
       exact, in-actor min-seq resolution across actors)
-    → flush_to: seen shards push the new frontier actor→actor to the
-      scheduler shards
+    → flush_parts: seen shards commit the round and return domain-
+      partitioned frontier columns as object-store parts; scheduler
+      shards pull exactly their parts (one RPC wave each way)
     → finish_round: banned/schedule/metrics [+ interval-gated seen/sched
       checkpoints] + manifest (the atomic commit)
 
@@ -606,7 +607,7 @@ class CrawlEngine:
         # driver-sized
         small_tables.update({"metrics": metrics})
         # pre-stage the NEXT round's schedule while this round's output
-        # writes finish: scheduler state is final (flush_to + retries
+        # writes finish: scheduler state is final (flush parts + retries
         # drained + checkpoint states collected above), so schedule(k+1)
         # can compute concurrently with the write tail + manifest.
         self._pre_staged = None

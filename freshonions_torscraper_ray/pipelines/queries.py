@@ -249,16 +249,11 @@ def q_dedup_winnow(sf_dir: str):
     )
 
 
-def q_dedup_clusters(sf_dir: str):
-    """Near-dup CLUSTERS: near-dup pair graph → connected components →
-    (doc_id, component, keep) — the step after any pair-producing dedup
-    op that a training pipeline actually consumes ("keep one doc per
-    duplicate cluster"). Edges come from the exact n-gram Jaccard
-    pairing (the SQL-expressible member of the near-dup family), so the
-    whole pipeline — pair generation AND the Boruvka-style component
-    contraction — hash-matches a recursive-CTE min-label-propagation
-    twin. The sketch-based pair producers (minhash/simhash/embedding)
-    plug into the same component operator unchanged."""
+def _jaccard_components(sf_dir: str):
+    """Shared core of the cluster queries: exact n-gram Jaccard pair
+    graph over documents → connected components. Returns the labeled
+    (node, component) Dataset. ONE definition so the cluster queries
+    (and their embedded oracle CTEs) cannot drift apart."""
     from ..stages.graph import connected_components
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -278,7 +273,20 @@ def q_dedup_clusters(sf_dir: str):
     nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
     )
-    cc = connected_components(edges, nodes, "node")
+    return connected_components(edges, nodes, "node")
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: near-dup pair graph → connected components →
+    (doc_id, component, keep) — the step after any pair-producing dedup
+    op that a training pipeline actually consumes ("keep one doc per
+    duplicate cluster"). Edges come from the exact n-gram Jaccard
+    pairing (the SQL-expressible member of the near-dup family), so the
+    whole pipeline — pair generation AND the Boruvka-style component
+    contraction — hash-matches a recursive-CTE min-label-propagation
+    twin. The sketch-based pair producers (minhash/simhash/embedding)
+    plug into the same component operator unchanged."""
+    cc = _jaccard_components(sf_dir)
 
     def finish(t: pa.Table) -> pa.Table:
         keep = pc.equal(t["node"], t["component"])
@@ -299,23 +307,7 @@ def q_dedup_cluster_best(sf_dir: str):
     token-count kernel via a distributed hash join (both sides are
     corpus-sized — no broadcast) + per-component arg-max. Hash-matched
     against the recursive-CTE + window-function twin."""
-    from ..stages.graph import connected_components
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = dd.jaccard_near_dups(
-        ds, k=DEDUP_JACCARD_K, threshold=DEDUP_JACCARD_THRESHOLD, max_df=DEDUP_JACCARD_MAX_DF
-    ).select_columns(["doc_a", "doc_b"])
-
-    def to_edges(t: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [t["doc_a"].combine_chunks(), t["doc_b"].combine_chunks()], names=["a", "b"]
-        )
-
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
-    nodes = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
-    )
-    cc = connected_components(edges, nodes, "node")
+    cc = _jaccard_components(sf_dir)
     quality = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(ts.token_counts, batch_format="pyarrow")
@@ -346,10 +338,9 @@ def q_length_quantiles(sf_dir: str):
     (value, count) rows — never a global sort), then a tiny driver-side
     cumulative scan replaying DuckDB ``quantile_disc``'s index rule
     (smallest value with cumulative count >= ceil(q·n); verified
-    empirically against quantile_disc at multiple n)."""
-    import math
-
-    import ray.data as _rd
+    empirically against quantile_disc at multiple n). Lazy end-to-end
+    like every other query: the cumulative scan runs inside a
+    map_batches over the single-block histogram, not at build time."""
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     counts = (
@@ -358,17 +349,20 @@ def q_length_quantiles(sf_dir: str):
         .groupby("n_tokens")
         .aggregate(Count(alias_name="n"))
     )
-    hist = counts.to_pandas().sort_values("n_tokens").reset_index(drop=True)
-    n = int(hist["n"].sum())
-    cum = hist["n"].cumsum()
 
-    def pick(q: float) -> int:
-        if n == 0:
-            return 0
-        return int(hist["n_tokens"][(cum >= math.ceil(q * n)).idxmax()])
+    def quantiles(hist: pa.Table) -> pa.Table:
+        import math
 
-    return _rd.from_arrow(
-        pa.table(
+        h = hist.to_pandas().sort_values("n_tokens").reset_index(drop=True)
+        n = int(h["n"].sum())
+        cum = h["n"].cumsum()
+
+        def pick(q: float) -> int:
+            if n == 0:
+                return 0
+            return int(h["n_tokens"][(cum >= math.ceil(q * n)).idxmax()])
+
+        return pa.table(
             {
                 "n_docs": pa.array([n], pa.int64()),
                 "p50": pa.array([pick(0.5)], pa.int64()),
@@ -376,7 +370,10 @@ def q_length_quantiles(sf_dir: str):
                 "p99": pa.array([pick(0.99)], pa.int64()),
             }
         )
-    )
+
+    # repartition(1): the histogram is tiny (distinct integer lengths);
+    # the scan needs it in ONE batch
+    return counts.repartition(1).map_batches(quantiles, batch_size=None, batch_format="pyarrow")
 
 
 def q_dedup_embedding(sf_dir: str):

@@ -46,21 +46,32 @@ def join_dim_column(
         import ray
 
         dim = pq.read_table(dim_path, columns=[dim_key, dim_val])
-        ref = ray.put((dim[dim_key].to_pylist(), dim[dim_val].to_pylist()))
+        dim_type = dim[dim_val].type  # pinned: both paths emit this dtype
+        ref = ray.put((dim[dim_key].to_pylist(), dim[dim_val].to_pylist(), dim_type))
 
         class AddDim:
             def __init__(self):
-                keys, vals = ray.get(ref)
+                keys, vals, typ = ray.get(ref)
                 self.s = pd.Series(vals, index=keys)
+                if not self.s.index.is_unique:
+                    raise ValueError(
+                        f"dimension key {dim_key!r} in {dim_path} is not unique"
+                    )
+                self.typ = typ
 
             def __call__(self, t: pa.Table) -> pa.Table:
                 keys = t[fact_key].to_numpy(zero_copy_only=False)
-                vals = self.s.reindex(keys)
-                mask = vals.notna().to_numpy()
+                # indexer-based take (NOT reindex): keeps the dimension's
+                # dtype (reindex NaN-promotes int64→float64 on partial
+                # matches) and all-miss batches still emit `typ`, never a
+                # null-typed column that breaks downstream schema unify
+                idx = self.s.index.get_indexer(keys)
+                mask = idx >= 0
                 if not mask.all():  # inner semantics: drop unmatched
                     t = t.filter(pa.array(mask))
-                    vals = vals[mask]
-                return t.append_column(dim_val, pa.array(vals.to_numpy()))
+                    idx = idx[mask]
+                vals = self.s.to_numpy()[idx]
+                return t.append_column(dim_val, pa.array(vals, type=self.typ))
 
         return ds.map_batches(AddDim, batch_format="pyarrow", concurrency=concurrency)
 

@@ -254,18 +254,22 @@ def compact_crawl_index(store, num_parts: int = 64) -> str | None:
 
     # Re-fetch guard: a URL re-checked in a later round can fetch 200
     # again (changed page); its per-round postings segments would then
-    # double-count tf/df and duplicate urls in top-k. Detect duplicate
-    # 200-urls cheaply from the pages tables (tiny url+status read,
-    # pre-aggregated per batch); on the common static-web path the set
-    # is empty and the single-pass compaction below runs unchanged.
+    # double-count tf/df and duplicate urls in top-k. The distinct-url
+    # aggregate below is needed regardless (n_docs/avgdl must count a
+    # re-fetched url once); per-batch pre-aggregation bounds its shuffle
+    # to distinct-urls-per-batch, and it runs once per compaction — the
+    # postings partition write above already shuffles strictly more.
+    # On the common static-web path the dup set is empty and the
+    # single-pass compaction below runs unchanged.
     pages_ds = rd.read_parquet(store.table_paths("pages", upto=latest), columns=["url", "status"])
-    ok200 = pages_ds.map_batches(
-        lambda t: t.filter(pc.equal(t["status"], 200)).select(["url"]),
-        batch_format="pyarrow",
-    )
-    from ray.data.aggregate import Count
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        g = t.filter(pc.equal(t["status"], 200)).select(["url"]).group_by("url").aggregate([("url", "count")])
+        return pa.table({"url": g["url"], "n": g["url_count"]})
 
-    url_counts = ok200.groupby("url").aggregate(Count(alias_name="n")).materialize()
+    ok200 = pages_ds.map_batches(_partial_counts, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    url_counts = ok200.groupby("url").aggregate(Sum("n", alias_name="n")).materialize()
     dup_urls = url_counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
     ).to_pandas()

@@ -423,26 +423,6 @@ def make_seen_actor():
                 )
             return out
 
-        def flush_to(self, sched_handles) -> int:
-            """Flush and push survivors actor→actor to the scheduler
-            shards (frontier rows never touch the driver; columnar
-            payloads throughout). Two-hop path kept for tests/direct
-            callers — the round loop uses :meth:`flush_parts` (one
-            object-store wave, no nested ray.get)."""
-            import ray as _ray
-
-            cols = self.s.flush_round_cols()
-            if cols is None:
-                return 0
-            parts = self._partition_cols(cols, len(sched_handles))
-            futs = [
-                sched_handles[j].add_urls_cols.remote(p)
-                for j, p in enumerate(parts)
-                if p is not None
-            ]
-            _ray.get(futs)
-            return len(cols[0])
-
         def flush_parts(self, n_sched: int):
             """One-wave flush: commit the round's accepted URLs and
             return ``n_sched`` partitioned column tuples PLUS the count

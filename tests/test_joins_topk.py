@@ -65,3 +65,22 @@ def test_topk_fewer_rows_than_k(ray_session):
     t = pa.table({"score": pa.array([3, 1, 2], pa.int64()), "id": pa.array([0, 1, 2], pa.int64())})
     got = topk(rd.from_arrow(t), ["score", "id"], [True, False], 10).to_pandas()
     assert got["score"].tolist() == [3, 2, 1]
+
+
+def test_join_dim_column_dtype_and_all_miss_batches(ray_session, tmp_path):
+    """Broadcast path must keep the dimension's dtype (int64 stays int64
+    under partial matches — reindex would NaN-promote to float64) and an
+    all-miss batch must emit the SAME typed (empty) column, never a
+    null-typed one that breaks downstream schema unification."""
+    dim = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "v": pa.array([10, 20], pa.int64())}
+    )
+    path = str(tmp_path / "dim_int.parquet")
+    pq.write_table(dim, path)
+    # two blocks: one partially matched, one with NO matches at all
+    fact = pa.table({"fk": pa.array([1, 9, 2, 7, 8, 6], pa.int64())})
+    ds = rd.from_arrow(fact).repartition(2)
+    out = join_dim_column(ds, path, "fk", "k", "v", broadcast_threshold=100)
+    assert out.schema().types[1] == pa.int64()  # not float64, not null
+    df = out.to_pandas().sort_values("fk").reset_index(drop=True)
+    assert df["fk"].tolist() == [1, 2] and df["v"].tolist() == [10, 20]

@@ -459,6 +459,50 @@ def q_crawl_server_stats(sf_dir: str):
     return banners.groupby(["server", "powered_by"]).aggregate(Count(alias_name="n_domains"))
 
 
+def q_crawl_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank over the crawled domain link graph
+    (stages/graph.py::pagerank_int): 5 power iterations, rank scale
+    10^9, integer-only arithmetic so the value hash matches a DuckDB
+    twin of 5 unrolled CTEs bit-for-bit — engine links vs the ORACLE's
+    links, like every crawl twin. Nodes = crawled domains ∪ link
+    endpoints; edges = distinct directed (src, dst), self-loops
+    dropped; dangling nodes keep the damping base (mass leaks — part
+    of the definition)."""
+    import ray.data as rd
+
+    from ..stages.graph import pagerank_int
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["src_domain"].combine_chunks(), t["dst_domain"].combine_chunks()],
+            names=["a", "b"],
+        )
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    pages = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain"]).map_batches(
+        lambda t: t.rename_columns(["node"]), batch_format="pyarrow"
+    )
+    ends = links.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["src_domain"].combine_chunks(), t["dst_domain"].combine_chunks()])],
+            names=["node"],
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    nodes = pages.union(ends).groupby("node").aggregate(Count(alias_name="_n")).select_columns(["node"])
+    pr = pagerank_int(edges, nodes, "node", iters=5, scale=10**9)
+    return pr.map_batches(
+        lambda t: t.rename_columns(["domain", "pagerank"]), batch_format="pyarrow"
+    )
+
+
 def q_crawl_link_components(sf_dir: str):
     """Connected components over the domain link graph — the reference's
     related-onion / clone-family grouping (Flask pages joined domains over
@@ -626,12 +670,48 @@ CRAWL_QUERIES = {
     "crawl_open_ports": q_crawl_open_ports,
     "crawl_server_stats": q_crawl_server_stats,
     "crawl_link_components": q_crawl_link_components,
+    "crawl_pagerank": q_crawl_pagerank,
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
     "crawl_soft404": q_crawl_soft404,
     "crawl_search_rank": q_crawl_search_rank,
     "crawl_search_bm25": q_crawl_search_bm25,
 }
+
+
+def _pagerank_sql(links_path: str, pages_path: str, iters: int = 5, scale: int = 10**9) -> str:
+    """5 unrolled integer-PageRank CTE iterations over the oracle's
+    links/pages parquet (see stages/graph.py::pagerank_int for the
+    definition; base = 0.15·scale in integer floor arithmetic)."""
+    base = (15 * scale) // 100
+    ctes = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n)"]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+            SELECT n.node, CAST({base} + coalesce(s.c, 0) AS BIGINT) AS r
+            FROM n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum((r{i-1}.r * 17) // (20 * outd.d)) AS BIGINT) AS c
+                FROM e JOIN r{i-1} ON r{i-1}.node = e.src
+                       JOIN outd ON outd.src = e.src
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )"""
+        )
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH e AS (
+            SELECT DISTINCT src_domain AS src, dst_domain AS dst
+            FROM read_parquet('{links_path}') WHERE src_domain <> dst_domain
+        ),
+        outd AS (SELECT src, count(*)::BIGINT AS d FROM e GROUP BY src),
+        n AS (
+            SELECT DISTINCT domain AS node FROM read_parquet('{pages_path}')
+            UNION SELECT src FROM e UNION SELECT dst FROM e
+        ),
+        {joined}
+        SELECT node AS domain, r AS pagerank FROM r{iters}
+    """
 
 
 def crawl_oracle_sql() -> dict[str, str]:
@@ -713,6 +793,12 @@ def crawl_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{os.path.join(_ensure_probe_tables(), 'server_banners.parquet')}')
             GROUP BY server, powered_by
         """,
+        # fixed-point integer PageRank twin: 5 unrolled CTE iterations,
+        # integer-only arithmetic (BIGINT multiply / floor-div / sum) —
+        # order-independent, so the hash match is exact. Same node/edge
+        # definition as the engine (distinct directed edges, self-loops
+        # dropped, nodes = pages ∪ endpoints, dangling keep the base).
+        "crawl_pagerank": _pagerank_sql(p("links.parquet"), p("pages.parquet")),
         # recursive-CTE min-label propagation: the component minimum s
         # reaches every member via the lbl < target prune (s is smaller
         # than every other member), so min(lbl) per node = component id

@@ -124,6 +124,96 @@ def connected_components(edges_ds, nodes_ds, node_col: str, passes: int = 2):
     )
 
 
+def pagerank_int(edges_ds, nodes_ds, node_col: str = "node", iters: int = 5, scale: int = 10**9):
+    """Fixed-point integer PageRank — link-graph importance ranking
+    (the reference surfaced domains by inbound-link counts; PageRank is
+    that analysis done properly) with EXACT cross-engine reproducibility:
+
+    every quantity is an int64 (rank starts at ``scale`` ≡ 1.0;
+    per-iteration update ``r' = 0.15·scale + Σ_in (r·17)//(20·outdeg)``
+    uses only integer multiply / floor-div / sum, so the result is
+    independent of summation order and bit-identical between the engine
+    and a DuckDB twin — no float tolerance anywhere). Fixed ``iters``
+    power iterations; dangling nodes keep the damping base only (their
+    mass leaks — the standard simplification, part of the definition).
+
+    Scale shape: edges stream through ``map_batches`` (never
+    materialized); ranks + out-degrees are NODE-level state, broadcast
+    per iteration via ``ray.put`` and re-collected from a node-sized
+    groupby — PageRank here runs at DOMAIN granularity, so node state
+    is ~10^7 entries at the 10^10-URL frontier and fits a broadcast.
+    If node state ever outgrows one machine, each iteration becomes
+    edges⋈ranks hash-join + groupby — same semantics, noted trade.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    # distinct directed edges, self-loops dropped (part of the definition)
+    import pyarrow.compute as pc
+
+    e = edges_ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["a"], t["b"])), batch_format="pyarrow"
+    )
+    e = e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"]).materialize()
+
+    def _pull_pairs(ds, k, v) -> pd.Series:
+        parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+        if not parts:
+            return pd.Series([], dtype="int64")
+        t = pa.concat_tables(parts)
+        return pd.Series(t[v].to_numpy(zero_copy_only=False), index=t[k].to_pylist())
+
+    outdeg = _pull_pairs(e.groupby("a").aggregate(Count(alias_name="d")), "a", "d")
+    node_parts = list(nodes_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))
+    node_tab = pa.concat_tables(node_parts)
+    node_type = node_tab[node_col].type
+    node_index = pd.Index(pd.unique(np.asarray(node_tab[node_col].to_pylist(), dtype=object)))
+    base = (15 * scale) // 100
+    ranks = pd.Series(np.full(len(node_index), scale, dtype=np.int64), index=node_index)
+
+    for _ in range(max(iters, 0)):
+        ref = ray.put((ranks, outdeg))
+
+        class Contrib:
+            def __init__(self):
+                r, d = ray.get(ref)
+                self.r, self.d = r, d
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                srcs = t["a"].to_pylist()
+                idx = self.r.index.get_indexer(srcs)
+                di = self.d.index.get_indexer(srcs)
+                if (idx < 0).any() or (di < 0).any():
+                    raise ValueError("pagerank: edge source not in node set")
+                rv = self.r.to_numpy()[idx]
+                dv = self.d.to_numpy()[di]
+                c = (rv * 17) // (20 * dv)
+                return pa.table({"node": t["b"], "c": pa.array(c, pa.int64())})
+
+        sums = e.map_batches(Contrib, batch_format="pyarrow", concurrency=2).groupby(
+            "node"
+        ).aggregate(Sum("c", alias_name="c"))
+        new = pd.Series(np.full(len(node_index), base, dtype=np.int64), index=node_index)
+        got = _pull_pairs(sums, "node", "c")  # node-sized
+        if len(got):
+            pos = new.index.get_indexer(got.index)
+            arr = new.to_numpy()
+            arr[pos[pos >= 0]] += got.to_numpy()[pos >= 0]
+            new = pd.Series(arr, index=node_index)
+        ranks = new
+
+    out = pa.table(
+        {
+            "node": pa.array(list(node_index), type=node_type),
+            "pagerank": pa.array(ranks.to_numpy(), pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
 def cluster_stats(cc_ds):
     """(component, size) per cluster — the dedup 'keep one per cluster'
     accounting table."""

@@ -69,3 +69,33 @@ def test_path_graph_single_pass_insufficient_block_merge_still_exact(ray_session
     edges = [(i, i + 1) for i in range(100)]
     got = _cc_via_dataset(edges, list(range(101)), passes=3)
     assert set(got.values()) == {0}
+
+
+def test_pagerank_int_matches_scalar_reference(ray_session):
+    """pagerank_int vs a naive per-node scalar implementation of the same
+    integer definition (base + sum of (r*17)//(20*outdeg) over in-edges,
+    5 iterations) — including dangling nodes and an isolated node."""
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages.graph import pagerank_int
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"), ("a", "b")]  # dup edge
+    nodes = ["a", "b", "c", "d", "e"]  # d dangling target-less? d->a; e isolated
+    scale = 10**9
+    base = (15 * scale) // 100
+    dedup = sorted(set(e for e in edges if e[0] != e[1]))
+    outdeg = {}
+    for s, _ in dedup:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    r = {n: scale for n in nodes}
+    for _ in range(5):
+        new = {n: base for n in nodes}
+        for s, t in dedup:
+            new[t] += (r[s] * 17) // (20 * outdeg[s])
+        r = new
+
+    eds = rd.from_items([{"a": s, "b": t} for s, t in edges])
+    nds = rd.from_items([{"node": n} for n in nodes])
+    got = pagerank_int(eds, nds, "node", iters=5, scale=scale).to_pandas()
+    got = dict(zip(got["node"], got["pagerank"]))
+    assert got == r

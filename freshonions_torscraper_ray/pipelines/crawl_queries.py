@@ -459,6 +459,31 @@ def q_crawl_server_stats(sf_dir: str):
     return banners.groupby(["server", "powered_by"]).aggregate(Count(alias_name="n_domains"))
 
 
+def q_crawl_pii_redact(sf_dir: str):
+    """PII redaction over the crawled corpus — the sanitization step a
+    training pipeline runs before export: email addresses and onion
+    host mentions are replaced with typed placeholders. One vectorized
+    RE2 ``replace_substring_regex`` pass per pattern over the engine's
+    status-200 pages; the twin runs DuckDB ``regexp_replace(..., 'g')``
+    with the SAME patterns in the SAME order over the ORACLE's pages,
+    so the redacted text hash-matches only if extraction semantics,
+    pattern order, and the underlying crawl text all agree."""
+    import ray.data as rd
+
+    from ..functions.regexes import EMAIL_PATTERN, ONION_PATTERN
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["url", "status", "text"])
+
+    def redact(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], 200))
+        txt = pc.replace_substring_regex(t["text"], EMAIL_PATTERN, replacement="[EMAIL]")
+        txt = pc.replace_substring_regex(txt, ONION_PATTERN, replacement="[ONION]")
+        return pa.table({"url": t["url"], "text_redacted": pc.cast(txt, pa.large_string())})
+
+    return ds.map_batches(redact, batch_format="pyarrow")
+
+
 def q_crawl_pagerank(sf_dir: str):
     """Fixed-point integer PageRank over the crawled domain link graph
     (stages/graph.py::pagerank_int): 5 power iterations, rank scale
@@ -671,6 +696,7 @@ CRAWL_QUERIES = {
     "crawl_server_stats": q_crawl_server_stats,
     "crawl_link_components": q_crawl_link_components,
     "crawl_pagerank": q_crawl_pagerank,
+    "crawl_pii_redact": q_crawl_pii_redact,
     "crawl_ssh_groups": q_crawl_ssh_groups,
     "crawl_purged_domains": q_crawl_purged_domains,
     "crawl_soft404": q_crawl_soft404,
@@ -799,6 +825,15 @@ def crawl_oracle_sql() -> dict[str, str]:
         # definition as the engine (distinct directed edges, self-loops
         # dropped, nodes = pages ∪ endpoints, dangling keep the base).
         "crawl_pagerank": _pagerank_sql(p("links.parquet"), p("pages.parquet")),
+        "crawl_pii_redact": f"""
+            SELECT url,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+                       '[a-z2-7]{{16}}\\.onion', '[ONION]', 'g') AS text_redacted
+            FROM read_parquet('{p("pages.parquet")}')
+            WHERE status = 200
+        """,
         # recursive-CTE min-label propagation: the component minimum s
         # reaches every member via the lbl < target prune (s is smaller
         # than every other member), so min(lbl) per node = component id

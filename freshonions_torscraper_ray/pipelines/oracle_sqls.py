@@ -110,6 +110,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2
     """,
+    # chunking twin: same window arithmetic (n = 1 + ceil((len-200)/150)
+    # in integer form; empty docs yield no chunks); substr is char-based
+    # = byte-based on the ASCII fixtures (shared kernel assumption)
+    "doc_chunks": """
+        SELECT doc_id, i AS chunk_id,
+               substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+        FROM documents,
+             unnest(range(0, CASE WHEN length(text) = 0 THEN 0
+                                  ELSE 1 + greatest(0, (length(text) - 200 + 149) // 150)
+                             END)) AS t(i)
+    """,
     "langid_pred": f"""
         WITH s AS (
             SELECT doc_id, {_langid_counts}

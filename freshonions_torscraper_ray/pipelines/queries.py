@@ -143,6 +143,18 @@ def q_winnow_fingerprint(sf_dir: str):
     )
 
 
+def q_doc_chunks(sf_dir: str):
+    """Fixed-window document chunking with overlap (size 200 / stride
+    150) — the context-window packing step of a training pipeline. One
+    vectorized gather over the batch's flat utf-8 buffer
+    (stages/textstats.py::chunk_documents); the DuckDB twin replays the
+    same window arithmetic with ``substr`` + ``range`` — hash-matched."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: ts.chunk_documents(t, size=200, stride=150), batch_format="pyarrow"
+    )
+
+
 def q_langid_pred(sf_dir: str):
     """O10 language ID. The trigram-presence rule is deterministic and
     small, so the oracle twin replays it exactly in SQL (per-language
@@ -1031,6 +1043,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
+    "doc_chunks": q_doc_chunks,
     "langid_pred": q_langid_pred,
     "dedup_exact": q_dedup_exact,
     "clone_groups": q_clone_groups,

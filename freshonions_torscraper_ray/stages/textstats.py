@@ -179,6 +179,67 @@ def extract_pattern_rows(
     )
 
 
+def chunk_documents(
+    batch: pa.Table, size: int = 200, stride: int = 150, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Fixed-window document chunking with overlap — the training-data
+    staple (context-window packing): chunk c of a doc covers
+    [c·stride, c·stride+size); n_chunks = 1 + max(0, ceil((len−size)/stride))
+    (0 for empty docs), so chunks tile the doc with ``size−stride``
+    overlap and the tail chunk may be short.
+
+    Fully vectorized: one gather-index build over the batch's flat utf-8
+    buffer (repeat + arange arithmetic), one fancy-index copy, offsets by
+    cumsum — no per-row Python. Byte-based (ASCII-content assumption
+    shared with the other byte kernels; DuckDB ``substr`` is char-based,
+    equal on ASCII — see functions/tokenize.py note)."""
+    from ..functions.tokenize import _as_large_string_array
+
+    texts = _as_large_string_array(batch[text_col])
+    n = len(texts)
+    off, buf = _utf8_buffer_views(texts)
+    base = int(off[0])
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    n_chunks = np.where(lens == 0, 0, 1 + np.maximum(0, (lens - size + stride - 1) // stride))
+    total_chunks = int(n_chunks.sum())
+    ids = batch[id_col]
+    ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+    if total_chunks == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], ids.type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.large_string()),
+            }
+        )
+    parent = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    chunk_id = np.arange(total_chunks, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    doc_start = (off[:-1].astype(np.int64) - base)[parent]
+    starts = doc_start + chunk_id * stride
+    ends = np.minimum(starts + size, doc_start + lens[parent])
+    clens = ends - starts
+    out_total = int(clens.sum())
+    # gather index: for every output byte, its input-buffer position
+    cum = np.cumsum(clens) - clens
+    gather = (np.arange(out_total, dtype=np.int64) - np.repeat(cum, clens)) + np.repeat(starts, clens)
+    values = buf[gather]
+    offsets = np.empty(total_chunks + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(clens, out=offsets[1:])
+    chunks = pa.Array.from_buffers(
+        pa.large_string(), total_chunks, [None, pa.py_buffer(offsets), pa.py_buffer(values)]
+    )
+    return pa.table(
+        {
+            id_col: ids.take(pa.array(parent)),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk": chunks,
+        }
+    )
+
+
 # ------------------------------------------------- winnowing (rolling hash)
 
 _WINNOW_BASE = np.uint64(1000003)

@@ -172,3 +172,35 @@ def test_text_index_is_partition_pruned(tmp_path, ray_session):
     rows = pruned.to_pandas()
     assert (rows["term"] == "spark").all()
     assert len(rows) == in_part > 0
+
+
+def test_chunk_documents_matches_scalar_reference():
+    """Vectorized gather-based chunking vs the per-row scalar window:
+    exact boundaries, short tails, single-chunk, empty docs, and
+    zero-copy table slices."""
+    import pyarrow as pa
+
+    from freshonions_torscraper_ray.stages.textstats import chunk_documents
+
+    docs = ["a" * 500, "b" * 200, "short", "", "x" * 201, "y" * 350]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+
+    def ref(did, s, size=200, stride=150):
+        if not s:
+            return []
+        n = 1 + max(0, -(-(len(s) - size) // stride))
+        return [
+            {"doc_id": did, "chunk_id": c, "chunk": s[c * stride : c * stride + size]}
+            for c in range(n)
+        ]
+
+    want = [r for did, s in enumerate(docs) for r in ref(did, s)]
+    assert chunk_documents(t, size=200, stride=150).to_pylist() == want
+    # overlap property: consecutive chunks share size-stride chars
+    rows = [r for r in want if r["doc_id"] == 0]
+    assert rows[0]["chunk"][150:] == rows[1]["chunk"][:50]
+    # zero-copy slice equals rebuilt table
+    assert (
+        chunk_documents(t.slice(2, 3)).to_pylist()
+        == chunk_documents(pa.table({"doc_id": [2, 3, 4], "text": docs[2:5]})).to_pylist()
+    )

@@ -121,6 +121,29 @@ ORACLE_SQL: dict[str, str] = {
                                   ELSE 1 + greatest(0, (length(text) - 200 + 149) // 150)
                              END)) AS t(i)
     """,
+    # split twin: same Knuth multiplicative hash mod 2^32 (HUGEINT — the
+    # engine's uint64 wrap preserves the mod-2^32 value, so both agree
+    # at any id magnitude); threshold = int(0.1 * 2^32)
+    "dataset_split": """
+        SELECT doc_id,
+               CASE WHEN (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729
+                    THEN 'val' ELSE 'train' END AS split
+        FROM documents
+    """,
+    # packing twin: exclusive prefix sum over doc_id order // budget —
+    # the plain-window form of the engine's bucketed two-pass prefix sum
+    "pack_chunks": """
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+                    AS BIGINT) AS bin
+        FROM t
+    """,
     "langid_pred": f"""
         WITH s AS (
             SELECT doc_id, {_langid_counts}

@@ -394,6 +394,78 @@ def q_dedup_embedding(sf_dir: str):
     return sim.embedding_near_dups(ds, dim=64, threshold=0.3, nbits=6)
 
 
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val split — the export step after dedup and
+    quality gating: split by Knuth multiplicative hash of doc_id (NOT by
+    position, so the assignment is stable under any repartitioning and
+    reproducible across runs). ~10% val."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        split = np.where(h < np.uint64(int(0.1 * (1 << 32))), "val", "train")
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split.tolist(), pa.string())}
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+PACK_BUDGET = 2000  # tokens per packed training bin
+
+
+def q_pack_chunks(sf_dir: str):
+    """Sequence PACKING — assign docs (in doc_id order) to fixed
+    token-budget bins: bin(doc) = exclusive-prefix-sum(n_tokens) //
+    budget. The interesting part is the DISTRIBUTED EXCLUSIVE PREFIX SUM
+    with no ordered scan: docs are bucketed by ``doc_id // 512`` (a pure
+    key function — immune to block order), per-bucket token sums
+    aggregate to a tiny driver-side table whose prefix gives each
+    bucket's global offset (broadcast once), and a per-bucket
+    ``map_groups`` computes the in-bucket cumsum + offset. Two passes,
+    all shuffles keyed, deterministic at any parallelism. The DuckDB
+    twin is a plain window sum over (ORDER BY doc_id) — hash-matched."""
+    import ray
+
+    BUCKET = 512
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    toks = (
+        ds.map_batches(ts.token_counts, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+        .map_batches(
+            lambda t: t.append_column(
+                "bucket", pc.cast(pc.divide(t["doc_id"], BUCKET), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    bucket_sums = toks.groupby("bucket").aggregate(Sum("n_tokens", alias_name="s")).to_pandas()
+    bucket_sums = bucket_sums.sort_values("bucket").reset_index(drop=True)
+    offsets = dict(
+        zip(
+            bucket_sums["bucket"].tolist(),
+            (bucket_sums["s"].cumsum() - bucket_sums["s"]).astype("int64").tolist(),
+        )
+    )
+    oref = ray.put(offsets)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id")
+        excl = g["n_tokens"].cumsum() - g["n_tokens"] + off
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "n_tokens": g["n_tokens"].to_numpy(),
+                "bin": (excl // PACK_BUDGET).astype("int64").to_numpy(),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
 # --------------------------------------------------- similarity search
 
 
@@ -1044,6 +1116,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprint": q_winnow_fingerprint,
     "doc_chunks": q_doc_chunks,
+    "dataset_split": q_dataset_split,
+    "pack_chunks": q_pack_chunks,
     "langid_pred": q_langid_pred,
     "dedup_exact": q_dedup_exact,
     "clone_groups": q_clone_groups,

@@ -355,7 +355,11 @@ class CrawlEngine:
                 for r in range(R)
                 if range_totals[r]
             ]
-            block_lists = ray.get(merge_futs)
+            merged = ray.get(merge_futs)
+            block_lists = [r for r, _ in merged]
+            # schedule-part parquet writes run as detached tasks off the
+            # merge critical path; they gate only the manifest below
+            sched_write_futs = [w for _, w in merged if w is not None]
             t_sched = time.monotonic()
             if os.environ.get("ONIONRAY_PROFILE"):
                 import sys
@@ -523,6 +527,7 @@ class CrawlEngine:
             n_new = 0
             n_cand = 0
             write_futs = []
+            sched_write_futs = []
         t_flush = time.monotonic()
 
         interval = max(cfg.checkpoint_interval, 1)
@@ -618,7 +623,7 @@ class CrawlEngine:
                 tmp_next,
                 [h.schedule_stage.remote(rnd + 1, tmp_next) for h in self.sched_handles],
             )
-        ray.get(write_futs)  # async round commit: writes land before the manifest
+        ray.get(write_futs + sched_write_futs)  # async round commit: all writes land before the manifest
         self.store.finish_round(
             rnd,
             small_tables,

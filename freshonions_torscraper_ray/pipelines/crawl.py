@@ -381,44 +381,6 @@ class CrawlEngine:
             for bl in block_lists:
                 for b, nr, payload in bl:
                     by_bucket.setdefault(b, []).append((nr, payload))
-            # skew-aware routing [B: north_rule]: hot-bucket splitting +
-            # conditional owner-preferring greedy assignment — the pure
-            # plan function lives with the fetch stage (property-tested)
-            from ..stages.fetch import plan_fetch_routing
-
-            submit, loads, n_splits = plan_fetch_routing(
-                by_bucket,
-                n,
-                len(pool),
-                getattr(cfg, "hot_bucket_factor", 1.0),
-                # payloads are (block_ref, offset, n_rows): sub-slicing is
-                # arithmetic, so hot buckets split even in single-merger
-                # tail rounds (results unchanged — fetch_order is already
-                # assigned; candidate dedup is arrival-order independent)
-                slicer=lambda p, off, nr: (p[0], p[1] + off, nr),
-            )
-            self.last_hot_splits = n_splits
-            self.hot_splits_total += n_splits
-            if os.environ.get("ONIONRAY_PROFILE"):
-                import sys
-
-                print(
-                    f"PROFBLK r{rnd}: blocks={len(submit)} "
-                    f"splits={n_splits} worker_max={max(loads)} "
-                    f"worker_mean={sum(loads) // len(pool)}",
-                    file=sys.stderr,
-                    flush=True,
-                )
-            # ONE process call per worker per round (not one per bucket):
-            # the worker resolves the distinct owner blocks once, slices
-            # zero-copy, and runs the fetch/extract kernel in bounded
-            # chunks — per-call kernel fixed costs no longer multiply by
-            # bucket count (the measured tail-round killer: ~11-row
-            # bucket blocks each paying full kernel setup).
-            grouped: dict[int, list] = {}
-            for w, payloads in submit:
-                grouped.setdefault(w, []).extend(payloads)
-            gsubmit = sorted(grouped.items())
             # two-phase tail rounds: rows balance across workers but
             # BYTES don't (hub pages with thousands of links), and a
             # sparse round's heavy rows can serialize on one owner while
@@ -437,12 +399,85 @@ class CrawlEngine:
             # ON or OFF for every round yields identical crawl output).
             two_phase_min = int(os.environ.get("ONIONRAY_TWO_PHASE_MIN_ROWS", "32"))
             if len(pool) > 1 and two_phase_min * len(pool) <= n <= two_phase_rows * len(pool):
+                # phase A routes STRICTLY by bucket owner: every bucket is
+                # warm on its owner (round-1 prewarm), so owner lookup is
+                # pure cache hits, while any load-balancing migration here
+                # pays a cold bucket parse on the receiving worker for no
+                # benefit — phase B rebalances the real work anyway
+                # (measured: plan-routed phase A cost 1.3 s/0.9 s of cold
+                # parses in the two sparse tail rounds at 200k domains;
+                # owner-routed is ~0.05 s).
                 from ..stages.fetch import plan_weighted_slices
 
-                joined = ray.get([pool[w].lookup_join.remote(payloads) for w, payloads in gsubmit])
+                P = len(pool)
+                aowner: dict[int, list] = {}
+                loads = [0] * P  # owner-attributed urls_scheduled (metrics)
+                for b, items in by_bucket.items():
+                    w = b % P
+                    grp = aowner.setdefault(w, [])
+                    for nr, p in items:
+                        grp.append(p)
+                        loads[w] += nr
+                asubmit = sorted(aowner.items())
+                self.last_hot_splits = 0
+                _t2a = time.monotonic()
+                joined = ray.get([pool[w].lookup_join.remote(payloads) for w, payloads in asubmit])
+                _t2b = time.monotonic()
                 psubmit = plan_weighted_slices(joined, len(pool))
+                if os.environ.get("ONIONRAY_PROFILE"):
+                    import sys
+
+                    lp = ray.get([pool[w].lookup_perf.remote() for w, _ in asubmit])
+                    res_mx = max(p[0] for p in lp)
+                    join_mx = max(p[1] for p in lp)
+                    put_mx = max(p[2] for p in lp)
+                    print(
+                        f"PROF2PH r{rnd}: lookup={_t2b - _t2a:.2f} "
+                        f"plan={time.monotonic() - _t2b:.2f} "
+                        f"actor_max(resolve={res_mx:.2f} join={join_mx:.2f} put={put_mx:.2f})",
+                        file=sys.stderr,
+                        flush=True,
+                    )
             else:
-                psubmit = gsubmit
+                # single-phase round: skew-aware routing [B: north_rule] —
+                # hot-bucket splitting + conditional owner-preferring
+                # greedy assignment (pure plan function, property-tested)
+                from ..stages.fetch import plan_fetch_routing
+
+                submit, loads, n_splits = plan_fetch_routing(
+                    by_bucket,
+                    n,
+                    len(pool),
+                    getattr(cfg, "hot_bucket_factor", 1.0),
+                    # payloads are (block_ref, offset, n_rows): sub-slicing is
+                    # arithmetic, so hot buckets split even in single-merger
+                    # tail rounds (results unchanged — fetch_order is already
+                    # assigned; candidate dedup is arrival-order independent)
+                    slicer=lambda p, off, nr: (p[0], p[1] + off, nr),
+                )
+                self.last_hot_splits = n_splits
+                self.hot_splits_total += n_splits
+                if os.environ.get("ONIONRAY_PROFILE"):
+                    import sys
+
+                    print(
+                        f"PROFBLK r{rnd}: blocks={len(submit)} "
+                        f"splits={n_splits} worker_max={max(loads)} "
+                        f"worker_mean={sum(loads) // len(pool)}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                # ONE process call per worker per round (not one per
+                # bucket): the worker resolves the distinct owner blocks
+                # once, slices zero-copy, and runs the fetch/extract
+                # kernel in bounded chunks — per-call kernel fixed costs
+                # no longer multiply by bucket count (the measured
+                # tail-round killer: ~11-row bucket blocks each paying
+                # full kernel setup).
+                grouped: dict[int, list] = {}
+                for w, payloads in submit:
+                    grouped.setdefault(w, []).extend(payloads)
+                psubmit = sorted(grouped.items())
             futs = [pool[w].process.remote(payloads, rnd, tmp_dir) for w, payloads in psubmit]
             # NO barrier between fetch and drain: actor tasks execute in
             # submission order, so each worker's drain/retry/write calls

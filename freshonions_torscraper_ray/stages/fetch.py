@@ -582,12 +582,22 @@ def make_fetch_worker():
             import pyarrow.compute as pc
             import ray as _ray
 
+            _t0 = time.perf_counter()
             block = _resolve_block(block)
+            _t1 = time.perf_counter()
             joined = self.fe.join_docs(block)
+            _t2 = time.perf_counter()
             w = pc.fill_null(pc.list_value_length(joined["spans"]), 0).to_numpy(
                 zero_copy_only=False
             ).astype(np.int64) + 1
-            return (_ray.put(joined), w.astype(np.int32))
+            ref = _ray.put(joined)
+            self._lookup_perf = (_t1 - _t0, _t2 - _t1, time.perf_counter() - _t2)
+            return (ref, w.astype(np.int32))
+
+        def lookup_perf(self):
+            """Profile-only: (resolve_s, join_s, put_s) of the last
+            lookup_join call."""
+            return getattr(self, "_lookup_perf", (0.0, 0.0, 0.0))
 
         def prewarm(self, owned_buckets: list[int]) -> int:
             """Parse this worker's owned buckets into its cache (first

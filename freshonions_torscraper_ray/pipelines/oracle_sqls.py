@@ -232,6 +232,20 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = c.doc_b
         WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.5
     """,
+    "dedup_embedding_exact": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+    """,
+    "embedding_centroids": """
+        SELECT label, CAST(i AS BIGINT) AS pos,
+               round(avg(CAST(embedding[i + 1] AS DOUBLE)), 4) AS centroid
+        FROM embeddings, range(64) t(i)
+        GROUP BY label, i
+    """,
     "ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
@@ -419,6 +433,15 @@ ORACLE_SQL: dict[str, str] = {
                    epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
             FROM events
         ) GROUP BY user_id
+    """,
+    "events_range_join": """
+        SELECT p.event_id, p.user_id, count(e.event_id)::BIGINT AS n_prior
+        FROM events p LEFT JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts < p.ts
+         AND e.ts >= p.ts - INTERVAL 24 HOUR
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1, 2
     """,
     "events_asof_purchase": """
         SELECT e.event_id, e.user_id,

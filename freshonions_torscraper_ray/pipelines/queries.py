@@ -394,6 +394,21 @@ def q_dedup_embedding(sf_dir: str):
     return sim.embedding_near_dups(ds, dim=64, threshold=0.3, nbits=6)
 
 
+def q_dedup_embedding_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup (the LSH variant's ground-truth
+    anchor): broadcast normalized matrix, one (n_b x N) matmul per batch,
+    each unordered pair emitted exactly once. DuckDB cross-join twin."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return sim.embedding_pairs_exact(ds, f"{sf_dir}/embeddings.parquet", threshold=0.3)
+
+
+def q_embedding_centroids(sf_dir: str):
+    """Per-label mean embedding — distributed vector aggregate with a
+    per-batch combiner (shuffle bounded to labels x dim per batch)."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return sim.embedding_centroids(ds, dim=64)
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val split — the export step after dedup and
     quality gating: split by Knuth multiplicative hash of doc_id (NOT by
@@ -962,6 +977,92 @@ def q_events_asof_purchase(sf_dir: str):
 # ------------------------------------------- corpus / training-data ops
 
 
+_RANGE_H_US = 24 * 3600 * 1_000_000  # range-join window: 24h in µs
+
+
+def q_events_range_join(sf_dir: str):
+    """Banded RANGE JOIN (interval join): for each purchase event, count
+    same-user events in the preceding 24 h — a non-equi time-range join
+    the Dataset API lacks natively.
+
+    Distributed shape: time is bucketed at the window width, so a
+    matching event can only live in the purchase's bucket or the one
+    before it. Each purchase row is replicated into those TWO (user,
+    bucket) groups (bounded 2x replication of the SMALL left side — never
+    a cross product), events land in exactly one group, and a per-group
+    vectorized ``searchsorted`` counts matches. Because every event
+    belongs to one group, partial counts add without double counting;
+    a final keyed Sum merges the two replicas. All shuffles are keyed on
+    (user_id, bucket) — skew-bounded by per-user-per-day volume.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        bucket = ts_us // _RANGE_H_US
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        # right side: every event, role 0, its own bucket
+        out_uid = [uid]
+        out_bkt = [bucket]
+        out_role = [np.zeros(len(uid), np.int8)]
+        out_ts = [ts_us]
+        out_eid = [eid]
+        # left side: purchases replicated into bucket and bucket-1
+        for shift in (0, 1):
+            out_uid.append(uid[is_p])
+            out_bkt.append(bucket[is_p] - shift)
+            out_role.append(np.ones(int(is_p.sum()), np.int8))
+            out_ts.append(ts_us[is_p])
+            out_eid.append(eid[is_p])
+        return pa.table(
+            {
+                "user_id": np.concatenate(out_uid),
+                "bucket": np.concatenate(out_bkt),
+                "role": np.concatenate(out_role),
+                "ts_us": np.concatenate(out_ts),
+                "event_id": np.concatenate(out_eid),
+            }
+        )
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["role"] == 1]
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "partial": pd.Series([], dtype="int64"),
+                }
+            )
+        ev = np.sort(g.loc[g["role"] == 0, "ts_us"].to_numpy())
+        tp = left["ts_us"].to_numpy()
+        n = np.searchsorted(ev, tp, "left") - np.searchsorted(ev, tp - _RANGE_H_US, "left")
+        return pd.DataFrame(
+            {
+                "event_id": left["event_id"].to_numpy(),
+                "user_id": left["user_id"].to_numpy(),
+                "partial": n.astype(np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["user_id", "bucket"])
+        .map_groups(count_group, batch_format="pandas")
+    )
+    merged = parts.groupby(["event_id", "user_id"]).aggregate(Sum("partial", alias_name="n_prior"))
+    return merged.map_batches(
+        lambda t: t.select(["event_id", "user_id"]).append_column(
+            "n_prior", pc.cast(t["n_prior"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_quality_repetition(sf_dir: str):
     """Gopher-style repetition quality filters: top-bigram fraction +
     duplicate-trigram fraction per doc (stages/corpus.py). Task-pool
@@ -1126,6 +1227,8 @@ QUERIES = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_winnow": q_dedup_winnow,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_exact": q_dedup_embedding_exact,
+    "embedding_centroids": q_embedding_centroids,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_multi": q_ann_multi,
@@ -1155,6 +1258,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof_purchase": q_events_asof_purchase,
+    "events_range_join": q_events_range_join,
     "quality_repetition": q_quality_repetition,
     "corpus_export": q_corpus_export,
     "ngram_top": q_ngram_top,

@@ -379,3 +379,111 @@ def embedding_near_dups(ds, dim: int, threshold: float = 0.97, nbits: int = 10, 
 
     out = cand.groupby("bucket").map_groups(pairs, batch_format="pandas")
     return out.groupby(["vec_a", "vec_b"]).aggregate(Max("cos", alias_name="cos"))
+
+
+def embedding_pairs_exact(ds, path: str, threshold: float = 0.3):
+    """Exact all-pairs cosine near-dup — the ground-truth anchor for the
+    LSH variant (``embedding_near_dups``), with a DuckDB
+    ``list_cosine_similarity`` cross-join twin (hash-matched).
+
+    The full normalized matrix is broadcast ONCE via ``ray.put``
+    (N x d float64) and each batch does a single (n_b x N) matmul,
+    emitting pairs with ``vec_a < vec_b`` and round4(cos) >= threshold.
+    Every row lands in exactly one batch, so each unordered pair is
+    emitted exactly once — no dedup shuffle needed afterwards.
+
+    Scale shape: O(N^2) compute streamed over batches with O(N*d) worker
+    memory — by construction this is the SMALL-SIDE anchor (a sample, an
+    LSH bucket, a verification set), never the 10^10-row corpus; the
+    corpus path is ``embedding_near_dups`` (keys-only LSH shuffle).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.rounding import round_half_away
+
+    ref = pq.read_table(path, columns=["vec_id", "embedding"])
+    all_ids = ref["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mn = _normalize(_to_matrix(ref["embedding"]).astype(np.float64))
+    bref = ray.put((all_ids, mn))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_ref, mat_ref = ray.get(bref)
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
+        cos = round_half_away(bm @ mat_ref.T, 4)  # (n_b, N)
+        keep = (cos >= threshold) & (bids[:, None] < ids_ref[None, :])
+        bi, ri = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(ids_ref[ri], pa.int64()),
+                "cos": pa.array(cos[bi, ri], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=2048)
+
+
+def embedding_centroids(ds, dim: int):
+    """Per-label mean embedding — a distributed VECTOR aggregate with a
+    per-batch combiner (the k-means/IVF-training building block).
+
+    Each batch reduces its rows to (label, pos, psum, pcount) partials —
+    at most distinct-labels x dim rows per batch, independent of batch
+    size — then one keyed ``groupby(label, pos).Sum`` merges partials and
+    a final map divides + rounds. The combiner bounds the shuffle to
+    O(labels * dim) per batch no matter the corpus size; the embedding
+    column itself never shuffles.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(t["embedding"]).astype(np.float64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = len(uniq)
+        if k == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "psum": pa.array([], pa.float64()),
+                    "pcount": pa.array([], pa.int64()),
+                }
+            )
+        # segment-sum: sort rows by label once, reduceat over boundaries
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(k))
+        psum = np.add.reduceat(m[order], starts, axis=0)
+        counts = np.bincount(inv, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "pos": pa.array(np.tile(np.arange(dim, dtype=np.int64), k), pa.int64()),
+                "psum": pa.array(psum.reshape(-1), pa.float64()),
+                "pcount": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(["label", "pos"]).aggregate(
+        Sum("psum", alias_name="psum"), Sum("pcount", alias_name="pcount")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = round_half_away(
+            t["psum"].to_numpy(zero_copy_only=False) / t["pcount"].to_numpy(zero_copy_only=False),
+            4,
+        )
+        return pa.table(
+            {
+                "label": _pc.cast(t["label"], pa.int64()),
+                "pos": _pc.cast(t["pos"], pa.int64()),
+                "centroid": pa.array(c, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -84,3 +84,41 @@ def test_join_dim_column_dtype_and_all_miss_batches(ray_session, tmp_path):
     assert out.schema().types[1] == pa.int64()  # not float64, not null
     df = out.to_pandas().sort_values("fk").reset_index(drop=True)
     assert df["fk"].tolist() == [1, 2] and df["v"].tolist() == [10, 20]
+
+
+def test_events_range_join_matches_brute_force(ray_session, tmp_path):
+    """Banded range join == brute-force O(n^2) count, and is invariant
+    to block layout (replicas/events may land in any block)."""
+    import numpy as np
+
+    from freshonions_torscraper_ray.pipelines.queries import (
+        _RANGE_H_US,
+        q_events_range_join,
+    )
+
+    rng = np.random.RandomState(5)
+    n = 400
+    ts_us = np.sort(rng.randint(0, 5 * _RANGE_H_US, size=n).astype(np.int64))
+    uid = rng.randint(0, 7, size=n).astype(np.int64)
+    etype = np.where(rng.rand(n) < 0.3, "purchase", "view")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(etype.tolist(), pa.string()),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/events.parquet")
+
+    expect = {}
+    for i in range(n):
+        if etype[i] != "purchase":
+            continue
+        m = (uid == uid[i]) & (ts_us < ts_us[i]) & (ts_us >= ts_us[i] - _RANGE_H_US)
+        expect[i] = int(m.sum())
+
+    got = q_events_range_join(sf).to_pandas()
+    assert len(got) == len(expect)
+    assert dict(zip(got["event_id"], got["n_prior"])) == expect

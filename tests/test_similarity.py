@@ -133,3 +133,68 @@ def test_embedding_near_dups_match_brute_force_and_slim_shuffle():
     }
     assert len(truth) >= 12  # 4 groups × 3 within-group pairs
     assert got == truth
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_pairs_exact_matches_numpy(tmp_path):
+    """Each unordered pair emitted exactly once; values match brute force."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.functions.rounding import round_half_away
+    from freshonions_torscraper_ray.stages.similarity import embedding_pairs_exact
+
+    t, mat = _corpus(n=120, d=8, seed=3)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+    out = (
+        embedding_pairs_exact(rd.read_parquet(path), path, threshold=0.3)
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    m = mat.astype(np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = round_half_away(m @ m.T, 4)
+    iu, ju = np.triu_indices(len(mat), 1)
+    keep = cos[iu, ju] >= 0.3
+    assert len(out) == int(keep.sum())
+    assert list(out["vec_a"]) == list(iu[keep])
+    assert list(out["vec_b"]) == list(ju[keep])
+    assert np.array_equal(out["cos"].to_numpy(), cos[iu[keep], ju[keep]])
+    # pair-once invariant
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_centroids_combiner_matches_numpy():
+    """Partial-sum combiner + keyed merge == direct per-label mean."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.functions.rounding import round_half_away
+    from freshonions_torscraper_ray.stages.similarity import embedding_centroids
+
+    rng = np.random.RandomState(11)
+    n, d = 300, 8
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    labels = rng.randint(0, 5, size=n)
+    t = pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    # several small blocks so partial merge across batches is exercised
+    ds = rd.from_arrow(t).repartition(7)
+    out = (
+        embedding_centroids(ds, dim=d)
+        .to_pandas()
+        .sort_values(["label", "pos"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5 * d
+    for lab in range(5):
+        expect = round_half_away(mat[labels == lab].astype(np.float64).mean(axis=0), 4)
+        got = out[out["label"] == lab]["centroid"].to_numpy()
+        assert np.array_equal(got, expect), lab

@@ -101,6 +101,25 @@ def _warmup() -> None:
     rd.range(100_000).map_batches(lambda b: b, batch_format="pyarrow").materialize()
 
 
+def cpu_ref_sec() -> float:
+    """Single-core calibration burn (~0.6 s on this box when quiet).
+
+    The sandbox shares a physical host whose effective CPU speed swings
+    >2x between windows (measured same-commit crawl 11.4 s vs 44 s
+    thirty minutes apart; this burn 0.63 s vs 1.51 s in the same
+    windows). Emitting the burn time alongside every bench sample lets a
+    reader normalize cross-round comparisons instead of mistaking a
+    contended window for a code regression.
+    """
+    import time as _t
+
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return round(_t.perf_counter() - t0, 3)
+
+
 def _consume(ds) -> int:
     n = 0
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -156,6 +175,7 @@ def main() -> None:
         # per-document work of a crawl feeding a training pipeline; makes
         # the workload compute-bound so scaling reflects the engine, not
         # coordination noise
+        ref = cpu_ref_sec()
         crawl = bench_crawl(n_domains=n_dom, cap=200, rounds=8, budget=200, n_buckets=512, ckpt_interval=8, enrich=True, span_scale=6)
         out = {
             "metric": "crawl_seconds",
@@ -167,6 +187,7 @@ def main() -> None:
             "crawl_fetched": crawl["fetched"],
             "crawl_rounds": crawl["rounds"],
             "crawl_urls_per_sec": round(crawl["fetched"] / crawl["sec"], 1),
+            "cpu_ref_sec": ref,
         }
         print(json.dumps(out))
         import ray
@@ -174,6 +195,7 @@ def main() -> None:
         ray.shutdown()
         return
 
+    ref = cpu_ref_sec()
     crawl = bench_crawl()
     timings = bench_queries()
     queries = {"crawl_replay": round(crawl["sec"], 3), **timings}
@@ -188,6 +210,7 @@ def main() -> None:
         "crawl_fetched": crawl["fetched"],
         "crawl_rounds": crawl["rounds"],
         "crawl_urls_per_sec": round(crawl["fetched"] / crawl["sec"], 1),
+        "cpu_ref_sec": ref,
     }
     print(json.dumps(out))
     ray.shutdown()
@@ -229,6 +252,8 @@ def scaling() -> None:
                 f"crawl_urls_per_sec_{hi}": r_hi["crawl_urls_per_sec"],
                 "crawl_fetched": r_lo["crawl_fetched"],
                 "sf": r_lo["sf"],
+                f"cpu_ref_sec_{lo}": r_lo.get("cpu_ref_sec"),
+                f"cpu_ref_sec_{hi}": r_hi.get("cpu_ref_sec"),
             }
         )
     )

@@ -551,6 +551,19 @@ def make_fetch_worker():
             more than a chunk's wide output in flight at a time; chunk
             boundaries cannot affect results (row-independent kernel,
             min-seq candidate merge is arrival-order independent)."""
+            if os.environ.get("ONIONRAY_CPROFILE") and not getattr(self, "_cprofiled", False):
+                self._cprofiled = True
+                import cProfile
+
+                pr = cProfile.Profile()
+                pr.enable()
+                out = self._process_inner(block, rnd, out_dir)
+                pr.disable()
+                pr.dump_stats(f"/tmp/onionray_prof_{self.actor_id}.pstats")
+                return out
+            return self._process_inner(block, rnd, out_dir)
+
+        def _process_inner(self, block, rnd: int, out_dir: str) -> tuple[int, int]:
             block = _resolve_block(block)
             n_cand = 0
             enrich = getattr(self.cfg, "enrich", False)

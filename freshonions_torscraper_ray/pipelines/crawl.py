@@ -96,6 +96,15 @@ class CrawlEngine:
             )
             for i in range(size)
         ]
+        # fire-and-forget import absorber: actor tasks run in order, so
+        # each worker finishes its heavy imports (pandas/duckdb/the
+        # extract kernels — ~0.7-2 CPU-s per fresh process) BEFORE its
+        # first process() call, overlapped with driver-side seed
+        # insertion and round-1 staging instead of serializing into the
+        # first round's fetch wall (measured: the 48-actor first-round
+        # import storm dominates small-web round 1 in contended windows)
+        for w in self.fetch_pool:
+            w.preimport.remote()
         self._prewarmed = False  # one prewarm per pool instance
 
     def _cfg_fp(self) -> str:

@@ -612,6 +612,21 @@ def make_fetch_worker():
             lookup_join call."""
             return getattr(self, "_lookup_perf", (0.0, 0.0, 0.0))
 
+        def preimport(self) -> int:
+            """Absorb this process's one-time heavy imports before the
+            first real batch (fired at pool creation, fire-and-forget;
+            actor task ordering makes it complete before process())."""
+            import duckdb  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow.parquet  # noqa: F401
+
+            from ..functions import doc_extract  # noqa: F401
+            from ..functions import tokenize  # noqa: F401
+
+            # first-use lazies inside the extract path (duckdb session)
+            doc_extract._duck()
+            return 1
+
         def prewarm(self, owned_buckets: list[int]) -> int:
             """Parse this worker's owned buckets into its cache (first
             round boundary, queued behind round-1 work — fills the

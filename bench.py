@@ -120,6 +120,35 @@ def cpu_ref_sec() -> float:
     return round(_t.perf_counter() - t0, 3)
 
 
+def cpu_ref_par_sec() -> float:
+    """All-cores calibration burn (Ray task fan-out, one burn per cpu).
+
+    The single-core burn misses the contention that actually moves the
+    crawl numbers: measured same-commit small-web crawl swinging 6-31 s
+    while the serial burn sat flat at ~0.6 s (neighbors steal whole
+    cores / memory bandwidth, which only a WIDE burn feels). This runs
+    the same integer burn on every session cpu at once and reports the
+    wall — ~= the serial burn when the width is really available,
+    inflated in proportion to whatever the neighbors took. Read bench
+    samples against BOTH refs before calling a regression.
+    """
+    import time as _t
+
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _burn() -> int:
+        s = 0
+        for i in range(10_000_000):
+            s += i * i
+        return s
+
+    ray.get([_burn.remote() for _ in range(NUM_CPUS)])  # warm task path
+    t0 = _t.perf_counter()
+    ray.get([_burn.remote() for _ in range(NUM_CPUS)])
+    return round(_t.perf_counter() - t0, 3)
+
+
 def _consume(ds) -> int:
     n = 0
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -176,6 +205,7 @@ def main() -> None:
         # the workload compute-bound so scaling reflects the engine, not
         # coordination noise
         ref = cpu_ref_sec()
+        ref_par = cpu_ref_par_sec()
         crawl = bench_crawl(n_domains=n_dom, cap=200, rounds=8, budget=200, n_buckets=512, ckpt_interval=8, enrich=True, span_scale=6)
         out = {
             "metric": "crawl_seconds",
@@ -188,6 +218,7 @@ def main() -> None:
             "crawl_rounds": crawl["rounds"],
             "crawl_urls_per_sec": round(crawl["fetched"] / crawl["sec"], 1),
             "cpu_ref_sec": ref,
+            "cpu_ref_par_sec": ref_par,
         }
         print(json.dumps(out))
         import ray
@@ -196,6 +227,7 @@ def main() -> None:
         return
 
     ref = cpu_ref_sec()
+    ref_par = cpu_ref_par_sec()
     crawl = bench_crawl()
     timings = bench_queries()
     queries = {"crawl_replay": round(crawl["sec"], 3), **timings}
@@ -211,6 +243,7 @@ def main() -> None:
         "crawl_rounds": crawl["rounds"],
         "crawl_urls_per_sec": round(crawl["fetched"] / crawl["sec"], 1),
         "cpu_ref_sec": ref,
+        "cpu_ref_par_sec": ref_par,
     }
     print(json.dumps(out))
     ray.shutdown()

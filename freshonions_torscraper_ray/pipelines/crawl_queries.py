@@ -258,6 +258,111 @@ def q_crawl_domain_stats(sf_dir: str):
     )
 
 
+def q_crawl_domain_history(sf_dir: str):
+    """Per-domain liveness HISTORY over crawl rounds — the reference's
+    Domain.created_at / Domain.last_alive / is_up tracking (it updated
+    those columns on every fetch outcome), recomputed from the
+    distributed engine's per-round pages: first round each domain was
+    fetched, last round it answered 200, how many distinct rounds it was
+    alive, and fetch/ok totals. Two-stage aggregation: a per-batch
+    (domain, round) combine bounds the first shuffle by
+    distinct-(domain,round)-per-batch, then the per-round rows (≤
+    domains × rounds, tiny) roll up per domain — at 10^7 domains both
+    stages stay hash-partitioned with no driver materialization."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(
+        os.path.join(edir, "pages.parquet"), columns=["domain", "round", "status"]
+    )
+
+    def _per_round_partial(t: pa.Table) -> pa.Table:
+        ok = pc.cast(pc.equal(t["status"], 200), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "domain": t["domain"],
+                    "round": pc.cast(t["round"], pa.int64()),
+                    "ok": ok,
+                }
+            )
+            .group_by(["domain", "round"])
+            .aggregate([("ok", "sum"), ("ok", "count")])
+        )
+        return pa.table(
+            {
+                "domain": g["domain"],
+                "round": g["round"],
+                "ok": g["ok_sum"],
+                "n": pc.cast(g["ok_count"], pa.int64()),
+            }
+        )
+
+    per_round = (
+        ds.map_batches(_per_round_partial, batch_format="pyarrow")
+        .groupby(["domain", "round"])
+        .aggregate(Sum("ok", alias_name="ok"), Sum("n", alias_name="n"))
+    )
+
+    def _alive_cols(t: pa.Table) -> pa.Table:
+        alive = pc.greater(t["ok"], 0)
+        return pa.table(
+            {
+                "domain": t["domain"],
+                "round": t["round"],
+                # -1 sentinel when never alive (twin coalesces the same way)
+                "alive_round": pc.if_else(alive, t["round"], pa.scalar(-1, pa.int64())),
+                "alive": pc.cast(alive, pa.int64()),
+                "ok": t["ok"],
+                "n": t["n"],
+            }
+        )
+
+    return (
+        per_round.map_batches(_alive_cols, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(
+            Min("round", alias_name="first_round"),
+            Max("alive_round", alias_name="last_alive_round"),
+            Sum("alive", alias_name="n_alive_rounds"),
+            Sum("n", alias_name="n_fetches"),
+            Sum("ok", alias_name="n_ok"),
+        )
+    )
+
+
+def q_crawl_fresh_onions(sf_dir: str):
+    """The reference's NAMESAKE view — "fresh onions": how many
+    never-seen-before onion domains each crawl round discovered (its
+    index page listed newly found services by discovery date). Discovery
+    round = the first round a domain was ever fetched; the rollup counts
+    discoveries per round. Same two-stage shape as the history query:
+    per-batch (domain → min round) partials bound the shuffle, the
+    per-domain firsts (one row per domain) roll up into a ≤max_rounds
+    row result."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    edir = ensure_engine_fixture()
+    ds = rd.read_parquet(os.path.join(edir, "pages.parquet"), columns=["domain", "round"])
+
+    def _first_partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"domain": t["domain"], "round": pc.cast(t["round"], pa.int64())})
+            .group_by("domain")
+            .aggregate([("round", "min")])
+        )
+        return pa.table({"domain": g["domain"], "round": g["round_min"]})
+
+    firsts = (
+        ds.map_batches(_first_partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Min("round", alias_name="discovery_round"))
+    )
+    return firsts.groupby("discovery_round").aggregate(Count(alias_name="n_new_domains"))
+
+
 def _web_docs_glob() -> str:
     ensure_engine_fixture()  # guarantees the web exists
     return os.path.join(FIX_DIR, "web", "documents", "**", "*.parquet")
@@ -684,6 +789,8 @@ CRAWL_QUERIES = {
     "crawl_frontier_residue": q_crawl_frontier_residue,
     "crawl_clone_domains": q_crawl_clone_domains,
     "crawl_domain_stats": q_crawl_domain_stats,
+    "crawl_domain_history": q_crawl_domain_history,
+    "crawl_fresh_onions": q_crawl_fresh_onions,
     "spans_media": q_spans_media,
     "spans_links": q_spans_links,
     "spans_strip_text": q_spans_strip_text,
@@ -765,6 +872,31 @@ def crawl_oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) > 0 AS is_up
             FROM read_parquet('{p('pages.parquet')}')
             GROUP BY domain
+        """,
+        "crawl_domain_history": f"""
+            WITH pr AS (
+                SELECT domain, round::BIGINT AS round,
+                       sum(CASE WHEN status = 200 THEN 1 ELSE 0 END)::BIGINT AS ok,
+                       count(*)::BIGINT AS n
+                FROM read_parquet('{p('pages.parquet')}')
+                GROUP BY domain, round
+            )
+            SELECT domain,
+                   min(round) AS first_round,
+                   coalesce(max(CASE WHEN ok > 0 THEN round END), -1) AS last_alive_round,
+                   sum(CASE WHEN ok > 0 THEN 1 ELSE 0 END)::BIGINT AS n_alive_rounds,
+                   sum(n)::BIGINT AS n_fetches,
+                   sum(ok)::BIGINT AS n_ok
+            FROM pr GROUP BY domain
+        """,
+        "crawl_fresh_onions": f"""
+            WITH firsts AS (
+                SELECT domain, min(round)::BIGINT AS discovery_round
+                FROM read_parquet('{p('pages.parquet')}')
+                GROUP BY domain
+            )
+            SELECT discovery_round, count(*)::BIGINT AS n_new_domains
+            FROM firsts GROUP BY discovery_round
         """,
         # span-explode twins read the synthetic web's own spans parquet —
         # DuckDB unnest over list<struct> vs pyarrow list kernels

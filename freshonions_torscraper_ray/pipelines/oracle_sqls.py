@@ -474,6 +474,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT ngram, count(*)::BIGINT AS cnt FROM g GROUP BY 1
         ORDER BY cnt DESC, ngram LIMIT 100
     """,
+    "vocab_build": """
+        WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                   FROM documents),
+        c AS (SELECT token, count(*)::BIGINT AS cnt FROM w GROUP BY 1
+              HAVING count(*) >= 3)
+        SELECT token, cnt,
+               (row_number() OVER (ORDER BY cnt DESC, token))::BIGINT - 1 AS token_id
+        FROM c
+    """,
     "tfidf_keywords": """
         WITH tf AS (
             SELECT doc_id, tok AS token, count(*)::BIGINT AS tf

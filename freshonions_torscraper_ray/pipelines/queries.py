@@ -1155,6 +1155,68 @@ def q_tfidf_keywords(sf_dir: str):
     return top.select_columns(["doc_id", "token", "tfidf"])
 
 
+VOCAB_MIN_COUNT = 3
+
+
+def q_vocab_build(sf_dir: str):
+    """Frequency-ordered token VOCABULARY with contiguous ids — the
+    tokenizer-training step of a data pipeline: token_id = dense 0-based
+    rank by (cnt DESC, token ASC) over all corpus tokens with cnt >=
+    VOCAB_MIN_COUNT. The global rank is computed WITHOUT a global sort:
+    per-batch partial counts → token-keyed groupby-sum → bucket each
+    surviving token by (cnt, first byte); the (cnt, first-byte) group
+    SIZES aggregate to a tiny driver-side table (≤ distinct-cnt-values ×
+    38 rows) whose exclusive prefix sum in (cnt desc, byte asc) order is
+    each bucket's global id offset (broadcast once); a per-bucket
+    map_groups sorts only ITS tokens and adds the offset. Tokens are
+    ASCII [a-z0-9_]+, so first-byte bucketing preserves lexicographic
+    order and binary collation matches DuckDB's row_number twin exactly.
+    Skew: a hot (cnt=min_count, byte) bucket holds at most the tokens of
+    one first-byte class at one count value — at 10^9-token vocabularies
+    widen the prefix to two bytes; the offsets table stays driver-tiny."""
+    import ray
+
+    ds = _read(sf_dir, "documents", ["text"])
+    counts = (
+        ds.map_batches(cp.token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], VOCAB_MIN_COUNT)),
+            batch_format="pyarrow",
+        )
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        first = pc.utf8_slice_codeunits(t["token"], 0, 1)
+        return t.append_column("b0", first)
+
+    bucketed = counts.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    sizes = (
+        bucketed.groupby(["cnt", "b0"]).aggregate(Count(alias_name="n")).to_pandas()
+    )
+    sizes = sizes.sort_values(["cnt", "b0"], ascending=[False, True]).reset_index(drop=True)
+    excl = sizes["n"].cumsum() - sizes["n"]
+    offsets = {
+        (int(c), b): int(o)
+        for c, b, o in zip(sizes["cnt"], sizes["b0"], excl.astype("int64"))
+    }
+    oref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[(int(g["cnt"].iloc[0]), g["b0"].iloc[0])]
+        g = g.sort_values("token").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "token": g["token"],
+                "cnt": g["cnt"].astype("int64"),
+                "token_id": (g.index + off).astype("int64"),
+            }
+        )
+
+    return bucketed.groupby(["cnt", "b0"]).map_groups(assign, batch_format="pandas")
+
+
 def q_parts_top_by_brand(sf_dir: str):
     """Per-group top-k (top-3 parts per brand by retail price): map-side
     partial top-k thins each batch to ≤k rows per group BEFORE the
@@ -1263,6 +1325,7 @@ QUERIES = {
     "corpus_export": q_corpus_export,
     "ngram_top": q_ngram_top,
     "tfidf_keywords": q_tfidf_keywords,
+    "vocab_build": q_vocab_build,
     "parts_top_by_brand": q_parts_top_by_brand,
     "decontaminate": q_decontaminate,
 }

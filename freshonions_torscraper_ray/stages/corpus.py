@@ -112,6 +112,21 @@ def ngram_partial_counts(batch: pa.Table, n: int = 2, text_col: str = "text") ->
     return _duck().execute(_NGRAM_SQL[n]).arrow()
 
 
+_VOCAB_SQL = f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(t), '{_LWORD}')) AS token FROM tbl)
+SELECT token, count(*)::BIGINT AS cnt FROM w GROUP BY 1
+"""
+
+
+def token_partial_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Partial (token, cnt) totals within one batch — the combiner half
+    of a corpus vocabulary build (lowercased ``[a-z0-9_]+`` tokens, the
+    same fold as tf_rows / the jaccard shingler). Shuffle volume after
+    this is distinct-tokens-per-batch, not corpus token count."""
+    tbl = pa.table({"t": batch[text_col]})  # noqa: F841 — duckdb reads it by name
+    return _duck().execute(_VOCAB_SQL).arrow()
+
+
 _TF_SQL = f"""
 WITH w AS (SELECT i, unnest(regexp_extract_all(lower(t), '{_LWORD}')) AS tok FROM tbl)
 SELECT i, tok AS token, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2

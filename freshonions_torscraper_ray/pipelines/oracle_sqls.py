@@ -434,6 +434,14 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
         ) GROUP BY user_id
     """,
+    "events_rolling": """
+        SELECT event_id, user_id,
+               round(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) / 100.0, 4) AS rolling_value
+        FROM events
+    """,
     "events_range_join": """
         SELECT p.event_id, p.user_id, count(e.event_id)::BIGINT AS n_prior
         FROM events p LEFT JOIN events e

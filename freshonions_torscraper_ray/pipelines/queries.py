@@ -943,6 +943,37 @@ def q_events_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_events_rolling(sf_dir: str):
+    """ROLLING window aggregate (3-row trailing sum per user, event-time
+    order) — the sliding-window class next to the tumbling (events_hourly)
+    and session (events_sessions) windows. Per-user groupby.map_groups:
+    sort by (ts, event_id) and take a pandas rolling sum over int64
+    CENTS, so the 3-term sum is exact and order-independent on both
+    sides (the SQL twin is sum(cents) OVER (... ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW)). Partitioning: user-keyed shuffle; windows never
+    cross users, so each group computes independently — at heavy per-user
+    skew the salted two-phase form applies, but a rolling window's state
+    is O(window), so even hot users stream."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    cents = ds.map_batches(_to_cents(["value"]), batch_format="pyarrow")
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s = g["value"].rolling(3, min_periods=1).sum().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "rolling_value": s.to_numpy(),
+            }
+        )
+
+    out = cents.groupby("user_id").map_groups(roll, batch_format="pandas")
+    return out.map_batches(
+        lambda t: _cents_to_value(t, ["rolling_value"]), batch_format="pyarrow"
+    )
+
+
 def q_events_asof_purchase(sf_dir: str):
     """As-of join: each purchase matched to the user's most recent
     prior-or-equal signup (pd.merge_asof per user group — the engine's
@@ -1319,6 +1350,7 @@ QUERIES = {
     "union_sources": q_union_sources,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_rolling": q_events_rolling,
     "events_asof_purchase": q_events_asof_purchase,
     "events_range_join": q_events_range_join,
     "quality_repetition": q_quality_repetition,

@@ -246,6 +246,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings, range(64) t(i)
         GROUP BY label, i
     """,
+    "embed_quantize": """
+        WITH u AS (
+            SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                   CAST(embedding[i + 1] AS DOUBLE) AS x
+            FROM embeddings, range(64) t(i)
+        ),
+        s AS (SELECT dim, max(abs(x)) AS m FROM u GROUP BY dim)
+        SELECT u.vec_id, u.dim,
+               coalesce(CAST(round(127 * u.x / nullif(s.m, 0)) AS BIGINT), 0) AS q
+        FROM u JOIN s USING (dim)
+    """,
     "ann_topk": """
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
         SELECT CAST(0 AS BIGINT) AS query_id, vec_id,

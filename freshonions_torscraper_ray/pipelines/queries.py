@@ -409,6 +409,58 @@ def q_embedding_centroids(sf_dir: str):
     return sim.embedding_centroids(ds, dim=64)
 
 
+def q_embed_quantize(sf_dir: str):
+    """Int8 scalar QUANTIZATION of the embedding column (per-dimension
+    absmax scale) — the storage/export step before shipping vectors to
+    an ANN index: q = round(127·x / absmax_dim), exact in int8 since
+    |x| ≤ absmax. Two scans: per-batch partial per-dim absmax vectors
+    (64 rows/batch) → tiny dim-keyed Max → broadcast scale vector via
+    ray.put; then one vectorized quantize pass. Output is EXPLODED
+    (vec_id, dim, q) rows for the oracle gate — the production form
+    keeps list<int8> vectors (same kernel, skip the explode); at 100 TB
+    the explode is the gate's cost, not the operator's. Twin casts to
+    DOUBLE before scaling so both sides do identical float64 arithmetic."""
+    import ray
+
+    DIM = 64
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def absmax_partial(t: pa.Table) -> pa.Table:
+        m = sim._to_matrix(t["embedding"]).astype(np.float64)
+        am = np.abs(m).max(axis=0)
+        return pa.table(
+            {"dim": pa.array(range(len(am)), pa.int64()), "m": pa.array(am, pa.float64())}
+        )
+
+    sc = (
+        ds.map_batches(absmax_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Max("m", alias_name="m"))
+        .to_pandas()
+    )
+    scale = np.zeros(DIM, dtype=np.float64)
+    scale[sc["dim"].to_numpy()] = sc["m"].to_numpy()
+    sref = ray.put(scale)
+
+    def quant(t: pa.Table) -> pa.Table:
+        s = ray.get(sref)
+        m = sim._to_matrix(t["embedding"]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = round_half_away(127.0 * m / s, 0)
+        q = np.where(np.isfinite(q), q, 0.0).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        n, d = q.shape
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
 def q_dataset_split(sf_dir: str):
     """Deterministic train/val split — the export step after dedup and
     quality gating: split by Knuth multiplicative hash of doc_id (NOT by
@@ -1322,6 +1374,7 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_exact": q_dedup_embedding_exact,
     "embedding_centroids": q_embedding_centroids,
+    "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "ann_multi": q_ann_multi,

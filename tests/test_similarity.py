@@ -198,3 +198,33 @@ def test_embedding_centroids_combiner_matches_numpy():
         expect = round_half_away(mat[labels == lab].astype(np.float64).mean(axis=0), 4)
         got = out[out["label"] == lab]["centroid"].to_numpy()
         assert np.array_equal(got, expect), lab
+
+
+def test_embed_quantize_range_and_zero_dim(ray_session, tmp_path):
+    """q = round(127·x/absmax_dim) stays in [-127, 127], hits ±127 at the
+    per-dim extremes, and an all-zero dimension quantizes to 0 (guarded
+    division on the engine side, nullif on the twin)."""
+    import pyarrow.parquet as pq
+
+    from freshonions_torscraper_ray.pipelines.queries import q_embed_quantize
+
+    rng = np.random.RandomState(7)
+    n, d = 50, 64
+    mat = rng.randn(n, d).astype(np.float32)
+    mat[:, 3] = 0.0  # all-zero dimension
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in mat], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = q_embed_quantize(str(tmp_path)).to_pandas()
+    assert len(out) == n * d
+    assert out["q"].abs().max() <= 127
+    zero_dim = out[out["dim"] == 3]["q"]
+    assert (zero_dim == 0).all()
+    # every non-degenerate dimension's absmax row quantizes to ±127
+    for dim in (0, 1, 2):
+        sub = out[out["dim"] == dim]
+        assert sub["q"].abs().max() == 127

@@ -588,6 +588,29 @@ ORACLE_SQL["dedup_cluster_best"] = f"""
     SELECT component, doc_id, n_tokens FROM r WHERE rn = 1
 """
 
+ORACLE_SQL["lang_length_quantiles"] = f"""
+    WITH b AS (
+        SELECT doc_id, lower(text) AS lt,
+               len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    s AS (SELECT doc_id, n_tokens, {_langid_counts} FROM b),
+    l AS (
+        SELECT n_tokens,
+               CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                    WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr THEN 'de'
+                    WHEN c_en >= c_es AND c_en >= c_fr THEN 'en'
+                    WHEN c_es >= c_fr THEN 'es'
+                    ELSE 'fr' END AS pred_lang
+        FROM s
+    )
+    SELECT pred_lang, count(*)::BIGINT AS n_docs,
+           quantile_disc(n_tokens, 0.5)::BIGINT AS p50,
+           quantile_disc(n_tokens, 0.9)::BIGINT AS p90,
+           quantile_disc(n_tokens, 0.99)::BIGINT AS p99
+    FROM l GROUP BY pred_lang
+"""
+
 ORACLE_SQL["length_quantiles"] = """
     WITH t AS (
         SELECT len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::BIGINT AS n_tokens

@@ -388,6 +388,49 @@ def q_length_quantiles(sf_dir: str):
     return counts.repartition(1).map_batches(quantiles, batch_size=None, batch_format="pyarrow")
 
 
+def q_lang_length_quantiles(sf_dir: str):
+    """GROUPED exact quantiles (p50/p90/p99 of n_tokens per predicted
+    language) — the per-group form of length_quantiles, same
+    distribution-counting shape: token counts + language ID per batch,
+    a (lang, n_tokens)-keyed Count (shuffle moves only histogram rows —
+    languages × distinct lengths, never documents), then a per-language
+    map_groups replaying quantile_disc's index rule over its tiny
+    histogram. Group skew is irrelevant: every group's payload is its
+    distinct-length histogram, bounded regardless of document count."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    hist = (
+        ds.map_batches(ts.token_counts, batch_format="pyarrow")
+        .map_batches(ts.LangId, batch_format="pyarrow", concurrency=2, batch_size=2048)
+        .select_columns(["pred_lang", "n_tokens"])
+        .groupby(["pred_lang", "n_tokens"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def qscan(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.sort_values("n_tokens").reset_index(drop=True)
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum()
+
+        def pick(q: float) -> int:
+            if n == 0:
+                return 0
+            return int(g["n_tokens"][(cum >= math.ceil(q * n)).idxmax()])
+
+        return pd.DataFrame(
+            {
+                "pred_lang": [g["pred_lang"].iloc[0]],
+                "n_docs": [n],
+                "p50": [pick(0.5)],
+                "p90": [pick(0.9)],
+                "p99": [pick(0.99)],
+            }
+        )
+
+    return hist.groupby("pred_lang").map_groups(qscan, batch_format="pandas")
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1398,6 +1441,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_cluster_best": q_dedup_cluster_best,
     "length_quantiles": q_length_quantiles,
+    "lang_length_quantiles": q_lang_length_quantiles,
     "random_sample_hash": q_random_sample_hash,
     "sample_stratified": q_sample_stratified,
     "union_sources": q_union_sources,

@@ -677,6 +677,112 @@ def q_crawl_link_components(sf_dir: str):
     )
 
 
+def q_crawl_mutual_domains(sf_dir: str):
+    """Reciprocal domain links — pairs of distinct domains that link to
+    EACH OTHER (the mirror/affiliate signal the reference surfaced by
+    eyeballing shared-link Flask pages; here a first-class graph motif).
+    Engine shape: per-batch canonicalize each cross-domain edge to
+    (lo, hi, dir) with dir ∈ {0,1}, per-batch distinct combine, then one
+    pair-keyed groupby where Min(dir)=0 and Max(dir)=1 ⇔ both directions
+    exist. Shuffle volume is distinct-pairs-per-batch; no self-join —
+    the SQL twin does the join, the engine never has to."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
+        fwd = pc.less(t["src_domain"], t["dst_domain"])
+        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
+        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
+        d = pc.cast(pc.invert(fwd), pa.int64())
+        return (
+            pa.table({"lo": lo, "hi": hi, "dir": d})
+            .group_by(["lo", "hi", "dir"])
+            .aggregate([])
+        )
+
+    pairs = (
+        links.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Min("dir", alias_name="d0"), Max("dir", alias_name="d1"))
+    )
+    return pairs.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["d0"], 0), pc.equal(t["d1"], 1))
+        ).select(["lo", "hi"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_crawl_anchor_index(sf_dir: str):
+    """Anchor-text INDEX: the most common anchor string per destination
+    URL (count desc, anchor asc tie-break) with its count and the number
+    of distinct source domains — what a search engine keeps per target
+    from the link graph. Per-batch (dst, anchor) partial counts bound
+    the shuffle; per-dst top-1 via the shared per-group top-k combiner
+    (map-side partial thins each batch to ≤1 row per dst before the
+    groupby). Distinct-source-domain counts ride the same pass as a
+    second tiny aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages import corpus as cp
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["dst_url", "anchor", "src_domain"]
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"dst_url": t["dst_url"], "anchor": t["anchor"]})
+            .group_by(["dst_url", "anchor"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["dst_url", "anchor", "cnt"])
+        )
+
+    counts = (
+        links.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["dst_url", "anchor"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    # top-1 anchor per dst: thin map-side, tiny per-group final
+    import pandas as pd
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", "anchor"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "dst_url": [g["dst_url"].iloc[0]],
+                "top_anchor": [g["anchor"].iloc[0]],
+                "anchor_cnt": [int(g["cnt"].iloc[0])],
+            }
+        )
+
+    top = counts.groupby("dst_url").map_groups(best, batch_format="pandas")
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"dst_url": t["dst_url"], "src_domain": t["src_domain"]})
+            .group_by(["dst_url", "src_domain"])
+            .aggregate([])
+        )
+
+    nsrc = (
+        links.map_batches(src_partial, batch_format="pyarrow")
+        .groupby(["dst_url", "src_domain"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("dst_url")
+        .aggregate(Count(alias_name="n_src_domains"))
+    )
+    return top.join(nsrc, join_type="inner", num_partitions=8, on=("dst_url",))
+
+
 def q_crawl_ssh_groups(sf_dir: str):
     """O21 SSH-fingerprint grouping: domains sharing a host key."""
     import ray
@@ -802,6 +908,8 @@ CRAWL_QUERIES = {
     "crawl_open_ports": q_crawl_open_ports,
     "crawl_server_stats": q_crawl_server_stats,
     "crawl_link_components": q_crawl_link_components,
+    "crawl_mutual_domains": q_crawl_mutual_domains,
+    "crawl_anchor_index": q_crawl_anchor_index,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_pii_redact": q_crawl_pii_redact,
     "crawl_ssh_groups": q_crawl_ssh_groups,
@@ -957,6 +1065,39 @@ def crawl_oracle_sql() -> dict[str, str]:
         # definition as the engine (distinct directed edges, self-loops
         # dropped, nodes = pages ∪ endpoints, dangling keep the base).
         "crawl_pagerank": _pagerank_sql(p("links.parquet"), p("pages.parquet")),
+        "crawl_mutual_domains": f"""
+            WITH e AS (
+                SELECT DISTINCT least(src_domain, dst_domain) AS lo,
+                       greatest(src_domain, dst_domain) AS hi,
+                       CASE WHEN src_domain < dst_domain THEN 0 ELSE 1 END AS dir
+                FROM read_parquet('{p('links.parquet')}')
+                WHERE src_domain <> dst_domain
+            )
+            SELECT lo, hi FROM e GROUP BY lo, hi
+            HAVING min(dir) = 0 AND max(dir) = 1
+        """,
+        "crawl_anchor_index": f"""
+            WITH c AS (
+                SELECT dst_url, anchor, count(*)::BIGINT AS cnt
+                FROM read_parquet('{p('links.parquet')}')
+                GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT dst_url, anchor AS top_anchor, cnt AS anchor_cnt,
+                       row_number() OVER (
+                           PARTITION BY dst_url ORDER BY cnt DESC, anchor
+                       ) AS rn
+                FROM c
+            ),
+            s AS (
+                SELECT dst_url, count(DISTINCT src_domain)::BIGINT AS n_src_domains
+                FROM read_parquet('{p('links.parquet')}')
+                GROUP BY 1
+            )
+            SELECT t.dst_url, t.top_anchor, t.anchor_cnt, s.n_src_domains
+            FROM top t JOIN s USING (dst_url)
+            WHERE t.rn = 1
+        """,
         "crawl_pii_redact": f"""
             SELECT url,
                    regexp_replace(

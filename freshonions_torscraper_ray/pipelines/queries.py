@@ -889,11 +889,14 @@ def q_lineitem_agg(sf_dir: str):
 
 
 def q_top_lineitems(sf_dir: str):
-    """O28 top-k with deterministic tie-breaks."""
+    """O28 top-k with deterministic tie-breaks — house-style distributed
+    top-k (per-block thin before the tiny merge sort; stages/topk.py)."""
+    from ..stages.topk import topk as _topk
+
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
-    return ds.sort(
-        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
-    ).limit(10)
+    return _topk(
+        ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], [True, False, False], 10
+    )
 
 
 def q_global_stats(sf_dir: str):

@@ -751,7 +751,9 @@ def q_crawl_anchor_index(sf_dir: str):
         .groupby(["dst_url", "anchor"])
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    # top-1 anchor per dst: thin map-side, tiny per-group final
+    # top-1 anchor per dst: block-local thin to ≤1 row/dst (each
+    # (dst, anchor) key is globally unique after the sum, so the global
+    # winner survives any block split), tiny per-group final
     import pandas as pd
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
@@ -764,7 +766,11 @@ def q_crawl_anchor_index(sf_dir: str):
             }
         )
 
-    top = counts.groupby("dst_url").map_groups(best, batch_format="pandas")
+    thinned = counts.map_batches(
+        cp.topk_per_group_partial(["dst_url"], "cnt", 1, "anchor"),
+        batch_format="pandas",
+    )
+    top = thinned.groupby("dst_url").map_groups(best, batch_format="pandas")
 
     def src_partial(t: pa.Table) -> pa.Table:
         return (

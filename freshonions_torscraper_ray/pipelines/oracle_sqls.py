@@ -41,6 +41,77 @@ _WINNOW_FPS_CTE = f"""
         )
 """
 
+# ---- simhash twin: replay the ENGINE's 64-bit simhash bit-for-bit in
+# HUGEINT SQL — per-token Horner polynomial over lowered ASCII byte
+# values (the byte-level tokenizer hash, functions/tokenize.py) +
+# splitmix64 finalizer, per-doc majority bit voting, then the SAME
+# 4×16-bit LSH chunk candidate rule + hamming ≤ 6 verify the engine
+# runs (stages/dedup.py::simhash_near_dups). 64×64→64 wrap-around
+# multiplication is inlined as a 32-bit-split modmul (HUGEINT is
+# signed 128-bit, so a direct 64×64 product overflows); >> is // by a
+# power of two on the unsigned value, ^ is xor() (HUGEINT-safe).
+_M64 = 1 << 64
+_P32 = 1 << 32
+
+
+def _mm(a: str, c: int) -> str:
+    """Inline (a * c) mod 2^64 for a HUGEINT expression and a constant."""
+    bh, bl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"((({a}) % {_P32}) * {bl} + "
+        f"(((({a}) % {_P32}) * {bh} + (({a}) // {_P32}) * {bl}) % {_P32}) * {_P32}) % {_M64}"
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    B = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ),
+    poly AS (
+        SELECT doc_id,
+               list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT),
+                           (a, b) -> (({_mm('a', B)}) + b) % {_M64}) AS h0
+        FROM tok
+    ),
+    m1 AS (SELECT doc_id, {_mm('xor(h0, h0 // 1073741824)', C1)} AS h1 FROM poly),
+    m2 AS (SELECT doc_id, {_mm('xor(h1, h1 // 134217728)', C2)} AS h2 FROM m1),
+    mix AS (SELECT doc_id, xor(h2, h2 // 2147483648) AS h FROM m2),
+    cnt AS (SELECT doc_id, count(*)::HUGEINT AS n FROM mix GROUP BY 1),
+    bits AS (
+        SELECT m.doc_id, b.j, sum(((m.h // (1::HUGEINT << b.j)) % 2)::HUGEINT) AS ones
+        FROM mix m, (SELECT unnest(range(64)) AS j) b
+        GROUP BY 1, 2
+    ),
+    sh AS (
+        SELECT b.doc_id,
+               sum(CASE WHEN 2 * b.ones > c.n THEN (1::HUGEINT << b.j) ELSE 0::HUGEINT END) AS simhash
+        FROM bits b JOIN cnt c USING (doc_id)
+        GROUP BY 1
+    ),
+    allsh AS (
+        SELECT d.doc_id, coalesce(s.simhash, 0::HUGEINT) AS simhash
+        FROM documents d LEFT JOIN sh s USING (doc_id)
+    ),
+    chunks AS (
+        SELECT doc_id, simhash,
+               c.c AS chunk_id,
+               (simhash // (1::HUGEINT << (16 * c.c))) % 65536 AS chunk_key
+        FROM allsh, (SELECT unnest(range(4)) AS c) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 # ---- langid twin: per-language trigram-presence counts (a text's
 # trigram set contains t iff t is a substring), alphabetical first-max
 # tie-break (argmax order de < en < es < fr), 'und' when every count is 0
@@ -196,6 +267,7 @@ ORACLE_SQL: dict[str, str] = {
     # shingle with document frequency in [2, 20] (stop-shingle pruning),
     # jaccard = EXACT distinct-shingle-set overlap as one raw double
     # division (bit-identical to the engine's integer-division double)
+    "dedup_simhash": _simhash_pairs_sql(6),
     "dedup_jaccard": """
         WITH words AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w

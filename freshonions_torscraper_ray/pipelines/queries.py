@@ -206,7 +206,10 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (rows-only)."""
+    """SimHash near-dup pairs. The DuckDB twin replays the ENGINE
+    bit-for-bit (HUGEINT Horner poly over lowered bytes + splitmix64,
+    majority bit vote, the same 4×16-bit chunk candidate rule, hamming
+    ≤ 6) — a full hash-match, not a rows-only row."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return dd.simhash_near_dups(ds, max_hamming=6)
 

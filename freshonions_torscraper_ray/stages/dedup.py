@@ -552,7 +552,11 @@ def simhash_bucket_pairs(max_hamming: int = 6):
                     a_out.append(ids[i])
                     b_out.append(ids[j])
                     ham.append(h)
-        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": ham})
+        # explicit dtypes: a zero-pair bucket would otherwise default to
+        # float64 and poison the whole groupby's id columns via promotion
+        return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "hamming": ham}).astype(
+            {"doc_a": ids.dtype, "doc_b": ids.dtype, "hamming": "int64"}
+        )
 
     return pairs
 

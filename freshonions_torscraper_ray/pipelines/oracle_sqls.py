@@ -112,6 +112,150 @@ def _simhash_pairs_sql(max_hamming: int = 6) -> str:
     """
 
 
+# ---- minhash twin: replay the ENGINE's MinHash-LSH + exact-Jaccard
+# pipeline bit-for-bit (stages/dedup.py::minhash_candidate_pairs +
+# verify_pairs_distributed). Token hash = the same HUGEINT Horner poly
+# + splitmix64 as the simhash twin; shingle = the _MIX Horner window
+# over k token hashes (wrapping mod 2^64, split modmul inlined);
+# signatures = min over shingles of the exact universal hash
+# (a·x+b) mod 2^61-1 with the engine's OWN permutation coefficients
+# embedded as literals (deterministic seed, values generated by calling
+# the engine's _perm_coeffs — the SQL hardcodes its output, never the
+# RNG); band keys = the _MIX Horner mix of each band's lanes; candidate
+# pairs share a (band, key) bucket; est = lane-agreement fraction;
+# exact jaccard over the distinct-shingle-hash sets.
+_MIX64 = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+_P61 = (1 << 61) - 1
+
+
+def _minhash_pairs_sql() -> str:
+    from ..stages.dedup import MinHashParams, _perm_coeffs
+
+    p = MinHashParams()
+    a, b = _perm_coeffs(p)
+    B_TOK = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    M1, M2, M3 = _MIX64[1], _MIX64[2], _MIX64[3]
+    assert p.shingle_k == 3 and p.rows_per_band == 4, "twin hardcodes k=3, r=4"
+    two61 = 1 << 61
+    sh2 = "(" + _mm("p0.h", M1) + f" + p1.h) % {_M64}"
+    sh3 = "(" + _mm(sh2, M2) + f" + p2.h) % {_M64}"
+    # one aggregation pass computes all 64 signature lanes as COLUMNS
+    # (a (doc, perm)-row formulation measured ~64x the intermediate rows
+    # and timed out at sf0.1); bands/agreement work on the columns too
+    sigmins = ", ".join(
+        f"min(({int(a[i])} * xs.x + {int(b[i])}) % {_P61}) AS v{i}" for i in range(p.num_perms)
+    )
+    sigcoalesce = ", ".join(f"coalesce(s.v{i}, {_P61}) AS v{i}" for i in range(p.num_perms))
+    band_selects = []
+    for band in range(p.num_bands):
+        acc = f"v{4 * band}"
+        for j, m in enumerate((M1, M2, M3), start=1):
+            acc = "(" + _mm(acc, m) + f" + v{4 * band + j}) % {_M64}"
+        band_selects.append(
+            f"SELECT doc_id, {band} AS band, ({acc}) % {1 << 63} AS band_hash FROM sig"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    lane_agree = " + ".join(
+        f"CASE WHEN sa.v{i} = sb.v{i} THEN 1 ELSE 0 END" for i in range(p.num_perms)
+    )
+    return f"""
+    WITH lists AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS i,
+               unnest(l) AS tok
+        FROM lists
+    ),
+    toks AS (SELECT DISTINCT tok FROM pos),
+    th0 AS (
+        SELECT tok,
+               list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT),
+                           (x, y) -> (({_mm('x', B_TOK)}) + y) % {_M64}) AS h0
+        FROM toks
+    ),
+    tm1 AS (SELECT tok, {_mm('xor(h0, h0 // 1073741824)', C1)} AS h1 FROM th0),
+    tm2 AS (SELECT tok, {_mm('xor(h1, h1 // 134217728)', C2)} AS h2 FROM tm1),
+    th AS (SELECT tok, xor(h2, h2 // 2147483648) AS h FROM tm2),
+    ph AS (SELECT pos.doc_id, pos.i, th.h FROM pos JOIN th USING (tok)),
+    nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM ph GROUP BY 1),
+    w3 AS (
+        SELECT p0.doc_id, {sh3} AS sh
+        FROM ph p0
+        JOIN ph p1 ON p1.doc_id = p0.doc_id AND p1.i = p0.i + 1
+        JOIN ph p2 ON p2.doc_id = p0.doc_id AND p2.i = p0.i + 2
+    ),
+    s1 AS (
+        SELECT ph.doc_id, ph.h AS sh
+        FROM ph JOIN nt USING (doc_id) WHERE nt.n = 1
+    ),
+    s2 AS (
+        SELECT p0.doc_id, {sh2} AS sh
+        FROM ph p0
+        JOIN ph p1 ON p1.doc_id = p0.doc_id AND p1.i = 1 AND p0.i = 0
+        JOIN nt ON nt.doc_id = p0.doc_id AND nt.n = 2
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, sh
+        FROM (SELECT * FROM w3 UNION ALL SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    ),
+    xs AS (
+        SELECT doc_id,
+               CASE WHEN sh // {two61} + sh % {two61} >= {_P61}
+                    THEN sh // {two61} + sh % {two61} - {_P61}
+                    ELSE sh // {two61} + sh % {two61} END AS x
+        FROM shingles
+    ),
+    sigcols AS (
+        SELECT xs.doc_id, {{SIGMINS}}
+        FROM xs GROUP BY 1
+    ),
+    sig AS (
+        SELECT d.doc_id, {{SIGCOALESCE}}
+        FROM documents d LEFT JOIN sigcols s ON s.doc_id = d.doc_id
+    ),
+    bh AS ({{BANDS_UNION}}),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bh x JOIN bh y
+          ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               round(({{LANE_AGREE}}) / {p.num_perms}.0, 4) AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    scnt AS (SELECT doc_id, count(*)::BIGINT AS ns FROM shingles GROUP BY 1),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS ni
+        FROM cand c
+        JOIN shingles x ON x.doc_id = c.doc_a
+        JOIN shingles y ON y.doc_id = c.doc_b AND y.sh = x.sh
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT c.doc_a, c.doc_b,
+               CASE WHEN coalesce(na.ns, 0) = 0 AND coalesce(nb.ns, 0) = 0 THEN 1.0
+                    ELSE round(coalesce(i.ni, 0)::DOUBLE /
+                               (coalesce(na.ns, 0) + coalesce(nb.ns, 0) - coalesce(i.ni, 0)), 4)
+               END AS jaccard
+        FROM cand c
+        LEFT JOIN scnt na ON na.doc_id = c.doc_a
+        LEFT JOIN scnt nb ON nb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, j.jaccard
+    FROM est e JOIN jac j ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+    """.replace("{SIGMINS}", sigmins).replace("{SIGCOALESCE}", sigcoalesce).replace(
+        "{BANDS_UNION}", bands_union
+    ).replace("{LANE_AGREE}", lane_agree)
+
+
 # ---- langid twin: per-language trigram-presence counts (a text's
 # trigram set contains t iff t is a substring), alphabetical first-max
 # tie-break (argmax order de < en < es < fr), 'und' when every count is 0
@@ -268,6 +412,7 @@ ORACLE_SQL: dict[str, str] = {
     # jaccard = EXACT distinct-shingle-set overlap as one raw double
     # division (bit-identical to the engine's integer-division double)
     "dedup_simhash": _simhash_pairs_sql(6),
+    "dedup_minhash": _minhash_pairs_sql(),
     "dedup_jaccard": """
         WITH words AS (
           SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w

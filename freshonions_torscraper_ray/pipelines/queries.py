@@ -196,10 +196,14 @@ def q_clone_groups(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup candidate pairs + exact-Jaccard verification
-    (rows-only: sketching isn't SQL-expressible). Verification is the
-    scale-true path: semi-filter + distributed hash-join of the tiny pair
-    table against documents — no corpus text ever touches the driver."""
+    """MinHash-LSH near-dup candidate pairs + exact-Jaccard verification.
+    Verification is the scale-true path: semi-filter + distributed
+    hash-join of the tiny pair table against documents — no corpus text
+    ever touches the driver. The DuckDB twin replays the WHOLE pipeline
+    bit-for-bit (HUGEINT token hash + shingle mix, the engine's own
+    permutation coefficients embedded as literals, min-wise signatures,
+    band keys, bucket candidates, lane-agreement estimate, exact
+    jaccard) — a full hash-match, not a rows-only row."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = dd.minhash_candidate_pairs(ds)
     return dd.verify_pairs_distributed(pairs, ds)

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import hash64
 from ..functions.regexes import WORD_PATTERN
+from ..functions.rounding import round_half_away
 
 _MERSENNE = (1 << 61) - 1
 _P64 = np.uint64(_MERSENNE)
@@ -63,7 +64,11 @@ def _mulmod_p(a: np.ndarray, x: np.ndarray) -> np.ndarray:
 @dataclass(frozen=True)
 class MinHashParams:
     num_perms: int = 64
-    num_bands: int = 8  # rows per band = num_perms // num_bands
+    # 16 bands × 4 rows: LSH threshold (1/B)^(1/r) ≈ 0.5, so recall at
+    # the 0.8 near-dup band is structural (miss prob ~3e-7 at j=0.885),
+    # not hash-family luck — 8×8 (t≈0.77) left ~2% per-pair miss odds
+    # there, which round-4's family swap actually hit
+    num_bands: int = 16  # rows per band = num_perms // num_bands
     shingle_k: int = 3
     seed: int = 42
     # coarse-partition fan-out for the bucket shuffle: each partition is
@@ -112,27 +117,60 @@ def _token_hash_array(toks: list[str]) -> np.ndarray:
     return out
 
 
-def shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Word k-gram shingle set as uint64 hashes (sorted unique).
+def shingle_hash_sets(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batched word-k-gram shingle SETS: (per-doc distinct-shingle
+    counts, doc-major flattened sorted-unique uint64 shingle hashes).
 
-    Shingle hash = fixed-constant mix of the k token hashes (wrapping
-    uint64 arithmetic) — deterministic across runs/processes, vectorized
-    over all windows at once.
-    """
-    toks = re.findall(WORD_PATTERN, text.lower())
-    if not toks:
-        return np.empty(0, dtype=np.uint64)
-    th = _token_hash_array(toks)
-    if len(toks) < k:
-        acc = np.zeros(1, dtype=np.uint64)
-        for j, h in enumerate(th):
-            acc = acc * _MIX[j % 4] + h
-        return acc
-    n = len(th) - k + 1
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        acc = acc * _MIX[j % 4] + th[j : j + n]
-    return np.unique(acc)
+    Token hash = the byte-level poly+splitmix64 kernel
+    (``functions/tokenize.py`` — the same family the simhash path uses,
+    replayed bit-for-bit by the dedup_simhash/dedup_minhash SQL twins);
+    shingle hash = the fixed ``_MIX``-constant Horner mix of the k token
+    hashes (wrapping uint64), all windows of the whole batch in one
+    numpy expression. Docs with 0 < n_tokens < k keep the PARTIAL
+    shingle (one mix over all their tokens) — sketching never drops a
+    non-empty doc (unlike JaccardShingler, whose SQL-window semantics
+    require ≥ k tokens)."""
+    dl, flat = token_hash_lists(texts)
+    n_docs = len(dl)
+    if flat.size == 0:
+        return np.zeros(n_docs, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    if flat.size >= k:
+        m = flat.size - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _MIX[j % 4] + flat[j : j + m]
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), dl)
+        valid = doc_idx[:m] == doc_idx[k - 1 :]
+        sh, d = acc[valid], doc_idx[:m][valid]
+    else:
+        sh = np.empty(0, dtype=np.uint64)
+        d = np.empty(0, dtype=np.int64)
+    short = np.flatnonzero((dl > 0) & (dl < k))
+    if short.size:
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(dl, out=offs[1:])
+        extra = np.empty(short.size, dtype=np.uint64)
+        for out_i, i in enumerate(short):  # rare: only sub-k-token docs
+            acc1 = np.uint64(0)
+            for j in range(offs[i], offs[i + 1]):
+                acc1 = acc1 * _MIX[(j - offs[i]) % 4] + flat[j]
+            extra[out_i] = acc1
+        sh = np.concatenate([sh, extra])
+        d = np.concatenate([d, short])
+    order = np.lexsort((sh, d))
+    sh, d = sh[order], d[order]
+    keep = np.ones(sh.size, dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
+    sh, d = sh[keep], d[keep]
+    return np.bincount(d, minlength=n_docs).astype(np.int64), sh
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Word k-gram shingle set as uint64 hashes (sorted unique) — scalar
+    twin of ``shingle_hash_sets`` (delegates, so they can never
+    diverge)."""
+    _, sh = shingle_hash_sets([text], k)
+    return sh
 
 
 class MinHasher:
@@ -176,8 +214,8 @@ class MinHasher:
         docs are hashed in ONE numpy expression per ~50k-shingle chunk and
         per-doc minima come from ``minimum.reduceat`` — numpy dispatch
         cost is per-chunk, not per-doc (the sketching hot path)."""
-        shs = [shingle_hashes(t, self.p.shingle_k) for t in texts]
-        lens = np.array([s.size for s in shs], dtype=np.int64)
+        lens, flat_sh = shingle_hash_sets(texts, self.p.shingle_k)
+        shs = np.split(flat_sh, np.cumsum(lens)[:-1])
         out = np.full((len(texts), self.p.num_perms), np.uint64(_MERSENNE), dtype=np.uint64)
         nonempty = np.flatnonzero(lens)
         if nonempty.size == 0:
@@ -247,7 +285,10 @@ def band_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
             est = float((sigs[i] == sigs[j]).mean())
             a_out.append(ids[i])
             b_out.append(ids[j])
-            jac.append(round(est, 4))
+            # half-away (house convention, functions/rounding.py): lane
+            # agreement m/64 hits exact .xxxx5 ties (any m ≡ 2 mod 4),
+            # where Python's banker round diverges from the SQL twin
+            jac.append(float(round_half_away(est, 4)))
     return pd.DataFrame({"doc_a": a_out, "doc_b": b_out, "est_jaccard": jac})
 
 
@@ -297,7 +338,8 @@ def _exact_jaccard(sa: np.ndarray, sb: np.ndarray, digits: int | None = 4) -> fl
     if not denom:
         return 0.0
     j = inter / denom
-    return round(j, digits) if digits is not None else j
+    # half-away, not Python's half-even (house convention; SQL-twin parity)
+    return float(round_half_away(j, digits)) if digits is not None else j
 
 
 def verify_pairs_distributed(pairs, docs, shingle_k: int = 3, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 8, broadcast_threshold: int = 20_000, digits: int | None = 4):

@@ -430,30 +430,43 @@ def q_spans_strip_text(sf_dir: str):
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal pipeline plumbing (rows-only): media explode → actor
-    pool decode (stubbed codec, deterministic) → resize; small batches as
-    large-binary payload discipline requires."""
+    """Multimodal image pipeline (rows-only: binary pixel parsing isn't
+    SQL-expressible): media explode → REAL nearest-neighbor PPM resize →
+    REAL numpy PPM decode (dims + per-channel pixel features); small
+    batches as large-binary payload discipline requires."""
+    import pyarrow.compute as _pc
+
     from ..stages.multimodal import ImageDecoder, ImageResizer, media_rows_from_spans
 
     ds = _read_web_docs()
-    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow")
-    decoded = media.map_batches(
+    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(_pc.equal(t["media_type"], "image")), batch_format="pyarrow"
+    )
+    resized = media.map_batches(
+        ImageResizer, fn_constructor_kwargs={"max_side": 8},
+        batch_format="pyarrow", batch_size=256, concurrency=2,
+    )
+    decoded = resized.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
     )
-    resized = decoded.map_batches(ImageResizer, batch_format="pyarrow", batch_size=1024, concurrency=2)
-    return resized.select_columns(["doc_id", "media_ref", "height", "width"])
+    return decoded.select_columns(["doc_id", "media_ref", "height", "width"])
 
 
 def q_media_frames(sf_dir: str):
-    """Video frame-sampling plumbing (rows-only): media explode → actor
-    pool FrameSampler (stride sampling, stubbed codec) — one row per
-    sampled frame, small batches for the wide binary frame column."""
+    """Video frame sampling (rows-only): media explode → actor-pool
+    FrameSampler genuinely DEMUXING the VID0 containers (frame-header
+    walk) — one row per stride-sampled frame, small batches for the wide
+    binary frame column."""
+    import pyarrow.compute as _pc
+
     from ..stages.multimodal import FrameSampler, media_rows_from_spans
 
     ds = _read_web_docs()
-    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow")
+    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(_pc.equal(t["media_type"], "video")), batch_format="pyarrow"
+    )
     frames = media.map_batches(
-        FrameSampler, fn_constructor_kwargs={"stride": 12, "max_frames": 4},
+        FrameSampler, fn_constructor_kwargs={"stride": 3, "max_frames": 4},
         batch_format="pyarrow", batch_size=128, concurrency=2,
     )
     return frames.select_columns(["doc_id", "media_ref", "frame_idx"])

@@ -60,49 +60,110 @@ def _media_fixture():
 def test_media_explode_and_decode_deterministic():
     media = media_rows_from_spans(_media_fixture())
     assert media.num_rows == 2
-    assert media["media_type"].to_pylist() == ["image", "image"]
+    assert set(media["media_type"].to_pylist()) <= {"image", "video"}
     payloads1 = media["payload"].to_pylist()
     payloads2 = media_rows_from_spans(_media_fixture())["payload"].to_pylist()
-    assert payloads1 == payloads2  # deterministic fake payloads
+    assert payloads1 == payloads2  # deterministic payloads
 
-    dec = ImageDecoder(feature_dim=4)
-    out1 = dec(media)
-    out2 = ImageDecoder(feature_dim=4)(media)
-    assert out1["height"].to_pylist() == out2["height"].to_pylist()
-    assert "payload" not in out1.column_names  # raw bytes dropped post-decode
-    assert len(out1["features"][0].as_py()) == 4
+    import pyarrow.compute as pc
 
-    resized = ImageResizer(max_side=64)(out1)
-    assert max(resized["height"].to_pylist() + resized["width"].to_pylist()) <= 64
+    imgs = media.filter(pc.equal(media["media_type"], "image"))
+    if imgs.num_rows:
+        dec = ImageDecoder()
+        out1 = dec(imgs)
+        out2 = ImageDecoder()(imgs)
+        assert out1["height"].to_pylist() == out2["height"].to_pylist()
+        assert "payload" not in out1.column_names  # raw bytes dropped post-decode
+        assert len(out1["features"][0].as_py()) == ImageDecoder.FEATURE_DIM
 
 
-def test_decoder_strict_mode_raises_without_codec():
+def test_ppm_decode_exact_pixels():
+    """Hand-built 2x3 PPM: decode/encode round-trip + exact features."""
+    import numpy as np
+
+    from freshonions_torscraper_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = encode_ppm(px)
+    assert payload.startswith(b"P6\n3 2\n255\n")
+    back = decode_ppm(payload)
+    assert np.array_equal(back, px)
+    f = ImageDecoder.features(px)
+    flat = px.reshape(-1, 3).astype(np.float32)
+    assert np.allclose(f[0:3], flat.mean(axis=0))
+    assert np.allclose(f[3:6], flat.std(axis=0))
+
+
+def test_resize_real_pixels():
+    """Nearest-neighbor resample: exact expected pixel selection."""
+    import numpy as np
+
+    from freshonions_torscraper_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    px = np.zeros((8, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = np.arange(8)[:, None] * 10  # row-coded red channel
+    media = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "media_ref": pa.array(["r"], pa.string()),
+            "payload": pa.array([encode_ppm(px)], pa.large_binary()),
+            "media_type": pa.array(["image"], pa.string()),
+        }
+    )
+    out = ImageResizer(max_side=4)(media)
+    assert out["height"].to_pylist() == [4] and out["width"].to_pylist() == [2]
+    rpx = decode_ppm(out["payload"][0].as_py())
+    # rows sampled at 0,2,4,6 of the original (index*(8/4))
+    assert rpx[:, 0, 0].tolist() == [0, 20, 40, 60]
+
+
+def test_decoder_strict_mode_raises_on_library_format():
     dec = ImageDecoder(strict=True)
     if not dec._pil:
+        jpeg_ish = pa.table(
+            {
+                "doc_id": pa.array(["d"], pa.string()),
+                "media_ref": pa.array(["r"], pa.string()),
+                "payload": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.large_binary()),
+                "media_type": pa.array(["image"], pa.string()),
+            }
+        )
         with pytest.raises(NotImplementedError):
-            dec(media_rows_from_spans(_media_fixture()))
+            dec(jpeg_ish)
 
 
-def test_frame_sampler_stride_and_determinism():
-    from freshonions_torscraper_ray.stages.multimodal import FrameSampler
+def test_frame_sampler_demuxes_vid0():
+    import numpy as np
 
-    media = media_rows_from_spans(_media_fixture())
-    fs = FrameSampler(stride=10, max_frames=3)
-    out1 = fs(media)
-    out2 = FrameSampler(stride=10, max_frames=3)(media)
-    assert out1.to_pylist() == out2.to_pylist()  # deterministic
-    assert out1.num_rows >= media.num_rows  # ≥1 frame per payload
-    by_ref: dict = {}
-    for r in out1.to_pylist():
-        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
-    for idxs in by_ref.values():
-        assert len(idxs) <= 3
-        assert idxs == sorted(idxs)
-        assert all(i % 10 == 0 for i in idxs)  # stride sampling
+    from freshonions_torscraper_ray.stages.multimodal import (
+        FrameSampler,
+        decode_ppm,
+        encode_video,
+    )
+
+    frames = [np.full((2, 2, 3), i, dtype=np.uint8) for i in range(5)]
+    media = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "media_ref": pa.array(["v"], pa.string()),
+            "payload": pa.array([encode_video(frames)], pa.large_binary()),
+            "media_type": pa.array(["video"], pa.string()),
+        }
+    )
+    out = FrameSampler(stride=2, max_frames=2)(media)
+    assert out["frame_idx"].to_pylist() == [0, 2]
+    # the demuxed frame bytes are the REAL per-frame PPMs
+    got = [decode_ppm(f.as_py())[0, 0, 0] for f in out["frame"]]
+    assert got == [0, 2]
+    out2 = FrameSampler(stride=2, max_frames=2)(media)
+    assert out.to_pylist() == out2.to_pylist()  # deterministic
     strict = FrameSampler(strict=True)
     if not strict._av:
+        mp4_ish = media.set_column(
+            2, "payload", pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.large_binary())
+        )
         with pytest.raises(NotImplementedError):
-            strict(media)
+            strict(mp4_ish)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -472,6 +472,32 @@ def q_media_frames(sf_dir: str):
     return frames.select_columns(["doc_id", "media_ref", "frame_idx"])
 
 
+def q_media_audio(sf_dir: str):
+    """Audio feature extraction (rows-only): media explode → actor-pool
+    AudioFeatures parsing REAL RIFF/WAVE payloads (sample rate, length,
+    RMS, zero-crossing rate from decoded PCM samples)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.multimodal import AudioFeatures, media_rows_from_spans
+
+    ds = _read_web_docs()
+    media = ds.map_batches(media_rows_from_spans, batch_format="pyarrow").map_batches(
+        lambda t: t.filter(_pc.equal(t["media_type"], "audio")), batch_format="pyarrow"
+    )
+    feats = media.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+    def _round(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import pc_round4
+
+        t = t.set_column(t.schema.get_field_index("rms"), "rms", pc_round4(t["rms"]))
+        return t.set_column(t.schema.get_field_index("zcr"), "zcr", pc_round4(t["zcr"]))
+
+    return feats.map_batches(_round, batch_format="pyarrow").select_columns(
+        ["doc_id", "media_ref", "sample_rate", "n_samples", "rms", "zcr"]
+    )
+
+
 SEED_TEXT_PATH = os.path.join(FIX_DIR, "seed_list.txt")
 
 
@@ -921,6 +947,7 @@ CRAWL_QUERIES = {
     "spans_strip_text": q_spans_strip_text,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
+    "media_audio": q_media_audio,
     "seed_import": q_seed_import,
     "crawl_top_pages": q_crawl_top_pages,
     "crawl_email_stats": q_crawl_email_stats,

@@ -79,17 +79,25 @@ def encode_video(frames: list[np.ndarray]) -> bytes:
 
 def synth_media_payload(ref: str) -> tuple[bytes, str]:
     """Deterministic REAL payload for a media ref: a small random-pixel
-    PPM image, or (1 ref in 4) a VID0 clip of 2–9 such frames."""
+    PPM image, a VID0 clip of 2–9 such frames (1 ref in 4), or a PCM16
+    WAV tone-plus-noise clip (1 ref in 4)."""
     seed = hash64(ref)
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
     h = 4 + seed % 9
     w = 4 + (seed >> 16) % 13
-    if seed % 4 == 0:
+    kind = seed % 4
+    if kind == 0:
         n_frames = 2 + (seed >> 8) % 8
         frames = [
             rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n_frames)
         ]
         return encode_video(frames), "video"
+    if kind == 1:
+        n = 200 + int(seed >> 24) % 1800
+        t = np.arange(n, dtype=np.float64)
+        tone = np.sin(2 * np.pi * (100 + seed % 900) * t / 8000.0)
+        samples = (8000 * tone + rng.randint(-500, 500, size=n)).astype(np.int16)
+        return encode_wav(samples), "audio"
     return encode_ppm(rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)), "image"
 
 
@@ -211,6 +219,69 @@ class ImageResizer:
         out = out.append_column("payload", pa.array(outs, pa.large_binary()))
         out = out.append_column("height", pa.array(np.asarray(hs, np.int32)))
         return out.append_column("width", pa.array(np.asarray(ws, np.int32)))
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono PCM samples → minimal RIFF/WAVE bytes (the writer the
+    audio stage parses; real WAV, playable by any player)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, rate, rate * 2, 2, 16, b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE (PCM16 mono) bytes → (samples int16, sample_rate)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = struct.unpack_from("<HHIIHH", payload, 20)
+    if fmt[0] != 1 or fmt[5] != 16:
+        raise ValueError("only PCM16 supported")
+    rate = fmt[2]
+    n = struct.unpack_from("<I", payload, 40)[0]
+    return np.frombuffer(payload, dtype="<i2", count=n // 2, offset=44), rate
+
+
+class AudioFeatures:
+    """Actor-pool audio stage: WAV payload → (sample_rate, n_samples,
+    duration, RMS, zero-crossing rate) — all computed from REAL decoded
+    PCM samples. Compressed formats (MP3/OGG) would decode through
+    ffmpeg/librosa, neither in this container: non-WAV payloads raise
+    under ``strict=True`` and are skipped otherwise."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_numpy(zero_copy_only=False)
+        keep, rates, ns, rms, zcr = [], [], [], [], []
+        for i, p in enumerate(payloads):
+            p = bytes(p)
+            if not p.startswith(b"RIFF"):
+                if self.strict:
+                    raise NotImplementedError(
+                        "compressed audio decode requires ffmpeg/librosa (not in this container)"
+                    )
+                continue
+            s, rate = decode_wav(p)
+            keep.append(i)
+            rates.append(rate)
+            ns.append(len(s))
+            x = s.astype(np.float64)
+            rms.append(float(np.sqrt(np.mean(x * x))) if len(s) else 0.0)
+            zcr.append(float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(s) > 1 else 0.0)
+        out = batch.drop_columns(["payload"]).take(pa.array(keep, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(np.asarray(rates, np.int32)))
+        out = out.append_column("n_samples", pa.array(np.asarray(ns, np.int64)))
+        out = out.append_column("rms", pa.array(np.asarray(rms, np.float64)))
+        return out.append_column("zcr", pa.array(np.asarray(zcr, np.float64)))
 
 
 class FrameSampler:

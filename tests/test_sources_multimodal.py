@@ -60,7 +60,7 @@ def _media_fixture():
 def test_media_explode_and_decode_deterministic():
     media = media_rows_from_spans(_media_fixture())
     assert media.num_rows == 2
-    assert set(media["media_type"].to_pylist()) <= {"image", "video"}
+    assert set(media["media_type"].to_pylist()) <= {"image", "video", "audio"}
     payloads1 = media["payload"].to_pylist()
     payloads2 = media_rows_from_spans(_media_fixture())["payload"].to_pylist()
     assert payloads1 == payloads2  # deterministic payloads
@@ -179,3 +179,40 @@ def test_export_onion_list(tmp_path):
 
     content = "".join(open(f).read() for f in glob.glob(str(out / "*")))
     assert DOM in content and DOM3 in content
+
+
+def test_wav_roundtrip_and_features():
+    import numpy as np
+
+    from freshonions_torscraper_ray.stages.multimodal import (
+        AudioFeatures,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 1000, -1000, 500, -500, 0], dtype=np.int16)
+    payload = encode_wav(s, rate=16000)
+    back, rate = decode_wav(payload)
+    assert rate == 16000 and np.array_equal(back, s)
+    media = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "media_ref": pa.array(["a"], pa.string()),
+            "payload": pa.array([payload], pa.large_binary()),
+            "media_type": pa.array(["audio"], pa.string()),
+        }
+    )
+    out = AudioFeatures()(media)
+    assert out["sample_rate"].to_pylist() == [16000]
+    assert out["n_samples"].to_pylist() == [6]
+    x = s.astype(np.float64)
+    assert out["rms"].to_pylist()[0] == pytest.approx(float(np.sqrt(np.mean(x * x))))
+    # signbit flips: 0->1000 no (0 nonneg), 1000->-1000 yes, -1000->500 yes,
+    # 500->-500 yes, -500->0 yes => 4/5
+    assert out["zcr"].to_pylist()[0] == pytest.approx(0.8)
+    strict = AudioFeatures(strict=True)
+    mp3_ish = media.set_column(
+        2, "payload", pa.array([b"ID3\x03fakemp3"], pa.large_binary())
+    )
+    with pytest.raises(NotImplementedError):
+        strict(mp3_ish)

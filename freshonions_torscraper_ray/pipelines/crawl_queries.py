@@ -31,7 +31,7 @@ from ..config import CrawlConfig
 from ..oracle import build_content, build_robots, crawl_oracle
 from ..synth import domain_name, write_synth_web
 
-FIX_DIR = "/tmp/onionray_crawlq_v4"
+FIX_DIR = "/tmp/onionray_crawlq_v5"  # v5: adds metrics.parquet to the fixture
 N_DOMAINS = 60
 SEED = 42
 # 8 rounds with alive re-checks enabled: the driver gate also covers the
@@ -134,6 +134,9 @@ def ensure_engine_fixture() -> str:
     # own frontier/banned partitions; seen is a distributed
     # union-distinct — no per-URL Python collections on the driver
     eng.export_state_parquet(os.path.join(edir, "state"))
+    # checkpointed per-partition lineage/metrics rows (north-rule
+    # surface) — exported so queries can cross-check them vs the oracle
+    pq.write_table(eng.store.read_all_rounds("metrics"), os.path.join(edir, "metrics.parquet"))
     eng.shutdown()
     with open(marker, "w") as f:
         f.write("ok")
@@ -716,6 +719,26 @@ def q_crawl_link_components(sf_dir: str):
     )
 
 
+def q_crawl_round_metrics(sf_dir: str):
+    """The engine's CHECKPOINTED per-round lineage/metrics rows (the
+    north rule's per-partition lineage + metrics surface) cross-checked
+    against the reference semantics: the round-summary row's
+    urls_fetched must equal the oracle's pages-per-round count — a
+    conformance check on the METRICS path itself, not just the data."""
+    edir = ensure_engine_fixture()
+    m = pq.read_table(
+        os.path.join(edir, "metrics.parquet"),
+        columns=["round", "partition", "urls_fetched"],
+    )
+    m = m.filter(pc.equal(m["partition"], -1))
+    return pa.table(
+        {
+            "round": pc.cast(m["round"], pa.int64()),
+            "n_fetched": pc.cast(m["urls_fetched"], pa.int64()),
+        }
+    )
+
+
 def q_crawl_mutual_domains(sf_dir: str):
     """Reciprocal domain links — pairs of distinct domains that link to
     EACH OTHER (the mirror/affiliate signal the reference surfaced by
@@ -956,6 +979,7 @@ CRAWL_QUERIES = {
     "crawl_link_components": q_crawl_link_components,
     "crawl_mutual_domains": q_crawl_mutual_domains,
     "crawl_anchor_index": q_crawl_anchor_index,
+    "crawl_round_metrics": q_crawl_round_metrics,
     "crawl_pagerank": q_crawl_pagerank,
     "crawl_pii_redact": q_crawl_pii_redact,
     "crawl_ssh_groups": q_crawl_ssh_groups,
@@ -1111,6 +1135,11 @@ def crawl_oracle_sql() -> dict[str, str]:
         # definition as the engine (distinct directed edges, self-loops
         # dropped, nodes = pages ∪ endpoints, dangling keep the base).
         "crawl_pagerank": _pagerank_sql(p("links.parquet"), p("pages.parquet")),
+        "crawl_round_metrics": f"""
+            SELECT round::BIGINT AS round, count(*)::BIGINT AS n_fetched
+            FROM read_parquet('{p('pages.parquet')}')
+            GROUP BY 1
+        """,
         "crawl_mutual_domains": f"""
             WITH e AS (
                 SELECT DISTINCT least(src_domain, dst_domain) AS lo,

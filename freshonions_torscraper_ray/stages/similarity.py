@@ -16,6 +16,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.rounding import round_half_away
+
 
 def _to_matrix(col) -> np.ndarray:
     """list<float> column → (n, d) float32 matrix (zero-copy flatten)."""
@@ -91,7 +93,7 @@ def ann_topk(ds, query_ids, query_matrix, k: int = 10, id_col: str = "vec_id", e
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
-        g["cos"] = g["cos"].round(4)
+        g["cos"] = round_half_away(g["cos"].to_numpy(), 4)
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -207,7 +209,7 @@ def ivf_topk(ds, query_vec: np.ndarray, centroids: np.ndarray, k: int = 10, npro
                 [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
             )
         m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
-        cos = np.round(m @ qn, 4)
+        cos = round_half_away(m @ qn, 4)
         ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
         return pa.Table.from_arrays(
             [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
@@ -307,7 +309,7 @@ def ivf_index_topk(index_dir: str, centroids: np.ndarray, query_vec: np.ndarray,
                 [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
             )
         m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
-        cos = np.round(m @ qn, 4)
+        cos = round_half_away(m @ qn, 4)
         ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
         return pa.Table.from_arrays(
             [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
@@ -374,7 +376,7 @@ def embedding_near_dups(ds, dim: int, threshold: float = 0.97, nbits: int = 10, 
         if not keep.any():
             return empty
         iu, ju = iu[keep], ju[keep]
-        cos = np.round(s[iu, ju].astype(np.float64), 4)
+        cos = round_half_away(s[iu, ju].astype(np.float64), 4)
         return pd.DataFrame({"vec_a": ids[iu], "vec_b": ids[ju], "cos": cos})
 
     out = cand.groupby("bucket").map_groups(pairs, batch_format="pandas")

@@ -719,6 +719,21 @@ ORACLE_SQL: dict[str, str] = {
                (row_number() OVER (ORDER BY cnt DESC, token))::BIGINT - 1 AS token_id
         FROM c
     """,
+    "corpus_tokenize": """
+        WITH w0 AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS token
+                    FROM documents),
+        c AS (SELECT token, count(*)::BIGINT AS cnt FROM w0 GROUP BY 1
+              HAVING count(*) >= 3),
+        v AS (SELECT token,
+                     (row_number() OVER (ORDER BY cnt DESC, token))::BIGINT - 1 AS token_id
+              FROM c),
+        t AS (SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                    FROM documents))
+        SELECT t.doc_id, t.pos, coalesce(v.token_id, -1) AS token_id
+        FROM t LEFT JOIN v ON v.token = t.tok
+    """,
     "tfidf_keywords": """
         WITH tf AS (
             SELECT doc_id, tok AS token, count(*)::BIGINT AS tf

@@ -1353,6 +1353,41 @@ def q_vocab_build(sf_dir: str):
     return bucketed.groupby(["cnt", "b0"]).map_groups(assign, batch_format="pandas")
 
 
+def q_corpus_tokenize(sf_dir: str):
+    """Tokenize the corpus against the BUILT vocabulary — the step after
+    vocab_build in a tokenizer-training pipeline: every document becomes
+    (doc_id, pos, token_id) rows in document order, out-of-vocabulary
+    tokens → -1. The vocabulary is tiny by construction (min-count
+    gated), so it rides a ray.put broadcast and each batch does one
+    vectorized dict lookup — no shuffle at all; at vocabularies beyond
+    worker heap the token-keyed hash-join form applies (the tfidf df
+    join shape). Exact row_number-join DuckDB twin."""
+    import ray
+
+    vocab = q_vocab_build(sf_dir).to_pandas()
+    vmap = pd.Series(
+        vocab["token_id"].to_numpy(), index=vocab["token"].to_numpy()
+    )
+    vref = ray.put(vmap)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        rows = cp.ordered_token_rows(t)
+        v = ray.get(vref)
+        ids = v.reindex(rows["tok"].to_numpy(zero_copy_only=False))
+        ids = ids.fillna(-1).astype("int64").to_numpy()
+        return pa.table(
+            {
+                "doc_id": rows["doc_id"],
+                "pos": rows["pos"],
+                "token_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 def q_parts_top_by_brand(sf_dir: str):
     """Per-group top-k (top-3 parts per brand by retail price): map-side
     partial top-k thins each batch to ≤k rows per group BEFORE the
@@ -1465,6 +1500,7 @@ QUERIES = {
     "ngram_top": q_ngram_top,
     "tfidf_keywords": q_tfidf_keywords,
     "vocab_build": q_vocab_build,
+    "corpus_tokenize": q_corpus_tokenize,
     "parts_top_by_brand": q_parts_top_by_brand,
     "decontaminate": q_decontaminate,
 }

@@ -117,6 +117,20 @@ WITH w AS (SELECT unnest(regexp_extract_all(lower(t), '{_LWORD}')) AS token FROM
 SELECT token, count(*)::BIGINT AS cnt FROM w GROUP BY 1
 """
 
+_ORDERED_TOKENS_SQL = f"""
+WITH l AS (SELECT i, regexp_extract_all(lower(t), '{_LWORD}') AS l FROM tbl)
+SELECT i, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos, unnest(l) AS tok
+FROM l
+"""
+
+
+def ordered_token_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc, position, token) rows in document order — the fan-out half
+    of corpus tokenization (ids assigned downstream against a broadcast
+    vocabulary)."""
+    out = _kernel(_ORDERED_TOKENS_SQL, batch, id_col, text_col)
+    return out.rename_columns([id_col, "pos", "tok"])
+
 
 def token_partial_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Partial (token, cnt) totals within one batch — the combiner half

@@ -50,3 +50,26 @@ def test_vocab_ids_contiguous_across_buckets(ray_session, tmp_path):
     ranked = out.sort_values("token_id")
     pairs = list(zip(-ranked["cnt"], ranked["token"]))
     assert pairs == sorted(pairs)  # id order == (cnt desc, token asc)
+
+
+def test_corpus_tokenize_positions_and_oov(ray_session, tmp_path):
+    from freshonions_torscraper_ray.pipelines.queries import q_corpus_tokenize
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "zeta zeta zeta rare zeta",  # 'rare' appears once -> OOV (-1)
+            "zeta",
+        ],
+    )
+    out = (
+        q_corpus_tokenize(sf)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    assert d0["pos"].tolist() == [0, 1, 2, 3, 4]
+    assert d0["token_id"].tolist() == [0, 0, 0, -1, 0]  # zeta=id0, rare=OOV
+    d1 = out[out["doc_id"] == 1]
+    assert d1["token_id"].tolist() == [0]

@@ -1328,6 +1328,20 @@ def q_vocab_build(sf_dir: str):
         return t.append_column("b0", first)
 
     bucketed = counts.map_batches(add_bucket, batch_format="pyarrow").materialize()
+    if bucketed.count() == 0:
+        # empty corpus: Ray's empty groupby drops the key columns, so
+        # return the typed empty result directly
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        )
     sizes = (
         bucketed.groupby(["cnt", "b0"]).aggregate(Count(alias_name="n")).to_pandas()
     )
@@ -1365,9 +1379,10 @@ def q_corpus_tokenize(sf_dir: str):
     import ray
 
     vocab = q_vocab_build(sf_dir).to_pandas()
-    vmap = pd.Series(
-        vocab["token_id"].to_numpy(), index=vocab["token"].to_numpy()
-    )
+    if len(vocab) == 0:  # empty corpus/vocab: everything is OOV
+        vmap = pd.Series(np.array([], dtype=np.int64), index=pd.Index([], dtype=object))
+    else:
+        vmap = pd.Series(vocab["token_id"].to_numpy(), index=vocab["token"].to_numpy())
     vref = ray.put(vmap)
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -73,3 +73,13 @@ def test_corpus_tokenize_positions_and_oov(ray_session, tmp_path):
     assert d0["token_id"].tolist() == [0, 0, 0, -1, 0]  # zeta=id0, rare=OOV
     d1 = out[out["doc_id"] == 1]
     assert d1["token_id"].tolist() == [0]
+
+
+def test_vocab_and_tokenize_empty_corpus(ray_session, tmp_path):
+    """Empty partitions happen at scale; the whole family must produce
+    empty results, not crash."""
+    from freshonions_torscraper_ray.pipelines.queries import q_corpus_tokenize
+
+    sf = _write_docs(tmp_path, ["", "   ", "!!!"])  # zero tokens everywhere
+    assert q_vocab_build(sf).count() == 0
+    assert q_corpus_tokenize(sf).count() == 0

@@ -855,6 +855,50 @@ ORACLE_SQL["length_quantiles"] = """
     FROM t
 """
 
+# dedup_chunks twin: the engine's own chunk/rebuild kernel expressions
+# (stages/corpus.py::_chunk_cte / ChunkDedupRebuilder) run corpus-wide —
+# 10-token chunks (trailing partial included), df = distinct docs,
+# chunks with df >= 2 cut everywhere, survivors re-joined in order.
+ORACLE_SQL["dedup_chunks"] = """
+    WITH x AS (SELECT doc_id AS i, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+               FROM documents),
+    c AS (SELECT i, j, array_to_string(w[(j-1)*10+1 : j*10], ' ') AS chunk
+          FROM x, unnest(range(1, (len(w)+9)//10 + 1)) AS t2(j)),
+    df AS (SELECT chunk, count(DISTINCT i) AS df FROM c GROUP BY 1),
+    k AS (SELECT c.i, c.j, c.chunk, df.df FROM c JOIN df USING (chunk)),
+    reb AS (SELECT i,
+                   coalesce(string_agg(chunk, ' ' ORDER BY j) FILTER (WHERE df < 2), '') AS text_clean,
+                   (count(*) FILTER (WHERE df >= 2))::BIGINT AS n_removed
+            FROM k GROUP BY i)
+    SELECT d.doc_id, coalesce(reb.text_clean, '') AS text_clean,
+           coalesce(reb.n_removed, 0)::BIGINT AS n_removed
+    FROM documents d LEFT JOIN reb ON d.doc_id = reb.i
+"""
+
+# dedup_incremental twin: md5-digest anti-join of the 'new' snapshot
+# (doc_id % 4 = 0) against the 'old' corpus, then first-per-digest
+# within the survivors (same md5 hex as the engine's hashlib kernel).
+ORACLE_SQL["dedup_incremental"] = """
+    WITH d AS (SELECT doc_id, md5(text) AS digest FROM documents),
+    old AS (SELECT DISTINCT digest FROM d WHERE doc_id % 4 <> 0),
+    new AS (SELECT * FROM d WHERE doc_id % 4 = 0),
+    surv AS (SELECT * FROM new WHERE digest NOT IN (SELECT digest FROM old))
+    SELECT min(doc_id)::BIGINT AS doc_id, digest FROM surv GROUP BY digest
+"""
+
+# mix_weights twin: per-language token totals, alpha=0.5 temperature
+# scaling; sqrt/div are IEEE-identical to the numpy path, rounded to 4.
+ORACLE_SQL["mix_weights"] = """
+    WITH c AS (
+        SELECT lang,
+               sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))::BIGINT AS n_tokens_total
+        FROM documents GROUP BY 1
+    )
+    SELECT lang, n_tokens_total,
+           round(sqrt(n_tokens_total) / (SELECT sum(sqrt(n_tokens_total)) FROM c), 4) AS weight
+    FROM c
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

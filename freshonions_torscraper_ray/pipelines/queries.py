@@ -1455,6 +1455,127 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_dedup_chunks(sf_dir: str):
+    """Exact duplicate-span removal — the C4 duplicate-line rule / Lee
+    et al. exact-substring dedup at fixed 10-token-chunk granularity:
+    every chunk appearing in ≥2 DISTINCT documents is cut from all of
+    them; survivors re-join in order.
+
+    Pass 1: per-batch distinct-doc chunk counts (map-side combiner —
+    shuffle is distinct-chunks-per-batch, exact because docs never span
+    batches) → tiny chunk-keyed groupby-Sum → the duplicated-chunk set,
+    which is DUPLICATION-sized (df≥2 cut), not corpus-sized, broadcast
+    once via ray.put. Pass 2: one DuckDB kernel per batch (the twin's
+    own chunk/rebuild expression) anti-filtered against the broadcast
+    set. At 100 TB, when the duplicated-chunk set outgrows a worker
+    heap, pass 2 flips to a hash-partitioned anti-join on chunk keys
+    (the stages/joins.py selection) — same semantics, no broadcast."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    partials = docs.map_batches(cp.chunk_partial_df, batch_format="pyarrow")
+    counts = partials.groupby("chunk").aggregate(Sum("df", alias_name="df"))
+    hot_rows = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], 2)).select(["chunk"]),
+        batch_format="pyarrow",
+    ).take_all()
+    hot = pa.array(sorted(r["chunk"] for r in hot_rows), pa.string())
+    ref = ray.put(hot)
+    return docs.map_batches(
+        cp.ChunkDedupRebuilder,
+        fn_constructor_args=(ref, 10),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental snapshot dedup (the CCNet/CommonCrawl recrawl setup):
+    the 'new' snapshot (doc_id % 4 == 0 — the deterministic stand-in for
+    this month's crawl) is deduplicated against the 'old' corpus
+    (doc_id % 4 != 0) AND within itself, by exact content digest.
+
+    Both sides map to (digest, …) rows per batch — md5 hex over the raw
+    text, the same kernel expression the twin runs, so engine and oracle
+    agree exactly (and only 16-byte digests ever shuffle, never text).
+    The old side thins to distinct digests per batch; survivors come out
+    of ONE digest-keyed groupby over the union (old digests carry a
+    sentinel MIN so any group containing old rows is dropped) — a single
+    keys-only shuffle, no join materialization, no driver traffic."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def digests(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        dig = [hashlib.md5(s.encode()).hexdigest() for s in texts]
+        is_new = ids % 4 == 0
+        # old rows ride with doc_id = -1: MIN(doc_id) < 0 marks a group
+        # as already-present in the old corpus
+        out_ids = np.where(is_new, ids, -1)
+        tbl = pa.table(
+            {"digest": pa.array(dig, pa.string()), "doc_id": pa.array(out_ids, pa.int64())}
+        )
+        # combiner: one row per (digest, doc_id-or-sentinel) per batch
+        return (
+            _duck_local(tbl, "SELECT digest, min(doc_id) AS doc_id FROM tbl GROUP BY 1")
+        )
+
+    rows = docs.map_batches(digests, batch_format="pyarrow")
+    agg = rows.groupby("digest").aggregate(Min("doc_id", alias_name="doc_id"))
+    # survivors: groups with NO old row (min >= 0) — and with none, the
+    # group MIN is exactly the smallest new doc_id, the kept row
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 0)).select(["doc_id", "digest"]),
+        batch_format="pyarrow",
+    )
+
+
+def _duck_local(tbl: pa.Table, sql: str) -> pa.Table:
+    """Run one literal-SQL kernel over an in-memory Arrow table on the
+    per-process DuckDB connection (registered as ``tbl``)."""
+    from ..functions.doc_extract import _duck
+
+    con = _duck()
+    con.register("tbl", tbl)
+    return con.execute(sql).arrow()
+
+
+def q_mix_weights(sf_dir: str):
+    """Data-mixing weights (the XLM-R / multilingual-LM sampling recipe):
+    per-language corpus token counts → temperature-scaled sampling
+    weights w_l = c_l^α / Σ c^α with α = 0.5. Token totals come from a
+    map-side partial sum per (lang, batch) — the shuffle moves one row
+    per language per batch — and the α-scaling runs on the tiny
+    language-level aggregate. sqrt is IEEE-exact on both sides; the
+    final division rounds to 4 decimals (house float discipline)."""
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return _duck_local(
+            pa.table({"lang": t["lang"], "t": t["text"]}),
+            "SELECT lang, sum(len(regexp_extract_all(t, '[A-Za-z0-9_]+')))::BIGINT"
+            " AS n_tokens_total FROM tbl GROUP BY 1",
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens_total", alias_name="n_tokens_total"))
+    )
+
+    def weigh(t: pa.Table) -> pa.Table:
+        c = t["n_tokens_total"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.sqrt(c)
+        w = round_half_away(s / s.sum(), 4)
+        return t.append_column("weight", pa.array(w, pa.float64()))
+
+    # language-level aggregate is O(languages) rows — single-block scale
+    return counts.repartition(1).map_batches(weigh, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1518,6 +1639,9 @@ QUERIES = {
     "corpus_tokenize": q_corpus_tokenize,
     "parts_top_by_brand": q_parts_top_by_brand,
     "decontaminate": q_decontaminate,
+    "dedup_chunks": q_dedup_chunks,
+    "dedup_incremental": q_dedup_incremental,
+    "mix_weights": q_mix_weights,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

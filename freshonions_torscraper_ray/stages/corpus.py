@@ -236,3 +236,77 @@ def topk_per_group_final(keys: list[str], order_col: str, k: int, tie_col: str):
         return df.head(k)
 
     return final
+
+
+# ---- exact duplicate-span removal (chunk-granular substring dedup) ----
+#
+# The C4 duplicate-line rule / Lee et al. exact-substring dedup adapted
+# to unstructured text: tokenize (lowercased _LWORD, the IR fold shared
+# with tf/shingles), cut the token stream into fixed-width chunks
+# (trailing partial chunk included), and remove every chunk whose
+# distinct-document frequency is >= min_df; survivors re-join in order
+# with single spaces. Both halves below are literal-SQL kernels so the
+# oracle twin replays the EXACT expressions — no hash-collision gap.
+
+def _chunk_cte(width: int) -> str:
+    return f"""
+WITH x AS (SELECT i, regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
+c AS (SELECT i, j, array_to_string(w[(j-1)*{width}+1 : j*{width}], ' ') AS chunk
+      FROM x, unnest(range(1, (len(w)+{width - 1})//{width} + 1)) AS t2(j))"""
+
+
+def chunk_partial_df(batch: pa.Table, width: int = 10, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-batch partial (chunk, distinct-doc count) rows — the map-side
+    combiner for corpus-wide chunk document frequency. Docs never span
+    batches, so summing the per-batch distinct-doc counts downstream is
+    the exact df; shuffle volume is distinct-chunks-per-batch."""
+    sql = f"{_chunk_cte(width)}\nSELECT chunk, count(DISTINCT i)::BIGINT AS df FROM c GROUP BY 1"
+    return _kernel(sql, batch, id_col, text_col)
+
+
+class ChunkDedupRebuilder:
+    """Actor-pool stage: drop duplicated chunks from every document and
+    re-join the survivors in order (pass 2 of chunk-granular substring
+    dedup).
+
+    The duplicated-chunk set (duplication-sized, NOT corpus-sized —
+    bounded by the df>=min_df cut) rides in as an ObjectRef: ``ray.put``
+    once on the driver, registered ONCE per actor into a PRIVATE DuckDB
+    connection in ``__init__`` (private so a concurrently running kernel
+    on the shared per-process connection can't see a foreign ``hot``
+    table). Per batch: one literal-SQL kernel — the same chunk/rebuild
+    expression the oracle twin runs corpus-wide."""
+
+    def __init__(self, hot_ref, width: int = 10, id_col: str = "doc_id", text_col: str = "text"):
+        import duckdb
+        import ray
+
+        hot = ray.get(hot_ref) if not isinstance(hot_ref, pa.Array) else hot_ref
+        self.con = duckdb.connect()
+        self.con.execute("SET threads=1")
+        hot_tbl = pa.table({"chunk": hot})  # noqa: F841 — registered by name
+        self.con.register("hot", hot_tbl)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sql = f"""{_chunk_cte(width)},
+reb AS (SELECT i,
+               coalesce(string_agg(chunk, ' ' ORDER BY j)
+                        FILTER (WHERE chunk NOT IN (SELECT chunk FROM hot)), '') AS text_clean,
+               (count(*) FILTER (WHERE chunk IN (SELECT chunk FROM hot)))::BIGINT AS n_removed
+        FROM c GROUP BY i)
+SELECT tbl.i AS i, coalesce(reb.text_clean, '') AS text_clean,
+       coalesce(reb.n_removed, 0)::BIGINT AS n_removed
+FROM tbl LEFT JOIN reb ON tbl.i = reb.i
+ORDER BY tbl.ord"""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "i": batch[self.id_col],
+                "t": batch[self.text_col],
+                "ord": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        self.con.register("tbl", tbl)
+        out = self.con.execute(self.sql).arrow()
+        return out.rename_columns([self.id_col, "text_clean", "n_removed"])

@@ -114,3 +114,39 @@ class TestContamination:
         out = flag(_docs(["short text"]))
         assert out.num_rows == 0
         assert out.column_names == ["doc_id", "n_hits"]
+
+
+class TestChunkDedup:
+    def test_partial_df_counts_distinct_docs(self):
+        # width=3: doc0 chunks: "a b c","d e f","g"; doc1: "a b c","x"
+        # doc2 repeats "a b c" twice -> still ONE distinct-doc count
+        t = cp.chunk_partial_df(_docs([
+            "a b c d e f g",
+            "a b c x",
+            "a b c a b c",
+        ]), width=3)
+        d = dict(zip(t["chunk"].to_pylist(), t["df"].to_pylist()))
+        assert d == {"a b c": 3, "d e f": 1, "g": 1, "x": 1}
+
+    def test_rebuilder_cuts_hot_chunks_in_order(self, ray_session):
+        import ray
+
+        ref = ray.put(pa.array(["a b c"], pa.string()))
+        reb = cp.ChunkDedupRebuilder(ref, width=3)
+        out = reb(_docs([
+            "a b c d e f g",   # hot head chunk cut
+            "a b c a b c",     # both chunks hot -> emptied
+            "",                # zero tokens -> survives as ''
+            "q r s",           # untouched
+        ])).to_pydict()
+        assert out["text_clean"] == ["d e f g", "", "", "q r s"]
+        assert out["n_removed"] == [1, 2, 0, 0]
+
+    def test_rebuilder_empty_hot_set(self, ray_session):
+        import ray
+
+        ref = ray.put(pa.array([], pa.string()))
+        reb = cp.ChunkDedupRebuilder(ref, width=3)
+        out = reb(_docs(["a b c d"])).to_pydict()
+        assert out["text_clean"] == ["a b c d"]
+        assert out["n_removed"] == [0]

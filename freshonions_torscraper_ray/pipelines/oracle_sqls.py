@@ -899,6 +899,35 @@ ORACLE_SQL["mix_weights"] = """
     FROM c
 """
 
+# lm_perplexity twin: the engine's own scoring kernel expression
+# (stages/corpus.py::LMPerplexityScorer) with the model counts computed
+# corpus-wide in CTEs. Per-bigram log terms quantize to int64
+# (round(ln*1e4)) so the per-doc sum is order-independent — the float
+# discipline that makes a several-hundred-term sum hash-match.
+ORACLE_SQL["lm_perplexity"] = """
+    WITH x AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+               FROM documents),
+    uni AS (SELECT w1 AS tok, count(*)::BIGINT AS c
+            FROM (SELECT unnest(w) AS w1 FROM x) GROUP BY 1),
+    bi AS (SELECT g, count(*)::BIGINT AS c
+           FROM (SELECT w[j] || ' ' || w[j+1] AS g
+                 FROM x, unnest(range(1, len(w))) AS t2(j)) GROUP BY 1),
+    v AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    p AS (SELECT doc_id, w[j] AS w1, w[j] || ' ' || w[j+1] AS g
+          FROM x, unnest(range(1, len(w))) AS t2(j)),
+    q AS (SELECT doc_id,
+                 CAST(round(ln((coalesce(bi.c, 0) + 1.0)
+                               / (coalesce(uni.c, 0) + v.v)) * 10000, 0)
+                      AS BIGINT) AS llq
+          FROM p CROSS JOIN v
+          LEFT JOIN uni ON p.w1 = uni.tok LEFT JOIN bi ON p.g = bi.g),
+    d AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(llq) AS s FROM q GROUP BY 1)
+    SELECT x.doc_id, coalesce(d.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(round(s / 10000.0, 4), 0.0) AS ll,
+           coalesce(round(exp(-(s / 10000.0) / d.n_bigrams), 4), 0.0) AS ppl
+    FROM x LEFT JOIN d ON x.doc_id = d.doc_id
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

@@ -1535,12 +1535,21 @@ def q_dedup_incremental(sf_dir: str):
 
 def _duck_local(tbl: pa.Table, sql: str) -> pa.Table:
     """Run one literal-SQL kernel over an in-memory Arrow table on the
-    per-process DuckDB connection (registered as ``tbl``)."""
+    per-process DuckDB connection (registered as ``tbl``).
+
+    The registration is ALWAYS dropped afterwards: a registered table
+    named ``tbl`` would shadow the replacement-scan locals every other
+    shared-connection kernel in this process relies on (the bug that
+    poisoned token_partial_counts after a dedup_incremental batch ran
+    in the same worker)."""
     from ..functions.doc_extract import _duck
 
     con = _duck()
     con.register("tbl", tbl)
-    return con.execute(sql).arrow()
+    try:
+        return con.execute(sql).arrow()
+    finally:
+        con.unregister("tbl")
 
 
 def q_mix_weights(sf_dir: str):
@@ -1574,6 +1583,58 @@ def q_mix_weights(sf_dir: str):
 
     # language-level aggregate is O(languages) rows — single-block scale
     return counts.repartition(1).map_batches(weigh, batch_format="pyarrow")
+
+
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style bigram-LM perplexity scoring: build an add-one-
+    smoothed bigram LM over the corpus's own lowercased tokens, then
+    score every document's perplexity under it — the quality signal
+    CCNet uses to rank CommonCrawl text.
+
+    Model build is fully distributed: per-batch partial (token, cnt) /
+    (bigram, cnt) combiners → two tiny keyed groupby-sums (shuffle is
+    distinct-types-per-batch, not token count). The model is broadcast
+    ONCE via ray.put (vocabulary-sized — at 100 TB it gets a min-count
+    prune / top-V + OOV bucket, the KenLM setup, or flips to a
+    bigram-keyed hash join); scoring is one DuckDB kernel per batch
+    with per-term int64-quantized logs so the per-doc sum is
+    order-independent and the SQL twin replays it exactly."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = (
+        docs.map_batches(cp.token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    bi = (
+        docs.map_batches(cp.lm_bigram_partial_counts, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    uni_rows = uni.take_all()
+    bi_rows = bi.take_all()
+    uni_tbl = pa.table(
+        {
+            "tok": pa.array([r["token"] for r in uni_rows], pa.string()),
+            "c": pa.array([r["cnt"] for r in uni_rows], pa.int64()),
+        }
+    )
+    bi_tbl = pa.table(
+        {
+            "g": pa.array([r["g"] for r in bi_rows], pa.string()),
+            "c": pa.array([r["cnt"] for r in bi_rows], pa.int64()),
+        }
+    )
+    uni_ref = ray.put(uni_tbl)
+    bi_ref = ray.put(bi_tbl)
+    return docs.map_batches(
+        cp.LMPerplexityScorer,
+        fn_constructor_args=(uni_ref, bi_ref, uni_tbl.num_rows),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
 
 
 QUERIES = {
@@ -1642,6 +1703,7 @@ QUERIES = {
     "dedup_chunks": q_dedup_chunks,
     "dedup_incremental": q_dedup_incremental,
     "mix_weights": q_mix_weights,
+    "lm_perplexity": q_lm_perplexity,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

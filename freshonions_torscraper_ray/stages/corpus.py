@@ -310,3 +310,99 @@ ORDER BY tbl.ord"""
         self.con.register("tbl", tbl)
         out = self.con.execute(self.sql).arrow()
         return out.rename_columns([self.id_col, "text_clean", "n_removed"])
+
+
+# ---- bigram-LM perplexity (CCNet-style quality scoring) ----
+#
+# CCNet filters CommonCrawl by the perplexity of a language model
+# trained on a clean corpus; here the model is an add-one-smoothed
+# bigram LM over the corpus's own lowercased _LWORD tokens (the IR fold
+# shared with tf/shingles/vocab):
+#
+#     P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)
+#
+# with V = distinct unigram count. Per-doc score = sum of log P over
+# bigrams; perplexity = exp(-score / n_bigrams).
+#
+# Exactness design: a float sum over hundreds of log terms is
+# order-sensitive, so engine and oracle would drift if either summed in
+# a different order. Instead each per-bigram log term is QUANTIZED to
+# an int64 (round(ln(...) * 10000)) and the per-doc sum runs in integer
+# space — order-independent, exactly replayable in SQL. The ln/exp
+# calls themselves are the same DuckDB expression on both sides (the
+# kernel IS the oracle's expression, the house pattern).
+
+_LM_BIGRAM_SQL = f"""
+WITH x AS (SELECT regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
+bg AS (SELECT w[j] || ' ' || w[j+1] AS g FROM x, unnest(range(1, len(w))) AS t2(j))
+SELECT g, count(*)::BIGINT AS cnt FROM bg GROUP BY 1
+"""
+
+
+def lm_bigram_partial_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Partial (bigram, cnt) counts within one batch — the map-side
+    combiner for the LM model build (lowercased fold; distinct from the
+    case-sensitive ngram_partial_counts family). Shuffle volume after
+    this is distinct-bigrams-per-batch, not token count."""
+    tbl = pa.table({"t": batch[text_col]})  # noqa: F841 — duckdb reads it by name
+    return _duck().execute(_LM_BIGRAM_SQL).arrow()
+
+
+class LMPerplexityScorer:
+    """Actor-pool stage: score each document under a broadcast bigram
+    LM (CCNet-style perplexity quality filter).
+
+    The model — (token, c) unigram and (bigram, c) tables from the
+    distributed count build — rides in as ObjectRefs (``ray.put`` once,
+    registered per actor into a PRIVATE DuckDB connection in
+    ``__init__``, never re-shipped per batch). Per batch: one
+    literal-SQL kernel: explode bigrams, left-join both count tables,
+    quantize each log term to int64, integer-sum per doc.
+
+    Scale note (100 TB): the broadcast is model-sized (vocabulary +
+    bigram types, bounded in practice by a min-count prune / top-V cut
+    with an OOV bucket — the standard KenLM setup), never corpus-sized;
+    if the bigram table outgrows a worker heap the scoring side flips
+    to a bigram-keyed hash join (stages/joins.py selection) with the
+    same quantized-term semantics.
+    """
+
+    def __init__(self, uni_ref, bi_ref, vocab_size: int,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        import duckdb
+        import ray
+
+        uni = ray.get(uni_ref) if not isinstance(uni_ref, pa.Table) else uni_ref
+        bi = ray.get(bi_ref) if not isinstance(bi_ref, pa.Table) else bi_ref
+        self.con = duckdb.connect()
+        self.con.execute("SET threads=1")
+        self.con.register("uni", uni)  # (tok, c)
+        self.con.register("bi", bi)  # (g, c)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.sql = f"""
+WITH x AS (SELECT i, ord, regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
+p AS (SELECT i, w[j] AS w1, w[j] || ' ' || w[j+1] AS g
+      FROM x, unnest(range(1, len(w))) AS t2(j)),
+q AS (SELECT i, CAST(round(ln((coalesce(bi.c, 0) + 1.0)
+                              / (coalesce(uni.c, 0) + {int(vocab_size)}.0)) * 10000, 0)
+                     AS BIGINT) AS llq
+      FROM p LEFT JOIN uni ON p.w1 = uni.tok LEFT JOIN bi ON p.g = bi.g),
+d AS (SELECT i, count(*)::BIGINT AS n_bigrams, sum(llq) AS s FROM q GROUP BY 1)
+SELECT x.i AS i, coalesce(d.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(round(s / 10000.0, 4), 0.0) AS ll,
+       coalesce(round(exp(-(s / 10000.0) / d.n_bigrams), 4), 0.0) AS ppl
+FROM x LEFT JOIN d ON x.i = d.i
+ORDER BY x.ord"""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tbl = pa.table(
+            {
+                "i": batch[self.id_col],
+                "t": batch[self.text_col],
+                "ord": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        self.con.register("tbl", tbl)
+        out = self.con.execute(self.sql).arrow()
+        return out.rename_columns([self.id_col, "n_bigrams", "ll", "ppl"])

@@ -150,3 +150,45 @@ class TestChunkDedup:
         out = reb(_docs(["a b c d"])).to_pydict()
         assert out["text_clean"] == ["a b c d"]
         assert out["n_removed"] == [0]
+
+
+class TestLMPerplexity:
+    def _model(self, texts):
+        # corpus-wide model counts via the batch combiners themselves
+        uni = cp.token_partial_counts(_docs(texts))
+        bi = cp.lm_bigram_partial_counts(_docs(texts))
+        uni_tbl = pa.table({"tok": uni["token"], "c": uni["cnt"]})
+        bi_tbl = pa.table({"g": bi["g"], "c": bi["cnt"]})
+        return uni_tbl, bi_tbl
+
+    def test_planted_scores(self):
+        texts = ["a b", "a b", "a c"]
+        uni_tbl, bi_tbl = self._model(texts)
+        assert uni_tbl.num_rows == 3  # V = {a, b, c}
+        sc = cp.LMPerplexityScorer(uni_tbl, bi_tbl, uni_tbl.num_rows)
+        out = sc(_docs(texts)).to_pydict()
+        # doc0/1 "a b": P = (2+1)/(3+3) = 0.5 -> ll = round(ln .5, 4)
+        # doc2  "a c": P = (1+1)/(3+3) = 1/3
+        assert out["n_bigrams"] == [1, 1, 1]
+        assert out["ll"] == [-0.6931, -0.6931, -1.0986]
+        # exp(1.0986) = 2.999963… -> 3.0 at 4 decimals
+        assert out["ppl"] == [1.9999, 1.9999, 3.0]
+
+    def test_empty_and_single_token_docs(self):
+        uni_tbl, bi_tbl = self._model(["x y"])
+        sc = cp.LMPerplexityScorer(uni_tbl, bi_tbl, uni_tbl.num_rows)
+        out = sc(_docs(["", "x", "x y"])).to_pydict()
+        assert out["n_bigrams"] == [0, 0, 1]
+        assert out["ll"][0] == 0.0 and out["ppl"][0] == 0.0
+        assert out["ll"][1] == 0.0 and out["ppl"][1] == 0.0
+
+    def test_integer_quantized_sum_is_order_independent(self):
+        # two bigrams whose float logs would be order-sensitive in a
+        # naive float sum: quantized int terms must add exactly
+        texts = ["a b c"] * 7 + ["b c a"]
+        uni_tbl, bi_tbl = self._model(texts)
+        sc = cp.LMPerplexityScorer(uni_tbl, bi_tbl, uni_tbl.num_rows)
+        fwd = sc(_docs(texts)).to_pydict()
+        rev = sc(_docs(texts[::-1])).to_pydict()
+        assert fwd["ll"][0] == rev["ll"][-1]
+        assert fwd["ppl"][0] == rev["ppl"][-1]

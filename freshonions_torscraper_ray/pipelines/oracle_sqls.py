@@ -928,6 +928,49 @@ ORACLE_SQL["lm_perplexity"] = """
     FROM x LEFT JOIN d ON x.doc_id = d.doc_id
 """
 
+# dsir_weights twin: replay the engine's poly+splitmix64 token hash in
+# HUGEINT SQL (the simhash twin's chain), bucket mod 1024, add-one
+# smoothed target/raw distributions, per-bucket int64-quantized
+# log-ratio terms (the engine's own dsir_bucket_terms expression),
+# integer per-doc sums — order-independent, exact.
+def _dsir_sql() -> str:
+    B = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents
+    ),
+    poly AS (
+        SELECT doc_id, lang,
+               list_reduce(list_transform(string_split(tok, ''), c -> unicode(c)::HUGEINT),
+                           (a, b) -> (({_mm('a', B)}) + b) % {_M64}) AS h0
+        FROM tok
+    ),
+    m1 AS (SELECT doc_id, lang, {_mm('xor(h0, h0 // 1073741824)', C1)} AS h1 FROM poly),
+    m2 AS (SELECT doc_id, lang, {_mm('xor(h1, h1 // 134217728)', C2)} AS h2 FROM m1),
+    bk AS (SELECT doc_id, lang,
+                  (xor(h2, h2 // 2147483648) % 1024)::BIGINT AS bucket FROM m2),
+    cnt AS (SELECT bucket, count(*)::BIGINT AS c_raw,
+                   (count(*) FILTER (WHERE lang = 'en'))::BIGINT AS c_tgt
+            FROM bk GROUP BY 1),
+    tot AS (SELECT (sum(c_raw) + 1024)::DOUBLE AS rd,
+                   (sum(c_tgt) + 1024)::DOUBLE AS td FROM cnt),
+    tq AS (SELECT bucket,
+                  CAST(round(ln(((c_tgt + 1.0) / tot.td) / ((c_raw + 1.0) / tot.rd)) * 10000, 0)
+                       AS BIGINT) AS tq
+           FROM cnt CROSS JOIN tot),
+    d AS (SELECT bk.doc_id, count(*)::BIGINT AS n_tokens, sum(tq.tq) AS s
+          FROM bk JOIN tq USING (bucket) GROUP BY 1)
+    SELECT doc.doc_id, coalesce(d.n_tokens, 0)::BIGINT AS n_tokens,
+           coalesce(s / 10000.0, 0.0) AS logw
+    FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+    """
+
+
+ORACLE_SQL["dsir_weights"] = _dsir_sql()
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

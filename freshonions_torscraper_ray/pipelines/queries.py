@@ -1637,6 +1637,50 @@ def q_lm_perplexity(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every document by how target-like
+    its hashed-token feature distribution is — logw = Σ_tokens of the
+    add-one-smoothed log p_target/p_raw ratio of the token's hash
+    bucket. Target slice = lang == 'en' docs; features = the engine's
+    poly+splitmix64 token hash mod 1024 (the SQL-replayable family).
+
+    Distribution build is a per-batch bincount combiner (≤1024 rows per
+    batch regardless of token count) → one tiny bucket-keyed
+    groupby-sum; the quantized per-bucket terms (int64, the same DuckDB
+    ln expression the twin runs) broadcast once as a dense KB-scale
+    vector; scoring is one token-hash kernel pass + an integer segment
+    sum per batch — no joins, no second shuffle, corpus-size
+    independent state."""
+    import ray
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    counts = (
+        docs.map_batches(cp.dsir_partial_counts, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+    )
+    rows = counts.take_all()
+    counts_tbl = pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+            "c_raw": pa.array([r["c_raw"] for r in rows], pa.int64()),
+            "c_tgt": pa.array([r["c_tgt"] for r in rows], pa.int64()),
+        }
+    )
+    raw_total = int(sum(r["c_raw"] for r in rows))
+    tgt_total = int(sum(r["c_tgt"] for r in rows))
+    terms = cp.dsir_bucket_terms(counts_tbl, raw_total, tgt_total)
+    ref = ray.put(terms)
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        cp.DSIRScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1704,6 +1748,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "mix_weights": q_mix_weights,
     "lm_perplexity": q_lm_perplexity,
+    "dsir_weights": q_dsir_weights,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -406,3 +406,101 @@ ORDER BY x.ord"""
         self.con.register("tbl", tbl)
         out = self.con.execute(self.sql).arrow()
         return out.rename_columns([self.id_col, "n_bigrams", "ll", "ppl"])
+
+
+# ---- DSIR hashed-feature importance weights ----
+#
+# Data Selection via Importance Resampling (Xie et al., 2023): score
+# every raw document by how target-like its hashed n-gram feature
+# distribution is — log w(doc) = Σ_tokens ln(p_target[b] / p_raw[b])
+# over the token's hash bucket b, with add-one smoothing over the
+# DSIR_BUCKETS-dim feature space. Here the target slice is the docs
+# with lang == target_lang; raw is the whole corpus.
+#
+# Buckets come from the engine's byte-level poly+splitmix64 token hash
+# (functions/tokenize.py) mod DSIR_BUCKETS — the same hash family the
+# simhash/minhash twins already replay exactly in HUGEINT SQL, so the
+# whole operator has an exact DuckDB twin. Per-bucket log-ratio terms
+# are quantized to int64 once (round(ln*1e4), computed by the SAME
+# DuckDB expression on both sides); per-doc weights are then INTEGER
+# sums — order-independent, no float-summation drift.
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_partial_counts(batch: pa.Table, lang_col: str = "lang",
+                        text_col: str = "text", target_lang: str = "en") -> pa.Table:
+    """Per-batch partial (bucket, c_raw, c_tgt) hashed-feature token
+    counts — the map-side combiner for the DSIR distribution build.
+    Shuffle volume is ≤ DSIR_BUCKETS rows per batch regardless of
+    token count."""
+    from ..functions.tokenize import token_hash_lists_np
+
+    n_tok, hashes = token_hash_lists_np(batch[text_col])
+    buckets = (hashes % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+    c_raw = np.bincount(buckets, minlength=DSIR_BUCKETS)
+    langs = batch[lang_col].to_numpy(zero_copy_only=False)
+    tok_doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tok)
+    tgt = np.asarray(langs == target_lang)
+    c_tgt = np.bincount(buckets[tgt[tok_doc]], minlength=DSIR_BUCKETS)
+    sel = np.flatnonzero(c_raw > 0)
+    return pa.table(
+        {
+            "bucket": pa.array(sel, pa.int64()),
+            "c_raw": pa.array(c_raw[sel], pa.int64()),
+            "c_tgt": pa.array(c_tgt[sel], pa.int64()),
+        }
+    )
+
+
+def dsir_bucket_terms(counts: pa.Table, raw_total: int, tgt_total: int) -> np.ndarray:
+    """Dense int64 array of quantized per-bucket log-ratio terms
+    t[b] = round(ln(((c_tgt+1)/(T+B)) / ((c_raw+1)/(R+B))) * 1e4),
+    computed by the same DuckDB expression the oracle twin runs (the
+    kernel IS the oracle's expression). Buckets no corpus token hashes
+    to keep term 0 — unreachable during scoring by construction."""
+    td = float(tgt_total + DSIR_BUCKETS)
+    rd = float(raw_total + DSIR_BUCKETS)
+    tbl = counts  # noqa: F841 — duckdb reads it by name
+    out = _duck().execute(
+        f"""SELECT bucket,
+               CAST(round(ln(((c_tgt + 1.0) / {td!r}) / ((c_raw + 1.0) / {rd!r})) * 10000, 0)
+                    AS BIGINT) AS tq
+        FROM tbl"""
+    ).arrow()
+    t = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    t[out["bucket"].to_numpy(zero_copy_only=False)] = out["tq"].to_numpy(zero_copy_only=False)
+    return t
+
+
+class DSIRScorer:
+    """Actor-pool stage: per-document DSIR importance log-weight under
+    broadcast quantized bucket terms (``ray.put`` once, dense
+    DSIR_BUCKETS-int64 vector — KB-scale, never re-shipped). Per batch:
+    one token-hash kernel pass + one integer segment sum; no SQL, no
+    joins, no shuffle."""
+
+    def __init__(self, terms_ref, id_col: str = "doc_id", text_col: str = "text"):
+        import ray
+
+        self.t = ray.get(terms_ref) if not isinstance(terms_ref, np.ndarray) else terms_ref
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.tokenize import token_hash_lists_np
+
+        n_tok, hashes = token_hash_lists_np(batch[self.text_col])
+        buckets = (hashes % np.uint64(DSIR_BUCKETS)).astype(np.int64)
+        tok_doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), n_tok)
+        # integer bincount-sum: |term| ≤ ~2e5, docs ≤ ~1e6 tokens, so the
+        # float64 accumulation is exact (< 2^53) and casts back losslessly
+        s = np.bincount(tok_doc, weights=self.t[buckets].astype(np.float64),
+                        minlength=batch.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": pa.array(n_tok.astype(np.int64)),
+                "logw": pa.array(s / 10000.0, pa.float64()),
+            }
+        )

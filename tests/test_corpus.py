@@ -192,3 +192,44 @@ class TestLMPerplexity:
         rev = sc(_docs(texts[::-1])).to_pydict()
         assert fwd["ll"][0] == rev["ll"][-1]
         assert fwd["ppl"][0] == rev["ppl"][-1]
+
+
+class TestDSIR:
+    def _docs_lang(self, texts, langs):
+        return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                         "lang": pa.array(langs, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    def test_partial_counts_split_target(self):
+        t = cp.dsir_partial_counts(self._docs_lang(
+            ["aa bb", "aa cc"], ["en", "fr"]))
+        assert t["c_raw"].to_pylist() and sum(t["c_raw"].to_pylist()) == 4
+        assert sum(t["c_tgt"].to_pylist()) == 2  # only the en doc's tokens
+        # every bucket row has c_tgt <= c_raw
+        assert all(ct <= cr for ct, cr in zip(t["c_tgt"].to_pylist(),
+                                              t["c_raw"].to_pylist()))
+
+    def test_scoring_favors_target_like_docs(self):
+        texts = ["good clean prose here"] * 3 + ["zz9 qq8 vv7 kk6"] * 3
+        langs = ["en"] * 3 + ["fr"] * 3
+        docs = self._docs_lang(texts, langs)
+        counts = cp.dsir_partial_counts(docs)
+        raw_total = sum(counts["c_raw"].to_pylist())
+        tgt_total = sum(counts["c_tgt"].to_pylist())
+        terms = cp.dsir_bucket_terms(
+            pa.table({"bucket": counts["bucket"], "c_raw": counts["c_raw"],
+                      "c_tgt": counts["c_tgt"]}), raw_total, tgt_total)
+        sc = cp.DSIRScorer(terms)
+        out = sc(docs.select(["doc_id", "text"])).to_pydict()
+        # target-distribution docs must outscore the off-target ones
+        assert min(out["logw"][:3]) > max(out["logw"][3:])
+        assert out["n_tokens"] == [4] * 6
+
+    def test_empty_doc_zero_weight(self):
+        docs = self._docs_lang(["a b", ""], ["en", "en"])
+        counts = cp.dsir_partial_counts(docs)
+        terms = cp.dsir_bucket_terms(
+            pa.table({"bucket": counts["bucket"], "c_raw": counts["c_raw"],
+                      "c_tgt": counts["c_tgt"]}), 2, 2)
+        out = cp.DSIRScorer(terms)(docs.select(["doc_id", "text"])).to_pydict()
+        assert out["n_tokens"][1] == 0 and out["logw"][1] == 0.0

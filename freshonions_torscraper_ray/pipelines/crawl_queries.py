@@ -781,6 +781,49 @@ def q_crawl_mutual_domains(sf_dir: str):
     )
 
 
+def q_crawl_triangles(sf_dir: str):
+    """Triangle census of the undirected domain link graph — the
+    tight-cluster / mirror-ring signal one step past reciprocal links
+    (crawl_mutual_domains): n_nodes, n_edges, n_triangles.
+
+    Degree-oriented wedge counting, the standard distributed triangle
+    algorithm: orient every undirected edge from its lower-(degree,
+    name) endpoint to the higher, so each node's OUT-degree is bounded
+    by ~sqrt(2|E|) even at hub domains; enumerate out-neighbor pairs
+    (wedges) per node; a wedge closes iff its (v, w) pair is itself an
+    oriented edge — checked with the house sentinel-groupby trick
+    (union wedge rows with edge rows, ONE pair-keyed groupby), so there
+    is no join and no unoriented hub blow-up. The degree map broadcasts
+    once (domain-granular, ~10^7 at the 10^10-URL frontier — the
+    PageRank broadcast note applies; hash-join fallback when it
+    outgrows a worker). Algorithm in stages/graph.py::triangle_census."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import triangle_census
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
+        fwd = pc.less(t["src_domain"], t["dst_domain"])
+        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
+        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
+        # per-batch distinct combine bounds the shuffle
+        return pa.table({"lo": lo, "hi": hi}).group_by(["lo", "hi"]).aggregate([])
+
+    edges = (
+        links.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+    return triangle_census(edges)
+
+
 def q_crawl_anchor_index(sf_dir: str):
     """Anchor-text INDEX: the most common anchor string per destination
     URL (count desc, anchor asc tie-break) with its count and the number
@@ -978,6 +1021,7 @@ CRAWL_QUERIES = {
     "crawl_server_stats": q_crawl_server_stats,
     "crawl_link_components": q_crawl_link_components,
     "crawl_mutual_domains": q_crawl_mutual_domains,
+    "crawl_triangles": q_crawl_triangles,
     "crawl_anchor_index": q_crawl_anchor_index,
     "crawl_round_metrics": q_crawl_round_metrics,
     "crawl_pagerank": q_crawl_pagerank,
@@ -1150,6 +1194,24 @@ def crawl_oracle_sql() -> dict[str, str]:
             )
             SELECT lo, hi FROM e GROUP BY lo, hi
             HAVING min(dir) = 0 AND max(dir) = 1
+        """,
+        # triangle census twin: canonical a<b<c three-way self-join over
+        # the distinct undirected edge list — counts each triangle once,
+        # exactly like the engine's degree-oriented wedge counting
+        "crawl_triangles": f"""
+            WITH e AS (
+                SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                       greatest(src_domain, dst_domain) AS b
+                FROM read_parquet('{p('links.parquet')}')
+                WHERE src_domain <> dst_domain
+            ),
+            n AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+            SELECT (SELECT count(*) FROM n)::BIGINT AS n_nodes,
+                   (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                   (SELECT count(*)
+                    FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+                              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+                   )::BIGINT AS n_triangles
         """,
         "crawl_anchor_index": f"""
             WITH c AS (

@@ -220,3 +220,118 @@ def cluster_stats(cc_ds):
     from ray.data.aggregate import Count
 
     return cc_ds.groupby("component").aggregate(Count(alias_name="size"))
+
+
+def triangle_census(edges_ds) -> pa.Table:
+    """(n_nodes, n_edges, n_triangles) over a Dataset of DISTINCT
+    undirected edges (lo, hi) with lo < hi and no self-loops.
+
+    Degree-oriented wedge counting — the standard distributed triangle
+    algorithm: orient every edge from its lower-(degree, name) endpoint
+    to the higher, bounding each node's out-degree by ~sqrt(2|E|) even
+    at hub domains; enumerate out-neighbor pairs (wedges) per node in
+    orientation order; a wedge closes iff its (x, y) pair is itself an
+    oriented edge — checked with the sentinel-groupby trick (union
+    wedge rows with edge rows, ONE pair-keyed groupby), no join, no
+    unoriented hub blow-up. The degree map broadcasts once
+    (node-granular — the pagerank_int broadcast note applies; hash-join
+    fallback when it outgrows a worker)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Max, Sum
+
+    deg_rows = (
+        edges_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["lo"].combine_chunks(), t["hi"].combine_chunks()]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .take_all()
+    )
+    n_nodes = len(deg_rows)
+    n_edges = sum(r["deg"] for r in deg_rows) // 2
+    nodes_idx = pd.Index([r["node"] for r in deg_rows])
+    degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
+    ref = ray.put((nodes_idx, degs))
+
+    class Orient:
+        """(lo, hi) → oriented (u, v, vdeg) with key(u) < key(v),
+        key = (degree, name); one vectorized get_indexer per batch."""
+
+        def __init__(self, deg_ref):
+            self.idx, self.deg = ray.get(deg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            lo = t["lo"].to_numpy(zero_copy_only=False)
+            hi = t["hi"].to_numpy(zero_copy_only=False)
+            dl = self.deg[self.idx.get_indexer(lo)]
+            dh = self.deg[self.idx.get_indexer(hi)]
+            # lo < hi lexicographically, so deg ties keep lo first
+            fwd = dl <= dh
+            u = np.where(fwd, lo, hi)
+            v = np.where(fwd, hi, lo)
+            vdeg = np.where(fwd, dh, dl)
+            return pa.table(
+                {
+                    "u": pa.array(u, pa.string()),
+                    "v": pa.array(v, pa.string()),
+                    "vdeg": pa.array(vdeg, pa.int64()),
+                }
+            )
+
+    oriented = edges_ds.map_batches(
+        Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+    )
+
+    def wedges(df):
+        df = df.sort_values(["vdeg", "v"], kind="mergesort")
+        v = df["v"].to_numpy()
+        i, j = np.triu_indices(len(v), 1)
+        return pa.table(
+            {
+                "x": pa.array(v[i], pa.string()),
+                "y": pa.array(v[j], pa.string()),
+                "w": pa.array(np.ones(len(i), dtype=np.int64)),
+                "e": pa.array(np.zeros(len(i), dtype=np.int64)),
+            }
+        )
+
+    wedge_rows = oriented.groupby("u").map_groups(wedges, batch_format="pandas")
+    edge_rows = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["u"],
+                "y": t["v"],
+                "w": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+                "e": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    import pyarrow.compute as pc
+
+    closed = (
+        wedge_rows.union(edge_rows)
+        .groupby(["x", "y"])
+        .aggregate(Sum("w", alias_name="n_wedges"), Max("e", alias_name="has_edge"))
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["has_edge"], 1)).select(["n_wedges"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_triangles = closed.sum("n_wedges") or 0
+    return pa.table(
+        {
+            "n_nodes": pa.array([n_nodes], pa.int64()),
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([int(n_triangles)], pa.int64()),
+        }
+    )

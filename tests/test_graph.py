@@ -99,3 +99,44 @@ def test_pagerank_int_matches_scalar_reference(ray_session):
     got = pagerank_int(eds, nds, "node", iters=5, scale=scale).to_pandas()
     got = dict(zip(got["node"], got["pagerank"]))
     assert got == r
+
+
+def _edges_ds(pairs):
+    import ray.data as rd
+
+    lo = [min(a, b) for a, b in pairs]
+    hi = [max(a, b) for a, b in pairs]
+    return rd.from_arrow(pa.table({"lo": pa.array(lo, pa.string()),
+                                   "hi": pa.array(hi, pa.string())}))
+
+
+def test_triangle_census_planted(ray_session):
+    from freshonions_torscraper_ray.stages.graph import triangle_census
+
+    # K4 on a-d (4 triangles) + a pendant edge + a disjoint triangle
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")]
+    out = triangle_census(_edges_ds(pairs)).to_pydict()
+    assert out["n_nodes"] == [8]
+    assert out["n_edges"] == [10]
+    assert out["n_triangles"] == [4 + 1]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangle_census_matches_naive(ray_session, seed):
+    from itertools import combinations
+
+    from freshonions_torscraper_ray.stages.graph import triangle_census
+
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(20)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)})
+    adj = {n: set() for n in nodes}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    naive = sum(1 for a, b, c in combinations(sorted(adj), 3)
+                if b in adj[a] and c in adj[a] and c in adj[b])
+    out = triangle_census(_edges_ds(pairs)).to_pydict()
+    assert out["n_triangles"] == [naive]
+    assert out["n_edges"] == [len(pairs)]

@@ -1681,6 +1681,68 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+BPE_NUM_MERGES = 50
+
+
+def _bpe_corpus_merges(sf_dir: str):
+    """Shared BPE setup: ONE distributed word-frequency pass (per-batch
+    token_partial_counts combiner → tiny token-keyed groupby-sum), then
+    the merge loop on the VOCABULARY-sized count table (stages/bpe.py —
+    the SentencePiece/HF training shape: corpus scanned once, training
+    never touches it again)."""
+    from ..stages import bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = (
+        docs.map_batches(cp.token_partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    wc = {r["token"]: int(r["cnt"]) for r in counts.take_all()}
+    return docs, bpe.train_bpe(wc, num_merges=BPE_NUM_MERGES)
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer TRAINING over the corpus: the learned merge table
+    (rank, left, right, merged). Deterministic — count ties break to
+    the lexicographically smallest pair, so the output is a pure
+    function of the corpus. No SQL twin is possible (iterative
+    data-dependent merge selection); exact-equality pytest against an
+    independent naive reference implementation is the gate
+    (tests/test_bpe.py)."""
+    _, merges = _bpe_corpus_merges(sf_dir)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+            "merged": pa.array([a + b for a, b in merges], pa.string()),
+        }
+    )
+
+
+def q_bpe_tokenize(sf_dir: str):
+    """Corpus encoding under the learned BPE merges: per-document word
+    and piece counts. Merge ranks broadcast once (merge-table-sized);
+    per-actor word→pieces cache encodes each distinct word once — the
+    HF tokenizers design. Rows-only for the driver (the merges are not
+    SQL-derivable); piece-reconstruction and naive-encoder equality are
+    pytest-pinned."""
+    import ray
+
+    from ..stages import bpe
+
+    docs, merges = _bpe_corpus_merges(sf_dir)
+    ref = ray.put(merges)
+    return docs.map_batches(
+        bpe.BPEEncodeStats,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1749,6 +1811,8 @@ QUERIES = {
     "mix_weights": q_mix_weights,
     "lm_perplexity": q_lm_perplexity,
     "dsir_weights": q_dsir_weights,
+    "bpe_merges": q_bpe_merges,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -971,6 +971,55 @@ def _dsir_sql() -> str:
 
 ORACLE_SQL["dsir_weights"] = _dsir_sql()
 
+# kmeans_clusters twin: unrolled-CTE replay of the engine's fixed-point
+# integer k-means (stages/similarity.py::kmeans_int) — floor(x·2^20)
+# quantization, exact int64 distances, TRUNCATING integer division for
+# centroid updates (DuckDB's //), argmin ties to the lowest cluster,
+# init = the k lowest-id vectors, empty clusters keep their centroid.
+def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
+    scale = 1 << 20
+    parts = [
+        f"""q AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+               CAST(floor(unnest(embedding)::DOUBLE * {scale}.0) AS BIGINT) AS v
+        FROM embeddings)""",
+        f"""c0 AS (
+        SELECT r - 1 AS c, j, v FROM (
+            SELECT q.j, q.v, dense_rank() OVER (ORDER BY q.vec_id) AS r
+            FROM q
+            WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})))""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""d{i} AS (
+        SELECT q.vec_id, cc.c, sum((q.v - cc.v) * (q.v - cc.v)) AS d2
+        FROM q JOIN c{i - 1} cc ON q.j = cc.j GROUP BY 1, 2)""")
+        parts.append(f"""a{i} AS (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+            FROM d{i})
+        WHERE rn = 1)""")
+        parts.append(f"""u{i} AS (
+        SELECT a.c, q.j, CAST(sum(q.v) // count(*) AS BIGINT) AS v
+        FROM a{i} a JOIN q ON q.vec_id = a.vec_id
+        GROUP BY a.c, q.j)""")
+        parts.append(f"""c{i} AS (
+        SELECT p.c, p.j, coalesce(u.v, p.v) AS v
+        FROM c{i - 1} p LEFT JOIN u{i} u ON u.c = p.c AND u.j = p.j)""")
+    parts.append(f"""df AS (
+        SELECT q.vec_id, cc.c, sum((q.v - cc.v) * (q.v - cc.v)) AS d2
+        FROM q JOIN c{iters} cc ON q.j = cc.j GROUP BY 1, 2)""")
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT vec_id, c::BIGINT AS cluster FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM df)
+    WHERE rn = 1
+    """
+
+
+ORACLE_SQL["kmeans_clusters"] = _kmeans_sql()
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

@@ -1743,6 +1743,31 @@ def q_bpe_tokenize(sf_dir: str):
     )
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 3
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Fixed-point integer k-means over the embeddings table — the
+    SemDeDup-style cluster-curation primitive, bit-exact like
+    pagerank_int: floor(x·2^20) quantization (power-of-two multiply is
+    float64-exact, so engine and twin floor the same double), exact
+    int64 distances, integer floor-division centroid updates, argmin
+    ties to the lowest cluster, init = the k lowest-id vectors.
+    Per iteration the corpus contributes only k·d combiner rows per
+    batch to the shuffle; centroids broadcast once per iteration.
+    Twin: unrolled-CTE DuckDB replay of all 3 iterations."""
+    import duckdb
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init_tbl = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY vec_id LIMIT {KMEANS_K}"
+    ).arrow()
+    init = sim.quantize_matrix(init_tbl, "embedding")
+    return sim.kmeans_int(ds, init, iters=KMEANS_ITERS)
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1813,6 +1838,7 @@ QUERIES = {
     "dsir_weights": q_dsir_weights,
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -489,3 +489,133 @@ def embedding_centroids(ds, dim: int):
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# ---- fixed-point integer k-means (exact, SQL-replayable) ----
+#
+# The SemDeDup-style cluster-curation primitive: partition the
+# embedding space into k clusters so downstream stages can dedup /
+# sample / budget per cluster. Like pagerank_int, the whole iteration
+# runs in INTEGER arithmetic so a DuckDB twin can replay it
+# bit-for-bit: embeddings quantize to an int64 grid with
+# floor(x * 2^20) (the float64 multiply by a power of two is exact, so
+# engine and SQL floor the same double); distances are exact int64
+# (|q| < 2^21 → 64-dim squared distance < 2^50); centroid updates are
+# integer floor division. Argmin ties break to the lowest cluster id.
+#
+# Scale shape: centroids broadcast once per iteration (k×d int64 —
+# KB-scale); each batch emits one (cluster, dim, sum, count) row per
+# centroid-dim — the map-side combiner bounds the shuffle at k·d rows
+# per batch regardless of corpus size; the groupby-sum output is k·d
+# rows total. Init = the k lowest-id vectors (deterministic and
+# SQL-expressible; kmeans++ would add a data-dependent sampling chain
+# a twin cannot replay).
+
+KM_SCALE = 1 << 20
+
+
+def quantize_matrix(t: pa.Table, emb_col: str = "embedding") -> np.ndarray:
+    """(n, d) int64 fixed-point matrix from a list<float> column."""
+    col = t[emb_col].combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    widths = np.unique(col.value_lengths().to_numpy(zero_copy_only=False))
+    if len(widths) != 1:
+        raise ValueError(f"ragged embedding column: lengths {widths}")
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(flat * KM_SCALE).astype(np.int64).reshape(n, int(widths[0]))
+
+
+def _exact_sq_dists(x_int: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(n, k) EXACT squared distances: every product < 2^44 and every
+    64-term sum < 2^53, so float64 arithmetic is integer-exact."""
+    x = x_int.astype(np.float64)
+    c = cents.astype(np.float64)
+    return ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+
+
+class KMeansPartial:
+    """Per-batch assignment + combiner for one k-means iteration:
+    emits (c, j, s, n) rows — per-cluster per-dim coordinate sums and
+    member counts — k·d rows per batch."""
+
+    def __init__(self, cents_ref, emb_col: str = "embedding"):
+        import ray
+
+        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = quantize_matrix(t, self.emb_col)
+        k, d = self.cents.shape
+        if len(x) == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"c": empty, "j": empty, "s": empty, "n": empty})
+        a = np.argmin(_exact_sq_dists(x, self.cents), axis=1)  # ties -> lowest c
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, a, x)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(np.repeat(np.arange(k, dtype=np.int64), d)),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+
+class KMeansAssign:
+    """Final labelling pass: (id, cluster) under the converged
+    centroids."""
+
+    def __init__(self, cents_ref, id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = quantize_matrix(t, self.emb_col)
+        if len(x) == 0:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        a = np.argmin(_exact_sq_dists(x, self.cents), axis=1).astype(np.int64)
+        return pa.table({self.id_col: t[self.id_col], "cluster": pa.array(a)})
+
+
+def kmeans_int(ds, init_cents: np.ndarray, iters: int = 3,
+               id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Run ``iters`` fixed-point k-means iterations over a Dataset of
+    (id, list<float>) rows and return the (id, cluster) labelling.
+    Empty clusters keep their previous centroid (deterministic, and
+    what the twin's COALESCE does)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cents = init_cents.copy()
+    k, d = cents.shape
+    for _ in range(iters):
+        ref = ray.put(cents)
+        rows = (
+            ds.map_batches(KMeansPartial, fn_constructor_args=(ref, emb_col),
+                           batch_format="pyarrow", concurrency=2)
+            .groupby(["c", "j"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )
+        nxt = cents.copy()
+        for r in rows:  # k·d rows — driver work is centroid-table-sized
+            if r["n"] > 0:
+                s, n = int(r["s"]), int(r["n"])
+                # TRUNCATING division toward zero — DuckDB's integer //
+                # truncates (-7//2 = -3) while Python floors; match it
+                q = abs(s) // n
+                nxt[r["c"], r["j"]] = q if s >= 0 else -q
+        cents = nxt
+    ref = ray.put(cents)
+    return ds.map_batches(KMeansAssign, fn_constructor_args=(ref, id_col, emb_col),
+                          batch_format="pyarrow", concurrency=2)

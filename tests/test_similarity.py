@@ -228,3 +228,66 @@ def test_embed_quantize_range_and_zero_dim(ray_session, tmp_path):
     for dim in (0, 1, 2):
         sub = out[out["dim"] == dim]
         assert sub["q"].abs().max() == 127
+
+
+def test_kmeans_int_matches_scalar_reference(ray_session):
+    """Fixed-point k-means vs a straightforward single-threaded
+    reimplementation (trunc-division updates, lowest-c argmin ties,
+    lowest-id init) on a random float corpus split across blocks."""
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages import similarity as sm
+
+    rng = np.random.default_rng(5)
+    n, d, k, iters = 120, 8, 3, 3
+    emb = rng.normal(scale=0.3, size=(n, d)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    x = np.floor(emb.astype(np.float64) * sm.KM_SCALE).astype(np.int64)
+
+    def trunc_div(s, nn):
+        q = abs(int(s)) // int(nn)
+        return q if s >= 0 else -q
+
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :].astype(np.float64) - cents[None].astype(np.float64)) ** 2).sum(2)
+        a = np.argmin(d2, axis=1)
+        nxt = cents.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                s = x[m].sum(axis=0)
+                nxt[c] = [trunc_div(si, m.sum()) for si in s]
+        cents = nxt
+    d2 = ((x[:, None, :].astype(np.float64) - cents[None].astype(np.float64)) ** 2).sum(2)
+    expect = np.argmin(d2, axis=1)
+
+    ds = rd.from_arrow(tbl).repartition(5)
+    got = sm.kmeans_int(ds, x[:k].copy(), iters=iters).to_pandas()
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    assert (got["cluster"].to_numpy() == expect).all()
+
+
+def test_kmeans_partial_combiner_rows(ray_session):
+    import ray
+
+    from freshonions_torscraper_ray.stages import similarity as sm
+
+    emb = np.array([[0.0, 0.0], [1.0, 1.0], [0.9, 1.1]], dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    cents = np.floor(emb[:2].astype(np.float64) * sm.KM_SCALE).astype(np.int64)
+    part = sm.KMeansPartial(ray.put(cents))
+    out = part(tbl).to_pydict()
+    # k*d = 4 combiner rows; vec0 -> c0, vec1+vec2 -> c1
+    assert len(out["c"]) == 4
+    byc = {(c, j): (s, n) for c, j, s, n in zip(out["c"], out["j"], out["s"], out["n"])}
+    assert byc[(0, 0)][1] == 1 and byc[(1, 0)][1] == 2
+    x = np.floor(emb.astype(np.float64) * sm.KM_SCALE).astype(np.int64)
+    assert byc[(1, 0)][0] == x[1, 0] + x[2, 0]
+    assert byc[(1, 1)][0] == x[1, 1] + x[2, 1]

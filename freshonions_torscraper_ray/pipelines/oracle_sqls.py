@@ -976,7 +976,10 @@ ORACLE_SQL["dsir_weights"] = _dsir_sql()
 # quantization, exact int64 distances, TRUNCATING integer division for
 # centroid updates (DuckDB's //), argmin ties to the lowest cluster,
 # init = the k lowest-id vectors, empty clusters keep their centroid.
-def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = 4, iters: int = 3) -> str:
+    """The WITH-body CTE chain ending in centroids c{iters} plus the
+    final-assignment CTE ``af`` (vec_id, c) — shared by the
+    kmeans_clusters and semdedup twins."""
     scale = 1 << 20
     parts = [
         f"""q AS (
@@ -1008,17 +1011,37 @@ def _kmeans_sql(k: int = 4, iters: int = 3) -> str:
     parts.append(f"""df AS (
         SELECT q.vec_id, cc.c, sum((q.v - cc.v) * (q.v - cc.v)) AS d2
         FROM q JOIN c{iters} cc ON q.j = cc.j GROUP BY 1, 2)""")
-    joined = ",\n    ".join(parts)
-    return f"""
-    WITH {joined}
-    SELECT vec_id, c::BIGINT AS cluster FROM (
-        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
-        FROM df)
-    WHERE rn = 1
-    """
+    parts.append("""af AS (
+        SELECT vec_id, c FROM (
+            SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+            FROM df)
+        WHERE rn = 1)""")
+    return ",\n    ".join(parts)
 
 
-ORACLE_SQL["kmeans_clusters"] = _kmeans_sql()
+ORACLE_SQL["kmeans_clusters"] = f"""
+    WITH {_kmeans_ctes()}
+    SELECT vec_id, c::BIGINT AS cluster FROM af
+"""
+
+# semdedup twin: the k-means chain above, then the engine's dominance
+# rule — a vector is dropped iff a LOWER-id vector in its cluster has
+# round4 cosine >= tau with it (the same round/compare discipline as
+# the green dedup_embedding_exact twin).
+ORACLE_SQL["semdedup"] = f"""
+    WITH {_kmeans_ctes()}
+    SELECT s.vec_id, s.c::BIGINT AS cluster
+    FROM af s
+    WHERE NOT EXISTS (
+        SELECT 1
+        FROM af t
+        JOIN embeddings ea ON ea.vec_id = s.vec_id
+        JOIN embeddings eb ON eb.vec_id = t.vec_id
+        WHERE t.c = s.c AND t.vec_id < s.vec_id
+          AND round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                           CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3
+    )
+"""
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.

@@ -1768,6 +1768,29 @@ def q_kmeans_clusters(sf_dir: str):
     return sim.kmeans_int(ds, init, iters=KMEANS_ITERS)
 
 
+SEMDEDUP_TAU = 0.3
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup by clustering then
+    WITHIN-cluster near-duplicate removal: the all-pairs cosine work is
+    cluster-sized, never corpus-sized. Composition: fixed-point k-means
+    fit (bit-exact, kmeans_clusters' path) → one labelling pass that
+    keeps embeddings → ONE cluster-keyed groupby with the dominance
+    rule (drop iff a lower-id cluster-mate has round4 cos >= tau).
+    Twin: the k-means CTE chain + a NOT EXISTS over
+    list_cosine_similarity — the dedup_embedding_exact discipline."""
+    import duckdb
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    init_tbl = duckdb.connect().execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        f" ORDER BY vec_id LIMIT {KMEANS_K}"
+    ).arrow()
+    cents = sim.kmeans_fit(ds, sim.quantize_matrix(init_tbl, "embedding"), KMEANS_ITERS)
+    return sim.semdedup_survivors(ds, cents, tau=SEMDEDUP_TAU)
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1839,6 +1862,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_tokenize": q_bpe_tokenize,
     "kmeans_clusters": q_kmeans_clusters,
+    "semdedup": q_semdedup,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -587,17 +587,16 @@ class KMeansAssign:
         return pa.table({self.id_col: t[self.id_col], "cluster": pa.array(a)})
 
 
-def kmeans_int(ds, init_cents: np.ndarray, iters: int = 3,
-               id_col: str = "vec_id", emb_col: str = "embedding"):
+def kmeans_fit(ds, init_cents: np.ndarray, iters: int = 3,
+               emb_col: str = "embedding") -> np.ndarray:
     """Run ``iters`` fixed-point k-means iterations over a Dataset of
-    (id, list<float>) rows and return the (id, cluster) labelling.
+    (id, list<float>) rows and return the final int64 centroids.
     Empty clusters keep their previous centroid (deterministic, and
     what the twin's COALESCE does)."""
     import ray
     from ray.data.aggregate import Sum
 
     cents = init_cents.copy()
-    k, d = cents.shape
     for _ in range(iters):
         ref = ray.put(cents)
         rows = (
@@ -616,6 +615,76 @@ def kmeans_int(ds, init_cents: np.ndarray, iters: int = 3,
                 q = abs(s) // n
                 nxt[r["c"], r["j"]] = q if s >= 0 else -q
         cents = nxt
+    return cents
+
+
+def kmeans_int(ds, init_cents: np.ndarray, iters: int = 3,
+               id_col: str = "vec_id", emb_col: str = "embedding"):
+    """kmeans_fit + a final labelling pass: the (id, cluster) Dataset."""
+    import ray
+
+    cents = kmeans_fit(ds, init_cents, iters, emb_col)
     ref = ray.put(cents)
     return ds.map_batches(KMeansAssign, fn_constructor_args=(ref, id_col, emb_col),
                           batch_format="pyarrow", concurrency=2)
+
+
+class KMeansAssignKeep:
+    """Labelling pass that KEEPS the embedding column — the input to
+    per-cluster stages (SemDeDup)."""
+
+    def __init__(self, cents_ref, id_col: str = "vec_id", emb_col: str = "embedding"):
+        import ray
+
+        self.cents = ray.get(cents_ref) if not isinstance(cents_ref, np.ndarray) else cents_ref
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = quantize_matrix(t, self.emb_col)
+        if len(x) == 0:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        a = np.argmin(_exact_sq_dists(x, self.cents), axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(a))
+
+
+def semdedup_survivors(ds, cents: np.ndarray, tau: float = 0.3,
+                       id_col: str = "vec_id", emb_col: str = "embedding"):
+    """SemDeDup (Abbas et al., 2023): semantic dedup by clustering then
+    WITHIN-cluster near-duplicate removal — the whole point is that the
+    all-pairs cosine work is cluster-sized, never corpus-sized. Drop
+    rule (deterministic): a vector is removed iff some LOWER-id vector
+    in its cluster has round4 cosine >= tau with it; survivors keep
+    (id, cluster). Cosine discipline matches embedding_pairs_exact
+    (float64 normalize + round-half-away to 4), so the DuckDB
+    list_cosine_similarity twin replays the comparison exactly.
+
+    Scale shape: one labelling pass (centroids broadcast), then ONE
+    cluster-keyed groupby; per-group work is O(|cluster|² d) — bounded
+    by the k-means granularity, the SemDeDup contract. Giant clusters
+    are the known failure mode: raise k (finer clusters), not the
+    group buffer."""
+    import ray
+
+    from ..functions.rounding import round_half_away
+
+    ref = ray.put(cents)
+    assigned = ds.map_batches(
+        KMeansAssignKeep, fn_constructor_args=(ref, id_col, emb_col),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        t = t.sort_by(id_col)
+        mn = _normalize(_to_matrix(t[emb_col]).astype(np.float64))
+        cos = round_half_away(mn @ mn.T, 4)
+        dominated = np.tril(cos >= tau, -1).any(axis=1)
+        keep = ~dominated
+        return pa.table(
+            {
+                id_col: t[id_col].filter(pa.array(keep)),
+                "cluster": t["cluster"].filter(pa.array(keep)),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(dedup_group, batch_format="pyarrow")

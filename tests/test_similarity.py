@@ -291,3 +291,31 @@ def test_kmeans_partial_combiner_rows(ray_session):
     x = np.floor(emb.astype(np.float64) * sm.KM_SCALE).astype(np.int64)
     assert byc[(1, 0)][0] == x[1, 0] + x[2, 0]
     assert byc[(1, 1)][0] == x[1, 1] + x[2, 1]
+
+
+def test_semdedup_dominance_rule(ray_session):
+    """Planted clusters: within a cluster only the lowest-id member of
+    each near-dup set survives; cross-cluster near-dups are NOT
+    deduped (the SemDeDup contract — dedup is cluster-local)."""
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages import similarity as sm
+
+    # two tight groups far apart; ids interleaved across groups
+    a = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    b = np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    eps = np.array([0.0, 0.0, 0.01, 0.0], dtype=np.float32)
+    emb = np.stack([a, b, a + eps, b + eps, a - eps, np.array([0, 0, 0, 1.0], np.float32)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(6, dtype=np.int64)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    init = sm.quantize_matrix(tbl.slice(0, 2), "embedding")  # k=2: a-ish vs b-ish
+    cents = sm.kmeans_fit(ds, init, iters=2)
+    out = sm.semdedup_survivors(ds, cents, tau=0.95).to_pandas()
+    survivors = set(out["vec_id"])
+    # 0,2,4 are near-dups of each other (same cluster): only 0 survives;
+    # 1,3 near-dups: only 1 survives; 5 is alone in whichever cluster
+    assert 0 in survivors and 1 in survivors and 5 in survivors
+    assert 2 not in survivors and 3 not in survivors and 4 not in survivors

@@ -1602,27 +1602,26 @@ def q_lm_perplexity(sf_dir: str):
     import ray
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    uni = (
-        docs.map_batches(cp.token_partial_counts, batch_format="pyarrow")
-        .groupby("token")
+    # ONE corpus scan builds both model tables: the combiner emits
+    # (kind, key, cnt) rows for unigrams and bigrams from a single
+    # tokenize pass per batch
+    rows = (
+        docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
+        .groupby(["kind", "key"])
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
     )
-    bi = (
-        docs.map_batches(cp.lm_bigram_partial_counts, batch_format="pyarrow")
-        .groupby("g")
-        .aggregate(Sum("cnt", alias_name="cnt"))
-    )
-    uni_rows = uni.take_all()
-    bi_rows = bi.take_all()
+    uni_rows = [r for r in rows if r["kind"] == 0]
+    bi_rows = [r for r in rows if r["kind"] == 1]
     uni_tbl = pa.table(
         {
-            "tok": pa.array([r["token"] for r in uni_rows], pa.string()),
+            "tok": pa.array([r["key"] for r in uni_rows], pa.string()),
             "c": pa.array([r["cnt"] for r in uni_rows], pa.int64()),
         }
     )
     bi_tbl = pa.table(
         {
-            "g": pa.array([r["g"] for r in bi_rows], pa.string()),
+            "g": pa.array([r["key"] for r in bi_rows], pa.string()),
             "c": pa.array([r["cnt"] for r in bi_rows], pa.int64()),
         }
     )
@@ -1747,6 +1746,23 @@ KMEANS_K = 4
 KMEANS_ITERS = 3
 
 
+def _kmeans_init(sf_dir: str) -> np.ndarray:
+    """Shared deterministic init: the quantized vectors of the
+    KMEANS_K lowest vec_ids (what the twins' dense_rank CTE replays).
+    One place so kmeans_clusters and semdedup can never drift."""
+    import duckdb
+
+    con = duckdb.connect()
+    try:
+        init_tbl = con.execute(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+            f" ORDER BY vec_id LIMIT {KMEANS_K}"
+        ).arrow()
+    finally:
+        con.close()
+    return sim.quantize_matrix(init_tbl, "embedding")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Fixed-point integer k-means over the embeddings table — the
     SemDeDup-style cluster-curation primitive, bit-exact like
@@ -1757,15 +1773,8 @@ def q_kmeans_clusters(sf_dir: str):
     Per iteration the corpus contributes only k·d combiner rows per
     batch to the shuffle; centroids broadcast once per iteration.
     Twin: unrolled-CTE DuckDB replay of all 3 iterations."""
-    import duckdb
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    init_tbl = duckdb.connect().execute(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
-        f" ORDER BY vec_id LIMIT {KMEANS_K}"
-    ).arrow()
-    init = sim.quantize_matrix(init_tbl, "embedding")
-    return sim.kmeans_int(ds, init, iters=KMEANS_ITERS)
+    return sim.kmeans_int(ds, _kmeans_init(sf_dir), iters=KMEANS_ITERS)
 
 
 SEMDEDUP_TAU = 0.3
@@ -1780,14 +1789,8 @@ def q_semdedup(sf_dir: str):
     rule (drop iff a lower-id cluster-mate has round4 cos >= tau).
     Twin: the k-means CTE chain + a NOT EXISTS over
     list_cosine_similarity — the dedup_embedding_exact discipline."""
-    import duckdb
-
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    init_tbl = duckdb.connect().execute(
-        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
-        f" ORDER BY vec_id LIMIT {KMEANS_K}"
-    ).arrow()
-    cents = sim.kmeans_fit(ds, sim.quantize_matrix(init_tbl, "embedding"), KMEANS_ITERS)
+    cents = sim.kmeans_fit(ds, _kmeans_init(sf_dir), KMEANS_ITERS)
     return sim.semdedup_survivors(ds, cents, tau=SEMDEDUP_TAU)
 
 

@@ -332,20 +332,23 @@ ORDER BY tbl.ord"""
 # calls themselves are the same DuckDB expression on both sides (the
 # kernel IS the oracle's expression, the house pattern).
 
-_LM_BIGRAM_SQL = f"""
+_LM_MODEL_SQL = f"""
 WITH x AS (SELECT regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
-bg AS (SELECT w[j] || ' ' || w[j+1] AS g FROM x, unnest(range(1, len(w))) AS t2(j))
-SELECT g, count(*)::BIGINT AS cnt FROM bg GROUP BY 1
+u AS (SELECT 0 AS kind, unnest(w) AS key FROM x),
+b AS (SELECT 1 AS kind, w[j] || ' ' || w[j+1] AS key
+      FROM x, unnest(range(1, len(w))) AS t2(j))
+SELECT kind, key, count(*)::BIGINT AS cnt
+FROM (SELECT * FROM u UNION ALL SELECT * FROM b) GROUP BY 1, 2
 """
 
 
-def lm_bigram_partial_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Partial (bigram, cnt) counts within one batch — the map-side
-    combiner for the LM model build (lowercased fold; distinct from the
-    case-sensitive ngram_partial_counts family). Shuffle volume after
-    this is distinct-bigrams-per-batch, not token count."""
+def lm_model_partial_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Partial (kind, key, cnt) counts within one batch — BOTH halves of
+    the LM model build (kind 0 = unigram, 1 = bigram) from ONE tokenize
+    pass over the batch (lowercased fold). Shuffle volume after this is
+    distinct-keys-per-batch, not token count."""
     tbl = pa.table({"t": batch[text_col]})  # noqa: F841 — duckdb reads it by name
-    return _duck().execute(_LM_BIGRAM_SQL).arrow()
+    return _duck().execute(_LM_MODEL_SQL).arrow()
 
 
 class LMPerplexityScorer:

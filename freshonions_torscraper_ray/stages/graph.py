@@ -241,6 +241,9 @@ def triangle_census(edges_ds) -> pa.Table:
     import ray
     from ray.data.aggregate import Count, Max, Sum
 
+    # consumed twice (degree pass + orientation): pin the distinct-edge
+    # blocks once instead of re-running the upstream read/canon/groupby
+    edges_ds = edges_ds.materialize()
     deg_rows = (
         edges_ds.map_batches(
             lambda t: pa.table(
@@ -287,9 +290,10 @@ def triangle_census(edges_ds) -> pa.Table:
                 }
             )
 
+    # consumed twice (wedge rows + edge rows): one Orient pass, pinned
     oriented = edges_ds.map_batches(
         Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    )
+    ).materialize()
 
     def wedges(df):
         df = df.sort_values(["vdeg", "v"], kind="mergesort")

@@ -515,7 +515,12 @@ KM_SCALE = 1 << 20
 
 
 def quantize_matrix(t: pa.Table, emb_col: str = "embedding") -> np.ndarray:
-    """(n, d) int64 fixed-point matrix from a list<float> column."""
+    """(n, d) int64 fixed-point matrix from a list<float> column.
+
+    VALIDATES the exactness precondition the whole fixed-point k-means
+    contract rests on: squared distances must stay < 2^53 so float64
+    arithmetic is integer-exact, i.e. d · (2·max|q|)² < 2^53. Raises
+    loudly instead of silently diverging from the SQL twin."""
     col = t[emb_col].combine_chunks()
     n = len(col)
     if n == 0:
@@ -523,16 +528,29 @@ def quantize_matrix(t: pa.Table, emb_col: str = "embedding") -> np.ndarray:
     widths = np.unique(col.value_lengths().to_numpy(zero_copy_only=False))
     if len(widths) != 1:
         raise ValueError(f"ragged embedding column: lengths {widths}")
+    d = int(widths[0])
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    return np.floor(flat * KM_SCALE).astype(np.int64).reshape(n, int(widths[0]))
+    q = np.floor(flat * KM_SCALE).astype(np.int64).reshape(n, d)
+    if n:
+        m = int(np.abs(q).max())
+        if d * (2 * m) ** 2 >= 1 << 53:
+            raise ValueError(
+                f"fixed-point exactness violated: d={d}, max|q|={m} — "
+                f"d·(2·max|q|)² must stay < 2^53 (normalize or rescale "
+                f"the embeddings, or lower KM_SCALE)"
+            )
+    return q
 
 
 def _exact_sq_dists(x_int: np.ndarray, cents: np.ndarray) -> np.ndarray:
-    """(n, k) EXACT squared distances: every product < 2^44 and every
-    64-term sum < 2^53, so float64 arithmetic is integer-exact."""
+    """(n, k) EXACT squared distances via the norm-expansion form
+    ||x||² + ||c||² − 2·x·cᵀ: every intermediate is integer-valued and
+    < 2^53 (quantize_matrix enforces the bound), so float64 — and the
+    BLAS matmul carrying the dominant work — is integer-exact, with
+    O(n·k) memory instead of an (n, k, d) broadcast temporary."""
     x = x_int.astype(np.float64)
     c = cents.astype(np.float64)
-    return ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    return (x * x).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
 
 
 class KMeansPartial:
@@ -566,6 +584,15 @@ class KMeansPartial:
         )
 
 
+def _assign_labels(t: pa.Table, cents: np.ndarray, emb_col: str) -> pa.Array:
+    """Shared labelling kernel: int64 cluster per row (argmin ties →
+    lowest cluster, the twin's ORDER BY d2, c)."""
+    x = quantize_matrix(t, emb_col)
+    if len(x) == 0:
+        return pa.array([], pa.int64())
+    return pa.array(np.argmin(_exact_sq_dists(x, cents), axis=1).astype(np.int64))
+
+
 class KMeansAssign:
     """Final labelling pass: (id, cluster) under the converged
     centroids."""
@@ -578,13 +605,9 @@ class KMeansAssign:
         self.emb_col = emb_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        x = quantize_matrix(t, self.emb_col)
-        if len(x) == 0:
-            return pa.table(
-                {self.id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
-            )
-        a = np.argmin(_exact_sq_dists(x, self.cents), axis=1).astype(np.int64)
-        return pa.table({self.id_col: t[self.id_col], "cluster": pa.array(a)})
+        return pa.table(
+            {self.id_col: t[self.id_col], "cluster": _assign_labels(t, self.cents, self.emb_col)}
+        )
 
 
 def kmeans_fit(ds, init_cents: np.ndarray, iters: int = 3,
@@ -641,11 +664,7 @@ class KMeansAssignKeep:
         self.emb_col = emb_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        x = quantize_matrix(t, self.emb_col)
-        if len(x) == 0:
-            return t.append_column("cluster", pa.array([], pa.int64()))
-        a = np.argmin(_exact_sq_dists(x, self.cents), axis=1).astype(np.int64)
-        return t.append_column("cluster", pa.array(a))
+        return t.append_column("cluster", _assign_labels(t, self.cents, self.emb_col))
 
 
 def semdedup_survivors(ds, cents: np.ndarray, tau: float = 0.3,

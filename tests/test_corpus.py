@@ -154,11 +154,17 @@ class TestChunkDedup:
 
 class TestLMPerplexity:
     def _model(self, texts):
-        # corpus-wide model counts via the batch combiners themselves
-        uni = cp.token_partial_counts(_docs(texts))
-        bi = cp.lm_bigram_partial_counts(_docs(texts))
-        uni_tbl = pa.table({"tok": uni["token"], "c": uni["cnt"]})
-        bi_tbl = pa.table({"g": bi["g"], "c": bi["cnt"]})
+        # corpus-wide model counts via the single-pass batch combiner
+        rows = cp.lm_model_partial_counts(_docs(texts))
+        kinds = rows["kind"].to_pylist()
+        keys = rows["key"].to_pylist()
+        cnts = rows["cnt"].to_pylist()
+        uni = [(k, c) for kk, k, c in zip(kinds, keys, cnts) if kk == 0]
+        bi = [(k, c) for kk, k, c in zip(kinds, keys, cnts) if kk == 1]
+        uni_tbl = pa.table({"tok": pa.array([k for k, _ in uni], pa.string()),
+                            "c": pa.array([c for _, c in uni], pa.int64())})
+        bi_tbl = pa.table({"g": pa.array([k for k, _ in bi], pa.string()),
+                           "c": pa.array([c for _, c in bi], pa.int64())})
         return uni_tbl, bi_tbl
 
     def test_planted_scores(self):

@@ -1043,6 +1043,27 @@ ORACLE_SQL["semdedup"] = f"""
     )
 """
 
+# pmi_top twin: the engine's own count + quantized-ln expressions
+# corpus-wide (n_total inlined as a DOUBLE on the engine side equals
+# the (sum)::DOUBLE here — integer totals < 2^53 are double-exact).
+ORACLE_SQL["pmi_top"] = """
+    WITH x AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
+    uni AS (SELECT w1 AS tok, count(*)::BIGINT AS c
+            FROM (SELECT unnest(w) AS w1 FROM x) GROUP BY 1),
+    n AS (SELECT sum(c)::DOUBLE AS v FROM uni),
+    bi AS (SELECT g AS bigram, count(*)::BIGINT AS cnt
+           FROM (SELECT w[j] || ' ' || w[j+1] AS g
+                 FROM x, unnest(range(1, len(w))) AS t2(j)) GROUP BY 1),
+    s AS (SELECT bi.bigram, bi.cnt,
+                 CAST(round(ln((bi.cnt * n.v) / (ca.c * cb.c)) * 10000, 0) AS BIGINT) AS q
+          FROM bi CROSS JOIN n
+          JOIN uni ca ON ca.tok = string_split(bi.bigram, ' ')[1]
+          JOIN uni cb ON cb.tok = string_split(bi.bigram, ' ')[2]
+          WHERE bi.cnt >= 5)
+    SELECT bigram, cnt, q / 10000.0 AS pmi
+    FROM s ORDER BY q DESC, bigram LIMIT 100
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

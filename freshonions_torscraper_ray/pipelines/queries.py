@@ -1794,6 +1794,53 @@ def q_semdedup(sf_dir: str):
     return sim.semdedup_survivors(ds, cents, tau=SEMDEDUP_TAU)
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_pmi_top(sf_dir: str):
+    """Top-100 word associations by pointwise mutual information —
+    the corpus-analysis collocation table (Church & Hanks):
+    PMI(a,b) = ln(c_ab·N / (c_a·c_b)) over adjacent-token bigrams with
+    c_ab >= PMI_MIN_COUNT. The corpus-sized work is the SAME single
+    combiner pass as lm_perplexity (one tokenize per batch, (kind, key,
+    cnt) rows, tiny keyed groupby); scoring runs on the
+    vocabulary-sized aggregate via a driver DuckDB kernel whose ln
+    expression the twin replays verbatim, quantized to int64 so the
+    (pmi desc, bigram asc) ranking can't be flipped by float noise."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    rows = (
+        docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    uni = {r["key"]: int(r["cnt"]) for r in rows if r["kind"] == 0}
+    bi = [(r["key"], int(r["cnt"])) for r in rows if r["kind"] == 1]
+    n_total = sum(uni.values())
+    tbl = pa.table(
+        {
+            "bigram": pa.array([k for k, _ in bi], pa.string()),
+            "cnt": pa.array([c for _, c in bi], pa.int64()),
+            "ca": pa.array([uni[k.split(" ")[0]] for k, _ in bi], pa.int64()),
+            "cb": pa.array([uni[k.split(" ")[1]] for k, _ in bi], pa.int64()),
+        }
+    )
+    out = _duck_local(
+        tbl,
+        f"""SELECT bigram, cnt,
+               CAST(round(ln((cnt * {float(n_total)!r}) / (ca * cb)) * 10000, 0) AS BIGINT) AS q
+        FROM tbl WHERE cnt >= {PMI_MIN_COUNT}
+        ORDER BY q DESC, bigram LIMIT 100""",
+    )
+    return pa.table(
+        {
+            "bigram": out["bigram"],
+            "cnt": out["cnt"],
+            "pmi": pa.array(out["q"].to_numpy(zero_copy_only=False) / 10000.0, pa.float64()),
+        }
+    )
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1866,6 +1913,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
+    "pmi_top": q_pmi_top,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

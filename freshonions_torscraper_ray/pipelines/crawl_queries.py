@@ -824,6 +824,44 @@ def q_crawl_triangles(sf_dir: str):
     return triangle_census(edges)
 
 
+def q_crawl_clustering(sf_dir: str):
+    """Per-domain local clustering coefficient over the undirected link
+    graph — the node-level score behind crawl_triangles' census
+    (coeff = 2T/(deg·(deg−1)), round4; domains in ≥1 triangle).
+    Algorithm in stages/graph.py::clustering_coefficients: the oriented
+    wedges keep their center, the pair-keyed groupby emits one corner
+    row per triangle vertex, and a node-keyed sum + broadcast degree
+    map finish the job — no join against the edge set."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.graph import clustering_coefficients
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
+        fwd = pc.less(t["src_domain"], t["dst_domain"])
+        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
+        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
+        return pa.table({"lo": lo, "hi": hi}).group_by(["lo", "hi"]).aggregate([])
+
+    edges = (
+        links.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+    cc = clustering_coefficients(edges)
+    return cc.map_batches(
+        lambda t: t.rename_columns(["domain", "n_triangles", "degree", "coeff"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_crawl_anchor_index(sf_dir: str):
     """Anchor-text INDEX: the most common anchor string per destination
     URL (count desc, anchor asc tie-break) with its count and the number
@@ -1022,6 +1060,7 @@ CRAWL_QUERIES = {
     "crawl_link_components": q_crawl_link_components,
     "crawl_mutual_domains": q_crawl_mutual_domains,
     "crawl_triangles": q_crawl_triangles,
+    "crawl_clustering": q_crawl_clustering,
     "crawl_anchor_index": q_crawl_anchor_index,
     "crawl_round_metrics": q_crawl_round_metrics,
     "crawl_pagerank": q_crawl_pagerank,
@@ -1212,6 +1251,28 @@ def crawl_oracle_sql() -> dict[str, str]:
                     FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
                               JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
                    )::BIGINT AS n_triangles
+        """,
+        # per-node census twin: each a<b<c triangle credits all three
+        # corners; coeff = round4(2T / (deg·(deg−1))) on triangle nodes
+        "crawl_clustering": f"""
+            WITH e AS (
+                SELECT DISTINCT least(src_domain, dst_domain) AS a,
+                       greatest(src_domain, dst_domain) AS b
+                FROM read_parquet('{p('links.parquet')}')
+                WHERE src_domain <> dst_domain
+            ),
+            deg AS (SELECT node, count(*)::BIGINT AS d
+                    FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+                    GROUP BY 1),
+            t AS (SELECT e1.a AS a, e1.b AS b, e2.b AS c
+                  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e1.b < e2.b
+                            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+            corner AS (SELECT a AS node FROM t UNION ALL
+                       SELECT b FROM t UNION ALL SELECT c FROM t),
+            cnt AS (SELECT node, count(*)::BIGINT AS n_triangles FROM corner GROUP BY 1)
+            SELECT cnt.node AS domain, cnt.n_triangles, deg.d AS degree,
+                   round(2.0 * cnt.n_triangles / (deg.d * (deg.d - 1)), 4) AS coeff
+            FROM cnt JOIN deg USING (node)
         """,
         "crawl_anchor_index": f"""
             WITH c AS (

@@ -222,27 +222,19 @@ def cluster_stats(cc_ds):
     return cc_ds.groupby("component").aggregate(Count(alias_name="size"))
 
 
-def triangle_census(edges_ds) -> pa.Table:
-    """(n_nodes, n_edges, n_triangles) over a Dataset of DISTINCT
-    undirected edges (lo, hi) with lo < hi and no self-loops.
-
-    Degree-oriented wedge counting — the standard distributed triangle
-    algorithm: orient every edge from its lower-(degree, name) endpoint
-    to the higher, bounding each node's out-degree by ~sqrt(2|E|) even
-    at hub domains; enumerate out-neighbor pairs (wedges) per node in
-    orientation order; a wedge closes iff its (x, y) pair is itself an
-    oriented edge — checked with the sentinel-groupby trick (union
-    wedge rows with edge rows, ONE pair-keyed groupby), no join, no
-    unoriented hub blow-up. The degree map broadcasts once
-    (node-granular — the pagerank_int broadcast note applies; hash-join
-    fallback when it outgrows a worker)."""
+def _oriented_graph(edges_ds):
+    """Shared triangle-family prologue over DISTINCT undirected edges
+    (lo, hi), lo < hi, no self-loops: degree map (node-count-bounded,
+    broadcast once — the pagerank_int broadcast note applies; hash-join
+    fallback when it outgrows a worker), then one degree-orientation
+    pass. Both datasets are consumed twice downstream, so they are
+    pinned (edge-table-sized, not corpus-sized). Returns
+    (oriented_ds, deg_rows)."""
     import numpy as np
     import pandas as pd
     import ray
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Count
 
-    # consumed twice (degree pass + orientation): pin the distinct-edge
-    # blocks once instead of re-running the upstream read/canon/groupby
     edges_ds = edges_ds.materialize()
     deg_rows = (
         edges_ds.map_batches(
@@ -259,8 +251,6 @@ def triangle_census(edges_ds) -> pa.Table:
         .aggregate(Count(alias_name="deg"))
         .take_all()
     )
-    n_nodes = len(deg_rows)
-    n_edges = sum(r["deg"] for r in deg_rows) // 2
     nodes_idx = pd.Index([r["node"] for r in deg_rows])
     degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
     ref = ray.put((nodes_idx, degs))
@@ -290,10 +280,31 @@ def triangle_census(edges_ds) -> pa.Table:
                 }
             )
 
-    # consumed twice (wedge rows + edge rows): one Orient pass, pinned
     oriented = edges_ds.map_batches(
         Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
     ).materialize()
+    return oriented, deg_rows
+
+
+def triangle_census(edges_ds) -> pa.Table:
+    """(n_nodes, n_edges, n_triangles) over a Dataset of DISTINCT
+    undirected edges (lo, hi) with lo < hi and no self-loops.
+
+    Degree-oriented wedge counting — the standard distributed triangle
+    algorithm: orient every edge from its lower-(degree, name) endpoint
+    to the higher, bounding each node's out-degree by ~sqrt(2|E|) even
+    at hub domains; enumerate out-neighbor pairs (wedges) per node in
+    orientation order; a wedge closes iff its (x, y) pair is itself an
+    oriented edge — checked with the sentinel-groupby trick (union
+    wedge rows with edge rows, ONE pair-keyed groupby), no join, no
+    unoriented hub blow-up."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    oriented, deg_rows = _oriented_graph(edges_ds)
+    n_nodes = len(deg_rows)
+    n_edges = sum(r["deg"] for r in deg_rows) // 2
 
     def wedges(df):
         df = df.sort_values(["vdeg", "v"], kind="mergesort")
@@ -320,8 +331,6 @@ def triangle_census(edges_ds) -> pa.Table:
         ),
         batch_format="pyarrow",
     )
-    import pyarrow.compute as pc
-
     closed = (
         wedge_rows.union(edge_rows)
         .groupby(["x", "y"])
@@ -339,3 +348,105 @@ def triangle_census(edges_ds) -> pa.Table:
             "n_triangles": pa.array([int(n_triangles)], pa.int64()),
         }
     )
+
+
+def clustering_coefficients(edges_ds):
+    """Per-node triangle counts + local clustering coefficient
+    coeff = round4(2T / (deg·(deg−1))) over the undirected graph —
+    the per-domain tight-cluster score behind the global census.
+
+    Same oriented-wedge machinery as triangle_census, but wedge rows
+    keep their CENTER u, and the pair-keyed groupby emits one corner
+    row per triangle vertex (wedge rows in a group are triangles iff
+    the group also holds the closing edge row). Corner rows → one tiny
+    node-keyed sum; degrees ride the broadcast map. Returns a Dataset
+    of (node, n_triangles, degree, coeff)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.rounding import round_half_away
+
+    oriented, deg_rows = _oriented_graph(edges_ds)
+
+    def wedges_with_center(df):
+        df = df.sort_values(["vdeg", "v"], kind="mergesort")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        i, j = np.triu_indices(len(v), 1)
+        return pa.table(
+            {
+                "x": pa.array(v[i], pa.string()),
+                "y": pa.array(v[j], pa.string()),
+                "u": pa.array(u[: len(i)] if len(i) == 0 else np.repeat(u[0], len(i)), pa.string()),
+                "e": pa.array(np.zeros(len(i), dtype=np.int64)),
+            }
+        )
+
+    wedge_rows = oriented.groupby("u").map_groups(wedges_with_center, batch_format="pandas")
+    edge_rows = oriented.map_batches(
+        lambda t: pa.table(
+            {
+                "x": t["u"],
+                "y": t["v"],
+                "u": pa.array([""] * t.num_rows, pa.string()),
+                "e": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        # one (x, y) group: wedge rows are triangles iff an edge row exists
+        if not pc.any(pc.equal(t["e"], 1)).as_py():
+            return pa.table({"node": pa.array([], pa.string()),
+                             "t": pa.array([], pa.int64())})
+        w = t.filter(pc.equal(t["e"], 0))
+        if w.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "t": pa.array([], pa.int64())})
+        nodes = np.concatenate([
+            w["u"].to_numpy(zero_copy_only=False),
+            w["x"].to_numpy(zero_copy_only=False),
+            w["y"].to_numpy(zero_copy_only=False),
+        ])
+        return pa.table({"node": pa.array(nodes, pa.string()),
+                         "t": pa.array(np.ones(len(nodes), dtype=np.int64))})
+
+    tri = (
+        wedge_rows.union(edge_rows)
+        .groupby(["x", "y"])
+        .map_groups(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("t", alias_name="n_triangles"))
+    )
+    import pandas as pd
+
+    nodes_idx = pd.Index([r["node"] for r in deg_rows])
+    degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
+    dref = ray.put((nodes_idx, degs))
+
+    class AttachDegree:
+        def __init__(self, deg_ref):
+            self.idx, self.deg = ray.get(deg_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nodes = t["node"].to_numpy(zero_copy_only=False)
+            tr = t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = self.deg[self.idx.get_indexer(nodes)]
+            denom = d * (d - 1)
+            coeff = round_half_away(
+                np.where(denom > 0, 2.0 * tr / np.where(denom > 0, denom, 1), 0.0), 4
+            )
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "n_triangles": pa.array(tr),
+                    "degree": pa.array(d.astype(np.int64)),
+                    "coeff": pa.array(coeff, pa.float64()),
+                }
+            )
+
+    return tri.map_batches(AttachDegree, fn_constructor_args=(dref,),
+                           batch_format="pyarrow", concurrency=2)

@@ -140,3 +140,19 @@ def test_triangle_census_matches_naive(ray_session, seed):
     out = triangle_census(_edges_ds(pairs)).to_pydict()
     assert out["n_triangles"] == [naive]
     assert out["n_edges"] == [len(pairs)]
+
+
+def test_clustering_coefficients_planted(ray_session):
+    from freshonions_torscraper_ray.stages.graph import clustering_coefficients
+
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z")]
+    out = clustering_coefficients(_edges_ds(pairs)).to_pandas()
+    got = {r["node"]: (r["n_triangles"], r["degree"], r["coeff"])
+           for _, r in out.iterrows()}
+    # K4 members: 3 triangles each; a,b,c deg 3 -> coeff 1.0; d deg 4 -> 0.5
+    assert got["a"] == (3, 3, 1.0) and got["b"] == (3, 3, 1.0) and got["c"] == (3, 3, 1.0)
+    assert got["d"] == (3, 4, 0.5)
+    # disjoint triangle: 1 each, deg 2 -> 1.0; pendant e: no triangles -> absent
+    assert got["x"] == (1, 2, 1.0) and got["y"] == (1, 2, 1.0) and got["z"] == (1, 2, 1.0)
+    assert "e" not in got

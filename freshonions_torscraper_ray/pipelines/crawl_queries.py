@@ -781,6 +781,34 @@ def q_crawl_mutual_domains(sf_dir: str):
     )
 
 
+def _undirected_link_edges():
+    """DISTINCT undirected domain edges (lo, hi), lo < hi, no
+    self-loops, from the engine fixture's links table — the shared
+    input of the triangle-family queries. Per-batch canonicalize +
+    distinct combine bounds the shuffle at distinct-pairs-per-batch."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    edir = ensure_engine_fixture()
+    links = rd.read_parquet(
+        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
+    )
+
+    def canon(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
+        fwd = pc.less(t["src_domain"], t["dst_domain"])
+        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
+        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
+        return pa.table({"lo": lo, "hi": hi}).group_by(["lo", "hi"]).aggregate([])
+
+    return (
+        links.map_batches(canon, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["lo", "hi"])
+    )
+
+
 def q_crawl_triangles(sf_dir: str):
     """Triangle census of the undirected domain link graph — the
     tight-cluster / mirror-ring signal one step past reciprocal links
@@ -797,31 +825,9 @@ def q_crawl_triangles(sf_dir: str):
     once (domain-granular, ~10^7 at the 10^10-URL frontier — the
     PageRank broadcast note applies; hash-join fallback when it
     outgrows a worker). Algorithm in stages/graph.py::triangle_census."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
     from ..stages.graph import triangle_census
 
-    edir = ensure_engine_fixture()
-    links = rd.read_parquet(
-        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
-    )
-
-    def canon(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
-        fwd = pc.less(t["src_domain"], t["dst_domain"])
-        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
-        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
-        # per-batch distinct combine bounds the shuffle
-        return pa.table({"lo": lo, "hi": hi}).group_by(["lo", "hi"]).aggregate([])
-
-    edges = (
-        links.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["lo", "hi"])
-    )
-    return triangle_census(edges)
+    return triangle_census(_undirected_link_edges())
 
 
 def q_crawl_clustering(sf_dir: str):
@@ -832,30 +838,9 @@ def q_crawl_clustering(sf_dir: str):
     wedges keep their center, the pair-keyed groupby emits one corner
     row per triangle vertex, and a node-keyed sum + broadcast degree
     map finish the job — no join against the edge set."""
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
     from ..stages.graph import clustering_coefficients
 
-    edir = ensure_engine_fixture()
-    links = rd.read_parquet(
-        os.path.join(edir, "links.parquet"), columns=["src_domain", "dst_domain"]
-    )
-
-    def canon(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.not_equal(t["src_domain"], t["dst_domain"]))
-        fwd = pc.less(t["src_domain"], t["dst_domain"])
-        lo = pc.if_else(fwd, t["src_domain"], t["dst_domain"])
-        hi = pc.if_else(fwd, t["dst_domain"], t["src_domain"])
-        return pa.table({"lo": lo, "hi": hi}).group_by(["lo", "hi"]).aggregate([])
-
-    edges = (
-        links.map_batches(canon, batch_format="pyarrow")
-        .groupby(["lo", "hi"])
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["lo", "hi"])
-    )
-    cc = clustering_coefficients(edges)
+    cc = clustering_coefficients(_undirected_link_edges())
     return cc.map_batches(
         lambda t: t.rename_columns(["domain", "n_triangles", "degree", "coeff"]),
         batch_format="pyarrow",

@@ -239,3 +239,15 @@ class TestDSIR:
                       "c_tgt": counts["c_tgt"]}), 2, 2)
         out = cp.DSIRScorer(terms)(docs.select(["doc_id", "text"])).to_pydict()
         assert out["n_tokens"][1] == 0 and out["logw"][1] == 0.0
+
+
+class TestPMI:
+    def test_model_counts_feed_pmi_expectations(self):
+        # "a b" x5 plus "a c" x5: both bigrams share c_a; pmi orders by
+        # the rarer right-hand unigram (c_b=5 vs c_c=5 -> tie, lexicographic)
+        rows = cp.lm_model_partial_counts(_docs(["a b"] * 5 + ["a c"] * 5))
+        d = {(k, key): c for k, key, c in zip(rows["kind"].to_pylist(),
+                                              rows["key"].to_pylist(),
+                                              rows["cnt"].to_pylist())}
+        assert d[(0, "a")] == 10 and d[(0, "b")] == 5 and d[(0, "c")] == 5
+        assert d[(1, "a b")] == 5 and d[(1, "a c")] == 5

@@ -1064,6 +1064,24 @@ ORACLE_SQL["pmi_top"] = """
     FROM s ORDER BY q DESC, bigram LIMIT 100
 """
 
+# text_entropy twin: the engine's own per-doc kernel expression
+# corpus-wide (stages/corpus.py::_ENTROPY_SQL) — int64-quantized type
+# log terms, integer per-doc sums, one trailing round4.
+ORACLE_SQL["text_entropy"] = """
+    WITH x AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS w
+               FROM documents),
+    tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf
+           FROM (SELECT doc_id, unnest(w) AS tok FROM x) GROUP BY 1, 2),
+    n AS (SELECT doc_id, len(w)::BIGINT AS n FROM x),
+    q AS (SELECT tf.doc_id, tf.tf,
+                 CAST(round(ln(tf.tf / (n.n * 1.0)) * 10000, 0) AS BIGINT) AS lq
+          FROM tf JOIN n USING (doc_id)),
+    d AS (SELECT doc_id, sum(tf * lq) AS s FROM q GROUP BY 1)
+    SELECT x.doc_id, n.n AS n_tokens,
+           coalesce(round(-s / (n.n * 10000.0), 4), 0.0) AS entropy
+    FROM x JOIN n ON x.doc_id = n.doc_id LEFT JOIN d ON x.doc_id = d.doc_id
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

@@ -1841,6 +1841,16 @@ def q_pmi_top(sf_dir: str):
     )
 
 
+def q_text_entropy(sf_dir: str):
+    """Per-document unigram entropy — the lexical-diversity quality
+    filter (low entropy = repetitive/templated text). Purely doc-local:
+    one task-pool DuckDB kernel per batch, no shuffle at all; per-type
+    log terms quantize to int64 so the per-doc sum is order-independent
+    and the twin replays it exactly (stages/corpus.py::entropy_stats)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(cp.entropy_stats, batch_format="pyarrow")
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -1914,6 +1924,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semdedup": q_semdedup,
     "pmi_top": q_pmi_top,
+    "text_entropy": q_text_entropy,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

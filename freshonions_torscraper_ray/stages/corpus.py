@@ -411,6 +411,45 @@ ORDER BY x.ord"""
         return out.rename_columns([self.id_col, "n_bigrams", "ll", "ppl"])
 
 
+# ---- per-document unigram entropy (lexical-diversity quality signal) ----
+#
+# H(doc) = −Σ_types (tf/n)·ln(tf/n) over the doc's token types — the
+# lexical-diversity filter (low entropy ⇔ repetitive/templated text,
+# the signal Gopher's repetition rules approximate). Purely doc-local:
+# no model, no shuffle — one DuckDB kernel per batch. Float discipline:
+# each type's ln(tf/n) quantizes to int64 (round(ln·1e4)); the per-doc
+# sum Σ tf·q is INTEGER (order-independent), and H = −sum/(n·1e4)
+# rounds to 4 at the end — the same expression the twin replays.
+
+_ENTROPY_SQL = f"""
+WITH x AS (SELECT i, ord, regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
+tf AS (SELECT i, tok, count(*)::BIGINT AS tf
+       FROM (SELECT i, unnest(w) AS tok FROM x) GROUP BY 1, 2),
+n AS (SELECT i, len(w)::BIGINT AS n FROM x),
+q AS (SELECT tf.i, tf.tf,
+             CAST(round(ln(tf.tf / (n.n * 1.0)) * 10000, 0) AS BIGINT) AS lq
+      FROM tf JOIN n USING (i)),
+d AS (SELECT i, sum(tf * lq) AS s FROM q GROUP BY 1)
+SELECT x.i AS i, n.n AS n_tokens,
+       coalesce(round(-s / (n.n * 10000.0), 4), 0.0) AS entropy
+FROM x JOIN n ON x.i = n.i LEFT JOIN d ON x.i = d.i
+ORDER BY x.ord
+"""
+
+
+def entropy_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc token-type entropy (nats, round4) + token count."""
+    tbl = pa.table(  # noqa: F841 — duckdb reads it by name
+        {
+            "i": batch[id_col],
+            "t": batch[text_col],
+            "ord": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+        }
+    )
+    out = _duck().execute(_ENTROPY_SQL).arrow()
+    return out.rename_columns([id_col, "n_tokens", "entropy"])
+
+
 # ---- DSIR hashed-feature importance weights ----
 #
 # Data Selection via Importance Resampling (Xie et al., 2023): score

@@ -251,3 +251,20 @@ class TestPMI:
                                               rows["cnt"].to_pylist())}
         assert d[(0, "a")] == 10 and d[(0, "b")] == 5 and d[(0, "c")] == 5
         assert d[(1, "a b")] == 5 and d[(1, "a c")] == 5
+
+
+class TestEntropy:
+    def test_planted_entropy(self):
+        import math
+
+        out = cp.entropy_stats(_docs([
+            "a b c d",   # uniform over 4 types -> ln(4)
+            "a a a a",   # single type -> 0
+            "x",         # single token -> 0
+            "",          # empty -> 0, n=0
+        ])).to_pydict()
+        assert out["n_tokens"] == [4, 4, 1, 0]
+        # quantized terms: q = round(ln(1/4)*1e4) = -13863 -> H = 4*13863/(4e4)
+        assert out["entropy"][0] == round(13863 / 10000.0, 4)
+        assert abs(out["entropy"][0] - math.log(4)) < 1e-3
+        assert out["entropy"][1:] == [0.0, 0.0, 0.0]

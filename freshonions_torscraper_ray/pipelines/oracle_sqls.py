@@ -1082,6 +1082,15 @@ ORACLE_SQL["text_entropy"] = """
     FROM x JOIN n ON x.doc_id = n.doc_id LEFT JOIN d ON x.doc_id = d.doc_id
 """
 
+# corpus_curate twin: the two score twins joined as subqueries, same
+# gates as the engine (comparisons run on round4 values on both sides).
+ORACLE_SQL["corpus_curate"] = f"""
+    SELECT lm.doc_id, te.n_tokens, te.entropy, lm.ppl
+    FROM ({ORACLE_SQL["lm_perplexity"]}) lm
+    JOIN ({ORACLE_SQL["text_entropy"]}) te USING (doc_id)
+    WHERE te.n_tokens >= 10 AND te.entropy >= 2.7 AND lm.ppl <= 30.5
+"""
+
 # crawl oracle twins read the single-threaded oracle's parquet fixture
 # (built lazily, deterministic) — see crawl_queries.crawl_oracle_sql.
 from .crawl_queries import crawl_oracle_sql  # noqa: E402

@@ -1599,12 +1599,24 @@ def q_lm_perplexity(sf_dir: str):
     bigram-keyed hash join); scoring is one DuckDB kernel per batch
     with per-term int64-quantized logs so the per-doc sum is
     order-independent and the SQL twin replays it exactly."""
+    docs, uni_ref, bi_ref, vocab = _lm_model(sf_dir)
+    return docs.map_batches(
+        cp.LMPerplexityScorer,
+        fn_constructor_args=(uni_ref, bi_ref, vocab),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
+def _lm_model(sf_dir: str):
+    """Shared LM model build: ONE corpus scan (the combiner emits
+    (kind, key, cnt) rows for unigrams AND bigrams from a single
+    tokenize pass per batch) → one tiny keyed groupby-sum → broadcast
+    model tables. Returns (docs_ds, uni_ref, bi_ref, vocab_size)."""
     import ray
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    # ONE corpus scan builds both model tables: the combiner emits
-    # (kind, key, cnt) rows for unigrams and bigrams from a single
-    # tokenize pass per batch
     rows = (
         docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
         .groupby(["kind", "key"])
@@ -1625,11 +1637,27 @@ def q_lm_perplexity(sf_dir: str):
             "c": pa.array([r["cnt"] for r in bi_rows], pa.int64()),
         }
     )
-    uni_ref = ray.put(uni_tbl)
-    bi_ref = ray.put(bi_tbl)
+    return docs, ray.put(uni_tbl), ray.put(bi_tbl), uni_tbl.num_rows
+
+
+CURATE_PPL_MAX = 30.5
+CURATE_ENT_MIN = 2.7
+CURATE_MIN_TOKENS = 10
+
+
+def q_corpus_curate(sf_dir: str):
+    """Flagship model-quality curation composite: LM perplexity AND
+    unigram entropy computed in the SAME batch pass (both kernels emit
+    rows in input order, so no doc_id join/shuffle), gates applied
+    vectorized — the CCNet-style keep set (ppl ≤ 30.5, entropy ≥ 2.7,
+    ≥ 10 tokens; thresholds sit at the corpus quartiles so the cut is
+    non-trivial at every sf). Twin: the two score twins joined as
+    subqueries with the same gates."""
+    docs, uni_ref, bi_ref, vocab = _lm_model(sf_dir)
     return docs.map_batches(
-        cp.LMPerplexityScorer,
-        fn_constructor_args=(uni_ref, bi_ref, uni_tbl.num_rows),
+        cp.CorpusCurator,
+        fn_constructor_args=(uni_ref, bi_ref, vocab,
+                             CURATE_PPL_MAX, CURATE_ENT_MIN, CURATE_MIN_TOKENS),
         batch_format="pyarrow",
         concurrency=2,
         batch_size=1024,
@@ -1925,6 +1953,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pmi_top": q_pmi_top,
     "text_entropy": q_text_entropy,
+    "corpus_curate": q_corpus_curate,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -450,6 +450,45 @@ def entropy_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
     return out.rename_columns([id_col, "n_tokens", "entropy"])
 
 
+class CorpusCurator(LMPerplexityScorer):
+    """Flagship curation composite: both model-quality signals — LM
+    perplexity (broadcast bigram model) and unigram entropy — computed
+    in the SAME batch pass (both kernels emit rows in input order, so
+    the columns align without a doc_id join/shuffle), then the gates
+    applied vectorized. Output: surviving (doc_id, n_tokens, entropy,
+    ppl) rows — the CCNet-style keep set."""
+
+    def __init__(self, uni_ref, bi_ref, vocab_size: int,
+                 ppl_max: float, ent_min: float, min_tokens: int = 10,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        super().__init__(uni_ref, bi_ref, vocab_size, id_col, text_col)
+        self.ppl_max = ppl_max
+        self.ent_min = ent_min
+        self.min_tokens = min_tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lm = super().__call__(batch)  # (id, n_bigrams, ll, ppl), input order
+        ent = entropy_stats(batch, self.id_col, self.text_col)
+        t = pa.table(
+            {
+                self.id_col: lm[self.id_col],
+                "n_tokens": ent["n_tokens"],
+                "entropy": ent["entropy"],
+                "ppl": lm["ppl"],
+            }
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], self.min_tokens),
+                pc.greater_equal(t["entropy"], self.ent_min),
+            ),
+            pc.less_equal(t["ppl"], self.ppl_max),
+        )
+        return t.filter(keep)
+
+
 # ---- DSIR hashed-feature importance weights ----
 #
 # Data Selection via Importance Resampling (Xie et al., 2023): score

@@ -268,3 +268,26 @@ class TestEntropy:
         assert out["entropy"][0] == round(13863 / 10000.0, 4)
         assert abs(out["entropy"][0] - math.log(4)) < 1e-3
         assert out["entropy"][1:] == [0.0, 0.0, 0.0]
+
+
+class TestCurator:
+    def test_gates_applied_in_one_pass(self):
+        texts = ["a b c d e f g h i j k l", "a a a a a a a a a a a a", "x y"]
+        rows = cp.lm_model_partial_counts(_docs(texts))
+        uni = [(k, c) for kk, k, c in zip(rows["kind"].to_pylist(),
+                                          rows["key"].to_pylist(),
+                                          rows["cnt"].to_pylist()) if kk == 0]
+        bi = [(k, c) for kk, k, c in zip(rows["kind"].to_pylist(),
+                                         rows["key"].to_pylist(),
+                                         rows["cnt"].to_pylist()) if kk == 1]
+        uni_tbl = pa.table({"tok": pa.array([k for k, _ in uni], pa.string()),
+                            "c": pa.array([c for _, c in uni], pa.int64())})
+        bi_tbl = pa.table({"g": pa.array([k for k, _ in bi], pa.string()),
+                           "c": pa.array([c for _, c in bi], pa.int64())})
+        # loose ppl gate, entropy gate at ln(12)~2.48 cuts the all-'a' doc,
+        # min_tokens cuts the 2-token doc
+        cur = cp.CorpusCurator(uni_tbl, bi_tbl, uni_tbl.num_rows,
+                               ppl_max=1e9, ent_min=2.0, min_tokens=10)
+        out = cur(_docs(texts)).to_pydict()
+        assert out["doc_id"] == [0]
+        assert out["n_tokens"] == [12]

@@ -1609,13 +1609,10 @@ def q_lm_perplexity(sf_dir: str):
     )
 
 
-def _lm_model(sf_dir: str):
-    """Shared LM model build: ONE corpus scan (the combiner emits
-    (kind, key, cnt) rows for unigrams AND bigrams from a single
-    tokenize pass per batch) → one tiny keyed groupby-sum → broadcast
-    model tables. Returns (docs_ds, uni_ref, bi_ref, vocab_size)."""
-    import ray
-
+def _lm_count_rows(sf_dir: str):
+    """ONE corpus scan of unigram+bigram counts: the combiner emits
+    (kind, key, cnt) rows from a single tokenize pass per batch → one
+    tiny keyed groupby-sum. Returns (docs_ds, uni_rows, bi_rows)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     rows = (
         docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
@@ -1623,8 +1620,15 @@ def _lm_model(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .take_all()
     )
-    uni_rows = [r for r in rows if r["kind"] == 0]
-    bi_rows = [r for r in rows if r["kind"] == 1]
+    return docs, [r for r in rows if r["kind"] == 0], [r for r in rows if r["kind"] == 1]
+
+
+def _lm_model(sf_dir: str):
+    """Shared LM model build over _lm_count_rows → broadcast model
+    tables. Returns (docs_ds, uni_ref, bi_ref, vocab_size)."""
+    import ray
+
+    docs, uni_rows, bi_rows = _lm_count_rows(sf_dir)
     uni_tbl = pa.table(
         {
             "tok": pa.array([r["key"] for r in uni_rows], pa.string()),
@@ -1817,7 +1821,8 @@ def q_semdedup(sf_dir: str):
     rule (drop iff a lower-id cluster-mate has round4 cos >= tau).
     Twin: the k-means CTE chain + a NOT EXISTS over
     list_cosine_similarity — the dedup_embedding_exact discipline."""
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # pinned once: the fit consumes it per iteration, the dedup once more
+    ds = sim._pin(_read(sf_dir, "embeddings", ["vec_id", "embedding"]))
     cents = sim.kmeans_fit(ds, _kmeans_init(sf_dir), KMEANS_ITERS)
     return sim.semdedup_survivors(ds, cents, tau=SEMDEDUP_TAU)
 
@@ -1835,15 +1840,9 @@ def q_pmi_top(sf_dir: str):
     vocabulary-sized aggregate via a driver DuckDB kernel whose ln
     expression the twin replays verbatim, quantized to int64 so the
     (pmi desc, bigram asc) ranking can't be flipped by float noise."""
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = (
-        docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
-        .groupby(["kind", "key"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    uni = {r["key"]: int(r["cnt"]) for r in rows if r["kind"] == 0}
-    bi = [(r["key"], int(r["cnt"])) for r in rows if r["kind"] == 1]
+    _, uni_rows, bi_rows = _lm_count_rows(sf_dir)
+    uni = {r["key"]: int(r["cnt"]) for r in uni_rows}
+    bi = [(r["key"], int(r["cnt"])) for r in bi_rows]
     n_total = sum(uni.values())
     tbl = pa.table(
         {

@@ -107,11 +107,14 @@ class BPEEncodeStats:
         self.id_col = id_col
         self.text_col = text_col
 
+    CACHE_CAP = 1 << 20  # bound per-actor memory on unbounded vocabularies
+
     def _pieces_len(self, word: str) -> int:
         n = self.cache.get(word)
         if n is None:
             n = len(encode_word(word, self.ranks))
-            self.cache[word] = n
+            if len(self.cache) < self.CACHE_CAP:
+                self.cache[word] = n
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:

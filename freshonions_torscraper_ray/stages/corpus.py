@@ -452,41 +452,55 @@ def entropy_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
 
 class CorpusCurator(LMPerplexityScorer):
     """Flagship curation composite: both model-quality signals — LM
-    perplexity (broadcast bigram model) and unigram entropy — computed
-    in the SAME batch pass (both kernels emit rows in input order, so
-    the columns align without a doc_id join/shuffle), then the gates
-    applied vectorized. Output: surviving (doc_id, n_tokens, entropy,
-    ppl) rows — the CCNet-style keep set."""
+    perplexity (broadcast bigram model) and unigram entropy — from ONE
+    fused kernel per batch (a single tokenize CTE feeds both score
+    subtrees, so the dominant regexp cost is paid once and there is no
+    doc_id join/shuffle), gates applied in the same statement. Output:
+    surviving (doc_id, n_tokens, entropy, ppl) rows — the CCNet-style
+    keep set. Each score's expressions are verbatim those of the
+    lm_perplexity / text_entropy kernels, so the composite twin (the
+    two score twins joined as subqueries) replays them exactly."""
 
     def __init__(self, uni_ref, bi_ref, vocab_size: int,
                  ppl_max: float, ent_min: float, min_tokens: int = 10,
                  id_col: str = "doc_id", text_col: str = "text"):
         super().__init__(uni_ref, bi_ref, vocab_size, id_col, text_col)
-        self.ppl_max = ppl_max
-        self.ent_min = ent_min
-        self.min_tokens = min_tokens
+        ppl = "coalesce(round(exp(-(d.s / 10000.0) / d.n_bigrams), 4), 0.0)"
+        ent = "coalesce(round(-ed.s2 / (n.n * 10000.0), 4), 0.0)"
+        self.sql = f"""
+WITH x AS (SELECT i, ord, regexp_extract_all(lower(t), '{_LWORD}') AS w FROM tbl),
+p AS (SELECT i, w[j] AS w1, w[j] || ' ' || w[j+1] AS g
+      FROM x, unnest(range(1, len(w))) AS t2(j)),
+q AS (SELECT i, CAST(round(ln((coalesce(bi.c, 0) + 1.0)
+                              / (coalesce(uni.c, 0) + {int(vocab_size)}.0)) * 10000, 0)
+                     AS BIGINT) AS llq
+      FROM p LEFT JOIN uni ON p.w1 = uni.tok LEFT JOIN bi ON p.g = bi.g),
+d AS (SELECT i, count(*)::BIGINT AS n_bigrams, sum(llq) AS s FROM q GROUP BY 1),
+tf AS (SELECT i, tok, count(*)::BIGINT AS tf
+       FROM (SELECT i, unnest(w) AS tok FROM x) GROUP BY 1, 2),
+n AS (SELECT i, len(w)::BIGINT AS n FROM x),
+eq AS (SELECT tf.i, tf.tf,
+              CAST(round(ln(tf.tf / (n.n * 1.0)) * 10000, 0) AS BIGINT) AS lq
+       FROM tf JOIN n USING (i)),
+ed AS (SELECT i, sum(tf * lq) AS s2 FROM eq GROUP BY 1)
+SELECT x.i AS i, n.n AS n_tokens, {ent} AS entropy, {ppl} AS ppl
+FROM x JOIN n ON x.i = n.i
+LEFT JOIN d ON x.i = d.i LEFT JOIN ed ON x.i = ed.i
+WHERE n.n >= {int(min_tokens)} AND {ent} >= {float(ent_min)!r}
+  AND {ppl} <= {float(ppl_max)!r}
+ORDER BY x.ord"""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        lm = super().__call__(batch)  # (id, n_bigrams, ll, ppl), input order
-        ent = entropy_stats(batch, self.id_col, self.text_col)
-        t = pa.table(
+        tbl = pa.table(
             {
-                self.id_col: lm[self.id_col],
-                "n_tokens": ent["n_tokens"],
-                "entropy": ent["entropy"],
-                "ppl": lm["ppl"],
+                "i": batch[self.id_col],
+                "t": batch[self.text_col],
+                "ord": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
             }
         )
-        keep = pc.and_(
-            pc.and_(
-                pc.greater_equal(t["n_tokens"], self.min_tokens),
-                pc.greater_equal(t["entropy"], self.ent_min),
-            ),
-            pc.less_equal(t["ppl"], self.ppl_max),
-        )
-        return t.filter(keep)
+        self.con.register("tbl", tbl)
+        out = self.con.execute(self.sql).arrow()
+        return out.rename_columns([self.id_col, "n_tokens", "entropy", "ppl"])
 
 
 # ---- DSIR hashed-feature importance weights ----

@@ -283,7 +283,7 @@ def _oriented_graph(edges_ds):
     oriented = edges_ds.map_batches(
         Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
     ).materialize()
-    return oriented, deg_rows
+    return oriented, deg_rows, ref
 
 
 def triangle_census(edges_ds) -> pa.Table:
@@ -302,7 +302,7 @@ def triangle_census(edges_ds) -> pa.Table:
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
-    oriented, deg_rows = _oriented_graph(edges_ds)
+    oriented, deg_rows, _ = _oriented_graph(edges_ds)
     n_nodes = len(deg_rows)
     n_edges = sum(r["deg"] for r in deg_rows) // 2
 
@@ -368,7 +368,7 @@ def clustering_coefficients(edges_ds):
 
     from ..functions.rounding import round_half_away
 
-    oriented, deg_rows = _oriented_graph(edges_ds)
+    oriented, _deg_rows, dref = _oriented_graph(edges_ds)
 
     def wedges_with_center(df):
         df = df.sort_values(["vdeg", "v"], kind="mergesort")
@@ -379,7 +379,7 @@ def clustering_coefficients(edges_ds):
             {
                 "x": pa.array(v[i], pa.string()),
                 "y": pa.array(v[j], pa.string()),
-                "u": pa.array(u[: len(i)] if len(i) == 0 else np.repeat(u[0], len(i)), pa.string()),
+                "u": pa.array(np.repeat(u[:1], len(i)), pa.string()),
                 "e": pa.array(np.zeros(len(i), dtype=np.int64)),
             }
         )
@@ -421,11 +421,8 @@ def clustering_coefficients(edges_ds):
         .groupby("node")
         .aggregate(Sum("t", alias_name="n_triangles"))
     )
-    import pandas as pd
-
-    nodes_idx = pd.Index([r["node"] for r in deg_rows])
-    degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
-    dref = ray.put((nodes_idx, degs))
+    # degree map: reuse _oriented_graph's broadcast (dref) — same
+    # (nodes_idx, degs) tuple, no second object-store copy
 
     class AttachDegree:
         def __init__(self, deg_ref):

@@ -610,15 +610,25 @@ class KMeansAssign:
         )
 
 
+def _pin(ds):
+    """Materialize unless already materialized — iterative consumers
+    re-execute a lazy Dataset per pass otherwise."""
+    from ray.data.dataset import MaterializedDataset
+
+    return ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+
+
 def kmeans_fit(ds, init_cents: np.ndarray, iters: int = 3,
                emb_col: str = "embedding") -> np.ndarray:
     """Run ``iters`` fixed-point k-means iterations over a Dataset of
     (id, list<float>) rows and return the final int64 centroids.
     Empty clusters keep their previous centroid (deterministic, and
-    what the twin's COALESCE does)."""
+    what the twin's COALESCE does). The input is pinned once — each
+    iteration re-consumes it."""
     import ray
     from ray.data.aggregate import Sum
 
+    ds = _pin(ds)
     cents = init_cents.copy()
     for _ in range(iters):
         ref = ray.put(cents)
@@ -646,6 +656,7 @@ def kmeans_int(ds, init_cents: np.ndarray, iters: int = 3,
     """kmeans_fit + a final labelling pass: the (id, cluster) Dataset."""
     import ray
 
+    ds = _pin(ds)
     cents = kmeans_fit(ds, init_cents, iters, emb_col)
     ref = ray.put(cents)
     return ds.map_batches(KMeansAssign, fn_constructor_args=(ref, id_col, emb_col),

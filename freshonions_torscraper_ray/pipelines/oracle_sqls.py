@@ -962,14 +962,39 @@ def _dsir_sql() -> str:
                        AS BIGINT) AS tq
            FROM cnt CROSS JOIN tot),
     d AS (SELECT bk.doc_id, count(*)::BIGINT AS n_tokens, sum(tq.tq) AS s
-          FROM bk JOIN tq USING (bucket) GROUP BY 1)
-    SELECT doc.doc_id, coalesce(d.n_tokens, 0)::BIGINT AS n_tokens,
-           coalesce(s / 10000.0, 0.0) AS logw
-    FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id
+          FROM bk JOIN tq USING (bucket) GROUP BY 1),
+    dw AS (SELECT doc.doc_id, coalesce(d.n_tokens, 0)::BIGINT AS n_tokens,
+                  coalesce(s / 10000.0, 0.0) AS logw
+           FROM documents doc LEFT JOIN d ON doc.doc_id = d.doc_id)
     """
 
 
-ORACLE_SQL["dsir_weights"] = _dsir_sql()
+ORACLE_SQL["dsir_weights"] = _dsir_sql() + "SELECT doc_id, n_tokens, logw FROM dw"
+
+# dsir_sample twin: Gumbel-top-K resampling over the same per-doc
+# weights — u from the splitmix64 finalizer on doc_id (the engine's
+# _mix64 chain in HUGEINT), key = round4(logw − ln(−ln(u))).
+def _dsir_sample_sql(k: int = 100) -> str:
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    u_scale = repr(2.0 ** -53)
+    return _dsir_sql() + f""",
+    hx AS (SELECT doc_id, doc_id::HUGEINT AS h0 FROM dw),
+    hm1 AS (SELECT doc_id, {_mm('xor(h0, h0 // 1073741824)', C1)} AS h1 FROM hx),
+    hm2 AS (SELECT doc_id, {_mm('xor(h1, h1 // 134217728)', C2)} AS h2 FROM hm1),
+    hu AS (SELECT doc_id,
+                  greatest((xor(h2, h2 // 2147483648) // 2048)::DOUBLE * {u_scale},
+                           {u_scale}) AS u
+           FROM hm2),
+    sk AS (SELECT dw.doc_id, dw.n_tokens, dw.logw,
+                  round(dw.logw - ln(-ln(hu.u)), 4) AS key
+           FROM dw JOIN hu USING (doc_id))
+    SELECT doc_id, n_tokens, logw, key FROM sk
+    ORDER BY key DESC, doc_id LIMIT {k}
+    """
+
+
+ORACLE_SQL["dsir_sample"] = _dsir_sample_sql()
 
 # kmeans_clusters twin: unrolled-CTE replay of the engine's fixed-point
 # integer k-means (stages/similarity.py::kmeans_int) — floor(x·2^20)

@@ -1683,15 +1683,29 @@ def q_dsir_weights(sf_dir: str):
     vector; scoring is one token-hash kernel pass + an integer segment
     sum per batch — no joins, no second shuffle, corpus-size
     independent state."""
+    docs, ref = _dsir_terms(sf_dir)
+    return docs.map_batches(
+        cp.DSIRScorer,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=2,
+        batch_size=1024,
+    )
+
+
+def _dsir_terms(sf_dir: str):
+    """Shared DSIR distribution build: per-batch bincount combiner →
+    bucket-keyed groupby-sum → quantized per-bucket terms broadcast
+    once. Returns (docs_ds[doc_id, text], terms ObjectRef)."""
     import ray
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    counts = (
+    rows = (
         docs.map_batches(cp.dsir_partial_counts, batch_format="pyarrow")
         .groupby("bucket")
         .aggregate(Sum("c_raw", alias_name="c_raw"), Sum("c_tgt", alias_name="c_tgt"))
+        .take_all()
     )
-    rows = counts.take_all()
     counts_tbl = pa.table(
         {
             "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
@@ -1702,14 +1716,31 @@ def q_dsir_weights(sf_dir: str):
     raw_total = int(sum(r["c_raw"] for r in rows))
     tgt_total = int(sum(r["c_tgt"] for r in rows))
     terms = cp.dsir_bucket_terms(counts_tbl, raw_total, tgt_total)
-    ref = ray.put(terms)
-    return docs.select_columns(["doc_id", "text"]).map_batches(
-        cp.DSIRScorer,
+    return docs.select_columns(["doc_id", "text"]), ray.put(terms)
+
+
+DSIR_SAMPLE_K = 100
+
+
+def q_dsir_sample(sf_dir: str):
+    """DSIR phase 2 — importance RESAMPLING (the paper's actual
+    selection step): weighted sampling without replacement via
+    Gumbel-top-k, with uniforms derived deterministically from
+    splitmix64(doc_id) so the sample is a pure function of the corpus
+    and exactly SQL-replayable. key = logw − ln(−ln(u)), round4; take
+    the global top-K by (key desc, doc_id) with the house per-block
+    top-k + tiny merge."""
+    from ..stages.topk import topk as _topk
+
+    docs, ref = _dsir_terms(sf_dir)
+    keys = docs.map_batches(
+        cp.DSIRSampleKeys,
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         concurrency=2,
         batch_size=1024,
     )
+    return _topk(keys, ["key", "doc_id"], [True, False], DSIR_SAMPLE_K)
 
 
 BPE_NUM_MERGES = 50
@@ -1953,6 +1984,7 @@ QUERIES = {
     "pmi_top": q_pmi_top,
     "text_entropy": q_text_entropy,
     "corpus_curate": q_corpus_curate,
+    "dsir_sample": q_dsir_sample,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

@@ -523,6 +523,9 @@ ORDER BY x.ord"""
 DSIR_BUCKETS = 1024
 
 
+DSIR_U_SCALE = 2.0 ** -53  # (h >> 11) · 2^-53 ∈ [0, 1): exactly representable
+
+
 def dsir_partial_counts(batch: pa.Table, lang_col: str = "lang",
                         text_col: str = "text", target_lang: str = "en") -> pa.Table:
     """Per-batch partial (bucket, c_raw, c_tgt) hashed-feature token
@@ -599,3 +602,29 @@ class DSIRScorer:
                 "logw": pa.array(s / 10000.0, pa.float64()),
             }
         )
+
+
+class DSIRSampleKeys(DSIRScorer):
+    """DSIR phase 2 — importance RESAMPLING keys (Gumbel-top-k /
+    Efraimidis–Spirakis): key_i = logw_i + Gumbel(u_i) with the uniform
+    u_i derived DETERMINISTICALLY from splitmix64(doc_id) (the
+    SQL-replayable finalizer), so weighted sampling without replacement
+    = take the global top-K keys — reproducible across runs, shard
+    counts, and engines. u = max((h >> 11)·2^-53, 2^-53) ∈ (0, 1);
+    key rounds half-away to 4 (a single two-term add on identical
+    doubles — no order sensitivity)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_half_away
+        from ..functions.tokenize import _mix64
+
+        t = super().__call__(batch)  # (id, n_tokens, logw)
+        ids = t[self.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(ids)
+        u = np.maximum(
+            (h >> np.uint64(11)).astype(np.float64) * DSIR_U_SCALE, DSIR_U_SCALE
+        )
+        key = round_half_away(
+            t["logw"].to_numpy(zero_copy_only=False) - np.log(-np.log(u)), 4
+        )
+        return t.append_column("key", pa.array(key, pa.float64()))

@@ -291,3 +291,25 @@ class TestCurator:
         out = cur(_docs(texts)).to_pydict()
         assert out["doc_id"] == [0]
         assert out["n_tokens"] == [12]
+
+
+class TestDSIRSample:
+    def test_keys_deterministic_and_weight_monotone(self):
+        import numpy as np
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["good clean prose", "good clean prose", "zz9 qq8"], pa.string()),
+        })
+        terms = np.zeros(cp.DSIR_BUCKETS, dtype=np.int64)
+        terms[:] = 0
+        sk = cp.DSIRSampleKeys(terms)
+        a = sk(docs).to_pydict()
+        b = sk(docs).to_pydict()
+        assert a == b  # pure function of (doc_id, text, terms)
+        # all-zero terms -> logw 0 for every doc; keys differ only by the
+        # doc_id-derived Gumbel noise, and u in (0,1) gives finite keys
+        assert a["logw"] == [0.0, 0.0, 0.0]
+        assert all(np.isfinite(a["key"]))
+        # identical text, different ids -> different keys (hash-driven)
+        assert a["key"][0] != a["key"][1]

@@ -6,6 +6,21 @@ entry here (hash-family sketch dedup: minhash/simhash/embedding/ivf, and
 the stubbed media codecs) get the driver's rows-only check instead.
 """
 
+# Gate/parameter constants shared with the engine kernels — interpolated
+# into the twin SQL, never restated as literals (params.py is the single
+# source of truth; see that module's docstring).
+from .params import (
+    CURATE_ENT_MIN,
+    CURATE_MIN_TOKENS,
+    CURATE_PPL_MAX,
+    DSIR_SAMPLE_K,
+    EMB_DEDUP_THRESHOLD,
+    KMEANS_ITERS,
+    KMEANS_K,
+    PMI_MIN_COUNT,
+    SEMDEDUP_TAU,
+)
+
 # ---- winnowing twin: replay the engine's exact mod-2^61-1 polynomial
 # rolling hash (k=8 byte-grams, base 1000003, Horner form) in HUGEINT
 # arithmetic, then the same w=16 window-min selection + per-doc DISTINCT.
@@ -449,13 +464,13 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = c.doc_b
         WHERE CAST(i.nboth AS DOUBLE) / (sa.n + sb.n - i.nboth) >= 0.5
     """,
-    "dedup_embedding_exact": """
+    "dedup_embedding_exact": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])), 4) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+                                           CAST(b.embedding AS DOUBLE[])), 4) >= {EMB_DEDUP_THRESHOLD!r}
     """,
     "embedding_centroids": """
         SELECT label, CAST(i AS BIGINT) AS pos,
@@ -974,7 +989,7 @@ ORACLE_SQL["dsir_weights"] = _dsir_sql() + "SELECT doc_id, n_tokens, logw FROM d
 # dsir_sample twin: Gumbel-top-K resampling over the same per-doc
 # weights — u from the splitmix64 finalizer on doc_id (the engine's
 # _mix64 chain in HUGEINT), key = round4(logw − ln(−ln(u))).
-def _dsir_sample_sql(k: int = 100) -> str:
+def _dsir_sample_sql(k: int = DSIR_SAMPLE_K) -> str:
     C1 = 0xBF58476D1CE4E5B9
     C2 = 0x94D049BB133111EB
     u_scale = repr(2.0 ** -53)
@@ -1001,7 +1016,7 @@ ORACLE_SQL["dsir_sample"] = _dsir_sample_sql()
 # quantization, exact int64 distances, TRUNCATING integer division for
 # centroid updates (DuckDB's //), argmin ties to the lowest cluster,
 # init = the k lowest-id vectors, empty clusters keep their centroid.
-def _kmeans_ctes(k: int = 4, iters: int = 3) -> str:
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     """The WITH-body CTE chain ending in centroids c{iters} plus the
     final-assignment CTE ``af`` (vec_id, c) — shared by the
     kmeans_clusters and semdedup twins."""
@@ -1064,14 +1079,14 @@ ORACLE_SQL["semdedup"] = f"""
         JOIN embeddings eb ON eb.vec_id = t.vec_id
         WHERE t.c = s.c AND t.vec_id < s.vec_id
           AND round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                           CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3
+                                           CAST(eb.embedding AS DOUBLE[])), 4) >= {SEMDEDUP_TAU!r}
     )
 """
 
 # pmi_top twin: the engine's own count + quantized-ln expressions
 # corpus-wide (n_total inlined as a DOUBLE on the engine side equals
 # the (sum)::DOUBLE here — integer totals < 2^53 are double-exact).
-ORACLE_SQL["pmi_top"] = """
+ORACLE_SQL["pmi_top"] = f"""
     WITH x AS (SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS w FROM documents),
     uni AS (SELECT w1 AS tok, count(*)::BIGINT AS c
             FROM (SELECT unnest(w) AS w1 FROM x) GROUP BY 1),
@@ -1084,7 +1099,7 @@ ORACLE_SQL["pmi_top"] = """
           FROM bi CROSS JOIN n
           JOIN uni ca ON ca.tok = string_split(bi.bigram, ' ')[1]
           JOIN uni cb ON cb.tok = string_split(bi.bigram, ' ')[2]
-          WHERE bi.cnt >= 5)
+          WHERE bi.cnt >= {PMI_MIN_COUNT})
     SELECT bigram, cnt, q / 10000.0 AS pmi
     FROM s ORDER BY q DESC, bigram LIMIT 100
 """
@@ -1113,7 +1128,8 @@ ORACLE_SQL["corpus_curate"] = f"""
     SELECT lm.doc_id, te.n_tokens, te.entropy, lm.ppl
     FROM ({ORACLE_SQL["lm_perplexity"]}) lm
     JOIN ({ORACLE_SQL["text_entropy"]}) te USING (doc_id)
-    WHERE te.n_tokens >= 10 AND te.entropy >= 2.7 AND lm.ppl <= 30.5
+    WHERE te.n_tokens >= {CURATE_MIN_TOKENS}
+      AND te.entropy >= {CURATE_ENT_MIN!r} AND lm.ppl <= {CURATE_PPL_MAX!r}
 """
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture

@@ -1644,9 +1644,18 @@ def _lm_model(sf_dir: str):
     return docs, ray.put(uni_tbl), ray.put(bi_tbl), uni_tbl.num_rows
 
 
-CURATE_PPL_MAX = 30.5
-CURATE_ENT_MIN = 2.7
-CURATE_MIN_TOKENS = 10
+# gate constants shared with the oracle twins — single source of truth
+# in params.py (re-exported here for existing importers)
+from .params import (  # noqa: E402
+    CURATE_ENT_MIN,
+    CURATE_MIN_TOKENS,
+    CURATE_PPL_MAX,
+    DSIR_SAMPLE_K,
+    KMEANS_ITERS,
+    KMEANS_K,
+    PMI_MIN_COUNT,
+    SEMDEDUP_TAU,
+)
 
 
 def q_corpus_curate(sf_dir: str):
@@ -1719,7 +1728,6 @@ def _dsir_terms(sf_dir: str):
     return docs.select_columns(["doc_id", "text"]), ray.put(terms)
 
 
-DSIR_SAMPLE_K = 100
 
 
 def q_dsir_sample(sf_dir: str):
@@ -1805,8 +1813,6 @@ def q_bpe_tokenize(sf_dir: str):
     )
 
 
-KMEANS_K = 4
-KMEANS_ITERS = 3
 
 
 def _kmeans_init(sf_dir: str) -> np.ndarray:
@@ -1840,7 +1846,6 @@ def q_kmeans_clusters(sf_dir: str):
     return sim.kmeans_int(ds, _kmeans_init(sf_dir), iters=KMEANS_ITERS)
 
 
-SEMDEDUP_TAU = 0.3
 
 
 def q_semdedup(sf_dir: str):
@@ -1858,7 +1863,6 @@ def q_semdedup(sf_dir: str):
     return sim.semdedup_survivors(ds, cents, tau=SEMDEDUP_TAU)
 
 
-PMI_MIN_COUNT = 5
 
 
 def q_pmi_top(sf_dir: str):

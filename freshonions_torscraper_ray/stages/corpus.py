@@ -555,18 +555,22 @@ def dsir_bucket_terms(counts: pa.Table, raw_total: int, tgt_total: int) -> np.nd
     """Dense int64 array of quantized per-bucket log-ratio terms
     t[b] = round(ln(((c_tgt+1)/(T+B)) / ((c_raw+1)/(R+B))) * 1e4),
     computed by the same DuckDB expression the oracle twin runs (the
-    kernel IS the oracle's expression). Buckets no corpus token hashes
-    to keep term 0 — unreachable during scoring by construction."""
+    kernel IS the oracle's expression). Buckets absent from the count
+    table get the add-one-smoothed UNSEEN term (c_raw = c_tgt = 0 in
+    the same expression, i.e. round(ln((R+B)/(T+B))·1e4)) — unreachable
+    when scoring the build corpus itself, but DSIRScorer is reusable on
+    held-out/new data, where an unseen bucket must not score 0."""
     td = float(tgt_total + DSIR_BUCKETS)
     rd = float(raw_total + DSIR_BUCKETS)
     tbl = counts  # noqa: F841 — duckdb reads it by name
-    out = _duck().execute(
-        f"""SELECT bucket,
-               CAST(round(ln(((c_tgt + 1.0) / {td!r}) / ((c_raw + 1.0) / {rd!r})) * 10000, 0)
-                    AS BIGINT) AS tq
-        FROM tbl"""
-    ).arrow()
-    t = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+    expr = f"CAST(round(ln(((c_tgt + 1.0) / {td!r}) / ((c_raw + 1.0) / {rd!r})) * 10000, 0) AS BIGINT)"
+    unseen = (
+        _duck()
+        .execute(f"SELECT {expr} AS tq FROM (SELECT 0::BIGINT AS c_raw, 0::BIGINT AS c_tgt)")
+        .fetchone()[0]
+    )
+    out = _duck().execute(f"SELECT bucket, {expr} AS tq FROM tbl").arrow()
+    t = np.full(DSIR_BUCKETS, int(unseen), dtype=np.int64)
     t[out["bucket"].to_numpy(zero_copy_only=False)] = out["tq"].to_numpy(zero_copy_only=False)
     return t
 
@@ -611,11 +615,12 @@ class DSIRSampleKeys(DSIRScorer):
     SQL-replayable finalizer), so weighted sampling without replacement
     = take the global top-K keys — reproducible across runs, shard
     counts, and engines. u = max((h >> 11)·2^-53, 2^-53) ∈ (0, 1);
-    key rounds half-away to 4 (a single two-term add on identical
-    doubles — no order sensitivity)."""
+    the key expression round(logw − ln(−ln(u)), 4) is evaluated BY
+    DuckDB on (logw, u) — verbatim the twin's `sk` CTE — so an
+    engine-vs-twin libm ulp difference at a .00005 rounding boundary
+    cannot flip a key (the kernel IS the oracle's expression)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.rounding import round_half_away
         from ..functions.tokenize import _mix64
 
         t = super().__call__(batch)  # (id, n_tokens, logw)
@@ -624,7 +629,8 @@ class DSIRSampleKeys(DSIRScorer):
         u = np.maximum(
             (h >> np.uint64(11)).astype(np.float64) * DSIR_U_SCALE, DSIR_U_SCALE
         )
-        key = round_half_away(
-            t["logw"].to_numpy(zero_copy_only=False) - np.log(-np.log(u)), 4
+        tbl = pa.table(  # noqa: F841 — duckdb reads it by name
+            {"logw": t["logw"], "u": pa.array(u, pa.float64())}
         )
-        return t.append_column("key", pa.array(key, pa.float64()))
+        key = _duck().execute("SELECT round(logw - ln(-ln(u)), 4) AS key FROM tbl").arrow()
+        return t.append_column("key", key["key"].combine_chunks())

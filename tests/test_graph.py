@@ -156,3 +156,18 @@ def test_clustering_coefficients_planted(ray_session):
     # disjoint triangle: 1 each, deg 2 -> 1.0; pendant e: no triangles -> absent
     assert got["x"] == (1, 2, 1.0) and got["y"] == (1, 2, 1.0) and got["z"] == (1, 2, 1.0)
     assert "e" not in got
+
+
+def test_wedge_index_chunks_match_triu():
+    import numpy as np
+
+    from freshonions_torscraper_ray.stages.graph import _wedge_index_chunks
+
+    for n in (0, 1, 2, 3, 17, 64, 257):
+        ii, jj = np.triu_indices(n, 1)
+        chunks = list(_wedge_index_chunks(n, max_pairs=7))
+        i = np.concatenate([c[0] for c in chunks]) if chunks else np.empty(0, np.int64)
+        j = np.concatenate([c[1] for c in chunks]) if chunks else np.empty(0, np.int64)
+        assert (i == ii).all() and (j == jj).all()
+        # bound holds: no chunk exceeds max(max_pairs, n - 1)
+        assert all(len(c[0]) <= max(7, n - 1) for c in chunks)

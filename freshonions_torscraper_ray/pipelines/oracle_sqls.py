@@ -15,6 +15,8 @@ from .params import (
     CURATE_PPL_MAX,
     DSIR_SAMPLE_K,
     EMB_DEDUP_THRESHOLD,
+    EMB_LSH_NBITS,
+    EMB_LSH_SEED,
     KMEANS_ITERS,
     KMEANS_K,
     PMI_MIN_COUNT,
@@ -1011,6 +1013,51 @@ def _dsir_sample_sql(k: int = DSIR_SAMPLE_K) -> str:
 
 ORACLE_SQL["dsir_sample"] = _dsir_sample_sql()
 
+# dedup_embedding twin: replay the engine's splitmix64 fixed-point
+# hyperplane LSH (stages/similarity.py::lsh_planes / HyperplaneLSH)
+# bit-for-bit — plane coeff p[d,j] = (mix64((d·nbits+j+seed+1)·B) >> 40)
+# − 2^23 in HUGEINT, bucket bit_j = Σ_d floor(x_d·2^20)·p > 0 — then the
+# in-bucket verify with round4 list_cosine_similarity (the
+# dedup_embedding_exact discipline, threshold compared on the ROUNDED
+# value like the engine).
+def _emb_lsh_pairs_sql(dim: int = 64, nbits: int = EMB_LSH_NBITS,
+                       seed: int = EMB_LSH_SEED,
+                       thr: float = EMB_DEDUP_THRESHOLD) -> str:
+    B = 0x9E3779B97F4A7C15
+    C1 = 0xBF58476D1CE4E5B9
+    C2 = 0x94D049BB133111EB
+    return f"""
+    WITH q AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(unnest(embedding)::DOUBLE * 1048576.0) AS BIGINT) AS v
+        FROM embeddings),
+    pidx AS (SELECT dd.d, jj.j, (dd.d * {nbits} + jj.j + {seed} + 1)::HUGEINT AS i0
+             FROM (SELECT unnest(range({dim})) AS d) dd,
+                  (SELECT unnest(range({nbits})) AS j) jj),
+    ph0 AS (SELECT d, j, {_mm('i0', B)} AS h0 FROM pidx),
+    pm1 AS (SELECT d, j, {_mm('xor(h0, h0 // 1073741824)', C1)} AS h1 FROM ph0),
+    pm2 AS (SELECT d, j, {_mm('xor(h1, h1 // 134217728)', C2)} AS h2 FROM pm1),
+    pl AS (SELECT d, j,
+                  ((xor(h2, h2 // 2147483648) // 1099511627776) - 8388608)::BIGINT AS p
+           FROM pm2),
+    dots AS (SELECT q.vec_id, pl.j, sum(q.v * pl.p) AS s
+             FROM q JOIN pl USING (d) GROUP BY 1, 2),
+    bk AS (SELECT vec_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+           FROM dots GROUP BY 1)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    JOIN embeddings ea ON ea.vec_id = a.vec_id
+    JOIN embeddings eb ON eb.vec_id = b.vec_id
+    WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 4) >= {thr!r}
+    """
+
+
+ORACLE_SQL["dedup_embedding"] = _emb_lsh_pairs_sql()
+
 # kmeans_clusters twin: unrolled-CTE replay of the engine's fixed-point
 # integer k-means (stages/similarity.py::kmeans_int) — floor(x·2^20)
 # quantization, exact int64 distances, TRUNCATING integer division for
@@ -1082,6 +1129,36 @@ ORACLE_SQL["semdedup"] = f"""
                                            CAST(eb.embedding AS DOUBLE[])), 4) >= {SEMDEDUP_TAU!r}
     )
 """
+
+# ann_ivf twin: the fixed-point k-means CTE chain at (IVF_K, KMEANS_ITERS)
+# gives centroids c{iters} + assignments af; the query (vec_id = 0)
+# quantizes to the same floor(x·2^20) grid, lists rank by exact int64
+# squared distance (ties → lowest c — the engine's lexsort), candidates
+# come from the probed lists only, scored with round4
+# list_cosine_similarity (the green ann_topk discipline).
+def _ann_ivf_sql() -> str:
+    from .params import IVF_K, IVF_NPROBE, IVF_TOPK
+
+    return f"""
+    WITH {_kmeans_ctes(k=IVF_K, iters=KMEANS_ITERS)},
+    qv AS (SELECT generate_subscripts(embedding, 1) - 1 AS j,
+                  CAST(floor(unnest(embedding)::DOUBLE * 1048576.0) AS BIGINT) AS v
+           FROM embeddings WHERE vec_id = 0),
+    pd AS (SELECT cc.c, sum((qv.v - cc.v) * (qv.v - cc.v)) AS d2
+           FROM qv JOIN c{KMEANS_ITERS} cc USING (j) GROUP BY 1),
+    probe AS (SELECT c FROM pd ORDER BY d2, c LIMIT {IVF_NPROBE}),
+    cand AS (SELECT af.vec_id FROM af JOIN probe USING (c))
+    SELECT e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(q.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos DESC, e.vec_id LIMIT {IVF_TOPK}
+    """
+
+
+ORACLE_SQL["ann_ivf"] = _ann_ivf_sql()
 
 # pmi_top twin: the engine's own count + quantized-ln expressions
 # corpus-wide (n_total inlined as a DOUBLE on the engine side equals

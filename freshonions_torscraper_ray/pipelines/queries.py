@@ -439,9 +439,20 @@ def q_lang_length_quantiles(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH. Hash-matched:
+    the hyperplanes are splitmix64-derived fixed-point integers over the
+    floor(x·2^20) grid (stages/similarity.py::lsh_planes), so the DuckDB
+    twin replays bucket assignment in HUGEINT arithmetic and the
+    in-bucket verify with round4 list_cosine_similarity — the recipe
+    that flipped minhash/simhash in round 4. The exact all-pairs anchor
+    (dedup_embedding_exact) and a structural-recall pytest sit beside
+    it for the hash-family-quality half of the contract."""
+    from .params import EMB_DEDUP_THRESHOLD, EMB_LSH_NBITS, EMB_LSH_SEED
+
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return sim.embedding_near_dups(ds, dim=64, threshold=0.3, nbits=6)
+    return sim.embedding_near_dups(
+        ds, dim=64, threshold=EMB_DEDUP_THRESHOLD, nbits=EMB_LSH_NBITS, seed=EMB_LSH_SEED
+    )
 
 
 def q_dedup_embedding_exact(sf_dir: str):
@@ -624,17 +635,23 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN (rows-only): persisted index (built once: limit-sample →
-    k-means → distributed assign → hive-partitioned parquet by list_id),
-    then a partition-pruned probe — no full-table driver read anywhere,
-    and the second query skips the build entirely."""
+    """IVF ANN, hash-matched: the coarse quantizer is the fixed-point
+    integer k-means (bit-exact, the kmeans_clusters kernel), so the
+    persisted index (hive-partitioned parquet by list_id, built once,
+    partition-pruned probe reads ONLY its lists) is a pure function of
+    the corpus and the DuckDB twin replays build + probe + round4-cosine
+    scoring end-to-end. Recall < 1.0 by design (index-defined); the
+    brute-force ann_topk anchor is green beside it and a recall unit
+    test pins the quality floor."""
     import pyarrow.parquet as pq
 
+    from .params import IVF_K, IVF_NPROBE, IVF_TOPK
+
     path = f"{sf_dir}/embeddings.parquet"
-    idx, cents = sim.build_or_load_ivf(path, k=16, sample_n=2000)
+    idx, cents = sim.build_or_load_ivf_exact(path, k=IVF_K, iters=KMEANS_ITERS)
     qrow = pq.read_table(path, columns=["embedding"], filters=[("vec_id", "==", 0)])
     qvec = np.asarray(qrow["embedding"][0].as_py(), dtype=np.float64)
-    return sim.ivf_index_topk(idx, cents, qvec, k=10, nprobe=4)
+    return sim.ivf_exact_topk(idx, cents, qvec, k=IVF_TOPK, nprobe=IVF_NPROBE)
 
 
 def q_ann_multi(sf_dir: str):

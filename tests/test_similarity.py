@@ -121,13 +121,15 @@ def test_embedding_near_dups_match_brute_force_and_slim_shuffle():
     out = embedding_near_dups(rd.from_arrow(t), dim=d, threshold=0.98, nbits=8).to_pandas()
     got = {(int(r.vec_a), int(r.vec_b)): float(r.cos) for r in out.itertuples()}
 
-    m = np.stack([np.asarray(e, dtype=np.float32) for e in rows_emb])
+    from freshonions_torscraper_ray.functions.rounding import round_half_away
+
+    m = np.stack([np.asarray(e, dtype=np.float32) for e in rows_emb]).astype(np.float64)
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    s = m @ m.T
+    s = round_half_away(m @ m.T, 4)  # engine compares on the ROUNDED value
     lshk = HyperplaneLSH(d, nbits=8, seed=42)
     keys = lshk(t)["bucket"].to_pylist()
     truth = {
-        (a, b): round(float(np.float64(s[a, b])), 4)
+        (a, b): float(s[a, b])
         for a, b in itertools.combinations(range(len(rows_id)), 2)
         if s[a, b] >= 0.98 and keys[a] == keys[b]
     }
@@ -319,3 +321,39 @@ def test_semdedup_dominance_rule(ray_session):
     # 1,3 near-dups: only 1 survives; 5 is alone in whichever cluster
     assert 0 in survivors and 1 in survivors and 5 in survivors
     assert 2 not in survivors and 3 not in survivors and 4 not in survivors
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_exact_persists_and_recall(tmp_path):
+    """Fixed-point IVF (the hash-matched ann_ivf path): second call
+    loads without rebuild; probe recall vs brute force stays sane."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from freshonions_torscraper_ray.stages.similarity import (
+        build_or_load_ivf_exact,
+        ivf_exact_topk,
+    )
+
+    t, mat = _corpus(n=300)
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(t, path)
+    idx, cents = build_or_load_ivf_exact(path, k=4, iters=2)
+    marker = f"{idx}/_SUCCESS"
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+    t0 = time.monotonic()
+    idx2, cents2 = build_or_load_ivf_exact(path, k=4, iters=2)
+    assert time.monotonic() - t0 < 1.0 and idx2 == idx
+    assert os.path.getmtime(marker) == mtime  # not rebuilt
+    assert np.array_equal(cents, cents2)
+    q = mat[3].astype(np.float64)
+    got = set(ivf_exact_topk(idx, cents, q, k=10, nprobe=2).to_pandas()["vec_id"])
+    m = (mat / np.linalg.norm(mat, axis=1, keepdims=True)).astype(np.float64)
+    truth = set(np.argsort(-(m @ (q / np.linalg.norm(q))))[:10])
+    assert len(got & truth) / 10 >= 0.5  # nprobe=2 of 4 lists
+    # determinism: same probe twice → identical result
+    r2 = set(ivf_exact_topk(idx, cents, q, k=10, nprobe=2).to_pandas()["vec_id"])
+    assert got == r2

@@ -1615,37 +1615,92 @@ def q_lm_perplexity(sf_dir: str):
     prune / top-V + OOV bucket, the KenLM setup, or flips to a
     bigram-keyed hash join); scoring is one DuckDB kernel per batch
     with per-term int64-quantized logs so the per-doc sum is
-    order-independent and the SQL twin replays it exactly."""
-    docs, uni_ref, bi_ref, vocab = _lm_model(sf_dir)
-    return docs.map_batches(
-        cp.LMPerplexityScorer,
-        fn_constructor_args=(uni_ref, bi_ref, vocab),
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=1024,
-    )
+    order-independent and the SQL twin replays it exactly.
+
+    Scale gate (round-5): at or below LM_BROADCAST_MAX_KEYS distinct
+    model rows the broadcast path runs; above it NOTHING is collected
+    to the driver — scoring flips to the distributed bigram-keyed
+    hash-join path with bit-identical quantized-term semantics
+    (stages/corpus.py::lm_score_distributed; equality unit-tested by
+    forcing the gate to 0)."""
+    docs, counts = _lm_counts_ds(sf_dir)
+    if counts.count() <= _lm_threshold():
+        uni_ref, bi_ref, vocab = _lm_broadcast(counts)
+        return docs.map_batches(
+            cp.LMPerplexityScorer,
+            fn_constructor_args=(uni_ref, bi_ref, vocab),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=1024,
+        )
+    return cp.lm_score_distributed(docs, counts, _lm_vocab_size(counts),
+                                   num_partitions=_join_parts())
 
 
-def _lm_count_rows(sf_dir: str):
+# Broadcast gate for the LM model (and pmi_top's intermediate): at or
+# below this many DISTINCT (kind, key) aggregate rows the model rides
+# ray.put to every worker (vocabulary + bigram types — fine far past
+# test scale); above it nothing is ever collected to the driver and
+# scoring flips to the distributed bigram-keyed hash-join path
+# (stages/corpus.py::lm_score_distributed). 2M keyed rows ≈ 60-80 MB
+# broadcast — the same heap budget stages/joins.py uses. Env override
+# exists so tests can force the over-threshold path on tiny data.
+LM_BROADCAST_MAX_KEYS = 2_000_000
+
+
+def _lm_threshold() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_LM_BROADCAST_MAX_KEYS", LM_BROADCAST_MAX_KEYS))
+
+
+def _join_parts(lo: int = 2, hi: int = 16) -> int:
+    """Hash-shuffle partition count sized to the SESSION width — a
+    partition fan-out wider than the CPU budget stalls the aggregator
+    pool on a narrow session (observed: num_partitions=16 deadlocks a
+    4-cpu pytest session), while a 100-TB run raises it with the
+    cluster (the aggregator pool scales with partitions)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(lo, min(hi, cpus))
+
+
+def _lm_counts_ds(sf_dir: str):
     """ONE corpus scan of unigram+bigram counts: the combiner emits
     (kind, key, cnt) rows from a single tokenize pass per batch → one
-    tiny keyed groupby-sum. Returns (docs_ds, uni_rows, bi_rows)."""
+    tiny keyed groupby-sum, MATERIALIZED (model-table-sized) so the
+    gate's count() and the chosen scoring path don't re-scan the corpus.
+    Returns (docs_ds, counts_ds)."""
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    rows = (
+    counts = (
         docs.map_batches(cp.lm_model_partial_counts, batch_format="pyarrow")
         .groupby(["kind", "key"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
+        .materialize()
     )
+    return docs, counts
+
+
+def _lm_count_rows(sf_dir: str):
+    """Driver-side (kind, key, cnt) rows — the UNDER-threshold form only
+    (pmi_top / model broadcast). Returns (docs_ds, uni_rows, bi_rows)."""
+    docs, counts = _lm_counts_ds(sf_dir)
+    rows = counts.take_all()
     return docs, [r for r in rows if r["kind"] == 0], [r for r in rows if r["kind"] == 1]
 
 
-def _lm_model(sf_dir: str):
-    """Shared LM model build over _lm_count_rows → broadcast model
-    tables. Returns (docs_ds, uni_ref, bi_ref, vocab_size)."""
+def _lm_broadcast(counts) -> tuple:
+    """Materialized counts Dataset → broadcast model tables
+    (uni_ref, bi_ref, vocab_size) — the under-threshold path."""
     import ray
 
-    docs, uni_rows, bi_rows = _lm_count_rows(sf_dir)
+    rows = counts.take_all()
+    uni_rows = [r for r in rows if r["kind"] == 0]
+    bi_rows = [r for r in rows if r["kind"] == 1]
     uni_tbl = pa.table(
         {
             "tok": pa.array([r["key"] for r in uni_rows], pa.string()),
@@ -1658,7 +1713,17 @@ def _lm_model(sf_dir: str):
             "c": pa.array([r["cnt"] for r in bi_rows], pa.int64()),
         }
     )
-    return docs, ray.put(uni_tbl), ray.put(bi_tbl), uni_tbl.num_rows
+    return ray.put(uni_tbl), ray.put(bi_tbl), uni_tbl.num_rows
+
+
+def _lm_vocab_size(counts) -> int:
+    """Distinct unigram count WITHOUT collecting the model (the V in the
+    add-one smoothing denominator) — a metadata-cheap filtered count over
+    the materialized aggregate."""
+    return counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["key"]),
+        batch_format="pyarrow",
+    ).count()
 
 
 # gate constants shared with the oracle twins — single source of truth
@@ -1682,16 +1747,44 @@ def q_corpus_curate(sf_dir: str):
     vectorized — the CCNet-style keep set (ppl ≤ 30.5, entropy ≥ 2.7,
     ≥ 10 tokens; thresholds sit at the corpus quartiles so the cut is
     non-trivial at every sf). Twin: the two score twins joined as
-    subqueries with the same gates."""
-    docs, uni_ref, bi_ref, vocab = _lm_model(sf_dir)
-    return docs.map_batches(
-        cp.CorpusCurator,
-        fn_constructor_args=(uni_ref, bi_ref, vocab,
-                             CURATE_PPL_MAX, CURATE_ENT_MIN, CURATE_MIN_TOKENS),
-        batch_format="pyarrow",
-        concurrency=2,
-        batch_size=1024,
-    )
+    subqueries with the same gates.
+
+    Scale gate: same LM_BROADCAST_MAX_KEYS split as q_lm_perplexity —
+    over threshold the fused single-pass kernel gives way to the
+    distributed hash-join ppl path joined (doc-keyed) with the
+    doc-local entropy kernel, gates applied vectorized on the identical
+    round4 values (plain float comparisons — exact on both paths)."""
+    docs, counts = _lm_counts_ds(sf_dir)
+    if counts.count() <= _lm_threshold():
+        uni_ref, bi_ref, vocab = _lm_broadcast(counts)
+        return docs.map_batches(
+            cp.CorpusCurator,
+            fn_constructor_args=(uni_ref, bi_ref, vocab,
+                                 CURATE_PPL_MAX, CURATE_ENT_MIN, CURATE_MIN_TOKENS),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=1024,
+        )
+    ppl_ds = cp.lm_score_distributed(docs, counts, _lm_vocab_size(counts),
+                                     num_partitions=_join_parts())
+    ent_ds = docs.map_batches(cp.entropy_stats, batch_format="pyarrow")
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_tokens"], CURATE_MIN_TOKENS),
+                pc.greater_equal(t["entropy"], CURATE_ENT_MIN),
+            ),
+            pc.less_equal(t["ppl"], CURATE_PPL_MAX),
+        )
+        return t.filter(keep).select(["doc_id", "n_tokens", "entropy", "ppl"])
+
+    # partitions scale with the doc count (parquet-metadata-cheap) — a
+    # partition fan-out beyond a side's rows breaks chained hash joins
+    parts = min(_join_parts(), docs.count() // 50_000 + 1)
+    joined = ent_ds.join(ppl_ds, join_type="inner",
+                         num_partitions=parts, on=("doc_id",))
+    return joined.map_batches(gate, batch_format="pyarrow")
 
 
 def q_dsir_weights(sf_dir: str):
@@ -1891,8 +1984,19 @@ def q_pmi_top(sf_dir: str):
     cnt) rows, tiny keyed groupby); scoring runs on the
     vocabulary-sized aggregate via a driver DuckDB kernel whose ln
     expression the twin replays verbatim, quantized to int64 so the
-    (pmi desc, bigram asc) ranking can't be flipped by float noise."""
-    _, uni_rows, bi_rows = _lm_count_rows(sf_dir)
+    (pmi desc, bigram asc) ranking can't be flipped by float noise.
+
+    Scale gate: same LM_BROADCAST_MAX_KEYS split — over threshold the
+    intermediate distinct-bigram aggregate is never collected; the
+    bigram rows hash-join the unigram counts twice (first/second token)
+    and the ranking runs through the house block-top-k
+    (stages/topk.py), identical quantized ordering."""
+    docs, counts = _lm_counts_ds(sf_dir)
+    if counts.count() > _lm_threshold():
+        return _pmi_top_distributed(counts)
+    rows = counts.take_all()
+    uni_rows = [r for r in rows if r["kind"] == 0]
+    bi_rows = [r for r in rows if r["kind"] == 1]
     uni = {r["key"]: int(r["cnt"]) for r in uni_rows}
     bi = [(r["key"], int(r["cnt"])) for r in bi_rows]
     n_total = sum(uni.values())
@@ -1917,6 +2021,89 @@ def q_pmi_top(sf_dir: str):
             "cnt": out["cnt"],
             "pmi": pa.array(out["q"].to_numpy(zero_copy_only=False) / 10000.0, pa.float64()),
         }
+    )
+
+
+def _pmi_top_distributed(counts):
+    """Over-threshold PMI path: the (kind, key, cnt) aggregate stays a
+    Dataset. Bigram rows split into (w1, w2), hash-join the unigram
+    counts twice, the quantized-PMI kernel runs per batch with the SAME
+    ln expression text, and the top-100 rides the house block-top-k —
+    no driver-side model table at any point."""
+    from ..stages.topk import topk
+
+    n_total = counts.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["cnt"]),
+        batch_format="pyarrow",
+    ).sum("cnt")
+
+    def split_bi(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.equal(t["kind"], 1),
+                             pc.greater_equal(t["cnt"], PMI_MIN_COUNT)))
+        parts = pc.split_pattern(t["key"], " ", max_splits=1)
+        return pa.table(
+            {
+                "bigram": t["key"],
+                "cnt": t["cnt"],
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+            }
+        )
+
+    def uni_side(name):
+        # right-side key gets a DISTINCT name (uk_*): a same-named key on
+        # both sides leaves two w1 columns in the join output and the
+        # next join fails on the ambiguous FieldRef
+        return counts.map_batches(
+            lambda t, n=name: t.filter(pc.equal(t["kind"], 0))
+            .select(["key", "cnt"]).rename_columns([f"uk_{n}", f"c_{n}"]),
+            batch_format="pyarrow",
+        )
+
+    bi = counts.map_batches(split_bi, batch_format="pyarrow")
+    # Ray's hash join loses an all-empty side's schema, and a join
+    # whose partition count exceeds a side's rows breaks the NEXT join
+    # fed by it (empty partitions emit no blocks) — so probe the
+    # qualifying-row count (counts is materialized; model-table-sized)
+    # and scale partitions with it, the stages/dedup.py house rule.
+    n_bi = bi.count()
+    if n_bi == 0:
+        return pa.table(
+            {"bigram": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64()),
+             "pmi": pa.array([], pa.float64())}
+        )
+    parts = min(_join_parts(), n_bi // 20_000 + 1)
+    bi = bi.join(uni_side("w1"), join_type="inner", num_partitions=parts,
+                 on=("w1",), right_on=("uk_w1",))
+    bi = bi.join(uni_side("w2"), join_type="inner", num_partitions=parts,
+                 on=("w2",), right_on=("uk_w2",))
+
+    def score(t: pa.Table) -> pa.Table:
+        tbl = pa.table(  # noqa: F841 — duckdb reads it by name
+            {"bigram": t["bigram"], "cnt": t["cnt"],
+             "ca": t["c_w1"], "cb": t["c_w2"]}
+        )
+        from ..functions.doc_extract import _duck
+
+        return _duck().execute(
+            f"""SELECT bigram, cnt,
+                   CAST(round(ln((cnt * {float(n_total)!r}) / (ca * cb)) * 10000, 0)
+                        AS BIGINT) AS q
+            FROM tbl"""
+        ).arrow()
+
+    ranked = topk(bi.map_batches(score, batch_format="pyarrow"),
+                  ["q", "bigram"], [True, False], 100)
+    return ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "bigram": t["bigram"],
+                "cnt": t["cnt"],
+                "pmi": pc.divide(pc.cast(t["q"], pa.float64()), 10000.0),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

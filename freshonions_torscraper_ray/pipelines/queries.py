@@ -1655,18 +1655,11 @@ def _lm_threshold() -> int:
 
 
 def _join_parts(lo: int = 2, hi: int = 16) -> int:
-    """Hash-shuffle partition count sized to the SESSION width — a
-    partition fan-out wider than the CPU budget stalls the aggregator
-    pool on a narrow session (observed: num_partitions=16 deadlocks a
-    4-cpu pytest session), while a 100-TB run raises it with the
-    cluster (the aggregator pool scales with partitions)."""
-    import ray
+    """Session-width hash-shuffle partition count — see
+    stages/joins.py::session_parts (shared with the graph stage)."""
+    from ..stages.joins import session_parts
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(lo, min(hi, cpus))
+    return session_parts(lo, hi)
 
 
 def _lm_counts_ds(sf_dir: str):

@@ -223,21 +223,66 @@ def cluster_stats(cc_ds):
     return cc_ds.groupby("component").aggregate(Count(alias_name="size"))
 
 
+# Broadcast gate for the per-node degree table: at or below this many
+# nodes the (pd.Index, degs) pair rides ray.put (2M string nodes ≈
+# ~120 MB per worker — the stages/joins.py heap budget); above it the
+# orientation flips to two degree-keyed hash joins and NOTHING
+# node-sized touches the driver or a single worker heap (round-5
+# VERDICT #3: at domain granularity ~10^7 nodes the broadcast is
+# GB-scale). Env override lets tests force the join path on tiny data.
+GRAPH_BROADCAST_MAX_NODES = 2_000_000
+
+
+def _graph_threshold() -> int:
+    import os
+
+    return int(os.environ.get("GRAFT_GRAPH_BROADCAST_MAX_NODES",
+                              GRAPH_BROADCAST_MAX_NODES))
+
+
+def _orient_from_cols(t: pa.Table) -> pa.Table:
+    """(lo, hi, dl, dh) → oriented (u, v, vdeg) with key(u) < key(v),
+    key = (degree, name) — the SAME comparison as the broadcast Orient
+    (lo < hi lexicographically, so deg ties keep lo first)."""
+    lo = t["lo"].to_numpy(zero_copy_only=False)
+    hi = t["hi"].to_numpy(zero_copy_only=False)
+    dl = t["dl"].to_numpy(zero_copy_only=False)
+    dh = t["dh"].to_numpy(zero_copy_only=False)
+    fwd = dl <= dh
+    u = np.where(fwd, lo, hi)
+    v = np.where(fwd, hi, lo)
+    vdeg = np.where(fwd, dh, dl)
+    return pa.table(
+        {
+            "u": pa.array(u, pa.string()),
+            "v": pa.array(v, pa.string()),
+            "vdeg": pa.array(vdeg.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _oriented_graph(edges_ds):
     """Shared triangle-family prologue over DISTINCT undirected edges
-    (lo, hi), lo < hi, no self-loops: degree map (node-count-bounded,
-    broadcast once — the pagerank_int broadcast note applies; hash-join
-    fallback when it outgrows a worker), then one degree-orientation
-    pass. Both datasets are consumed twice downstream, so they are
-    pinned (edge-table-sized, not corpus-sized). Returns
-    (oriented_ds, deg_rows)."""
+    (lo, hi), lo < hi, no self-loops: degree map, then one
+    degree-orientation pass. Both datasets are consumed twice
+    downstream, so they are pinned (edge-table-sized, not
+    corpus-sized).
+
+    Degree attachment is GATED (GRAPH_BROADCAST_MAX_NODES): broadcast
+    (pd.Index get_indexer per batch) below, two node-keyed hash joins
+    above — identical output (unit-tested by forcing the gate to 0).
+    Returns (oriented_ds, n_nodes, n_edges, deg_ds, dref) where dref is
+    None on the hash-join path (clustering_coefficients then joins
+    deg_ds instead of broadcasting)."""
     import numpy as np
     import pandas as pd
     import ray
     from ray.data.aggregate import Count
 
+    from .joins import session_parts
+
     edges_ds = edges_ds.materialize()
-    deg_rows = (
+    deg_ds = (
         edges_ds.map_batches(
             lambda t: pa.table(
                 {
@@ -250,41 +295,60 @@ def _oriented_graph(edges_ds):
         )
         .groupby("node")
         .aggregate(Count(alias_name="deg"))
-        .take_all()
+        .materialize()
     )
-    nodes_idx = pd.Index([r["node"] for r in deg_rows])
-    degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
-    ref = ray.put((nodes_idx, degs))
+    n_nodes = deg_ds.count()
+    n_edges = (deg_ds.sum("deg") or 0) // 2
 
-    class Orient:
-        """(lo, hi) → oriented (u, v, vdeg) with key(u) < key(v),
-        key = (degree, name); one vectorized get_indexer per batch."""
+    if n_nodes <= _graph_threshold():
+        deg_rows = deg_ds.take_all()
+        nodes_idx = pd.Index([r["node"] for r in deg_rows])
+        degs = np.array([r["deg"] for r in deg_rows], dtype=np.int64)
+        ref = ray.put((nodes_idx, degs))
 
-        def __init__(self, deg_ref):
-            self.idx, self.deg = ray.get(deg_ref)
+        class Orient:
+            """(lo, hi) → oriented (u, v, vdeg), broadcast degree map;
+            one vectorized get_indexer per batch."""
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            lo = t["lo"].to_numpy(zero_copy_only=False)
-            hi = t["hi"].to_numpy(zero_copy_only=False)
-            dl = self.deg[self.idx.get_indexer(lo)]
-            dh = self.deg[self.idx.get_indexer(hi)]
-            # lo < hi lexicographically, so deg ties keep lo first
-            fwd = dl <= dh
-            u = np.where(fwd, lo, hi)
-            v = np.where(fwd, hi, lo)
-            vdeg = np.where(fwd, dh, dl)
-            return pa.table(
-                {
-                    "u": pa.array(u, pa.string()),
-                    "v": pa.array(v, pa.string()),
-                    "vdeg": pa.array(vdeg, pa.int64()),
-                }
-            )
+            def __init__(self, deg_ref):
+                self.idx, self.deg = ray.get(deg_ref)
 
-    oriented = edges_ds.map_batches(
-        Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
-    ).materialize()
-    return oriented, deg_rows, ref
+            def __call__(self, t: pa.Table) -> pa.Table:
+                lo = t["lo"].to_numpy(zero_copy_only=False)
+                hi = t["hi"].to_numpy(zero_copy_only=False)
+                dl = self.deg[self.idx.get_indexer(lo)]
+                dh = self.deg[self.idx.get_indexer(hi)]
+                t2 = pa.table(
+                    {
+                        "lo": t["lo"],
+                        "hi": t["hi"],
+                        "dl": pa.array(dl, pa.int64()),
+                        "dh": pa.array(dh, pa.int64()),
+                    }
+                )
+                return _orient_from_cols(t2)
+
+        oriented = edges_ds.map_batches(
+            Orient, fn_constructor_args=(ref,), batch_format="pyarrow", concurrency=2
+        ).materialize()
+        return oriented, n_nodes, n_edges, deg_ds, ref
+
+    # hash-join path: every edge endpoint picks up its degree through a
+    # node-keyed shuffle; partitions scale with the node count (and the
+    # session), never beyond a side's rows (Ray chained-join rule)
+    parts = min(session_parts(), n_nodes // 20_000 + 1)
+    deg_lo = deg_ds.map_batches(
+        lambda t: t.rename_columns(["lo_k", "dl"]), batch_format="pyarrow"
+    )
+    deg_hi = deg_ds.map_batches(
+        lambda t: t.rename_columns(["hi_k", "dh"]), batch_format="pyarrow"
+    )
+    j = edges_ds.join(deg_lo, join_type="inner", num_partitions=parts,
+                      on=("lo",), right_on=("lo_k",))
+    j = j.join(deg_hi, join_type="inner", num_partitions=parts,
+               on=("hi",), right_on=("hi_k",))
+    oriented = j.map_batches(_orient_from_cols, batch_format="pyarrow").materialize()
+    return oriented, n_nodes, n_edges, deg_ds, None
 
 
 _WEDGE_CHUNK = 1 << 18  # max pair rows materialized per allocation
@@ -328,9 +392,7 @@ def triangle_census(edges_ds) -> pa.Table:
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Sum
 
-    oriented, deg_rows, _ = _oriented_graph(edges_ds)
-    n_nodes = len(deg_rows)
-    n_edges = sum(r["deg"] for r in deg_rows) // 2
+    oriented, n_nodes, n_edges, _deg_ds, _dref = _oriented_graph(edges_ds)
 
     def wedges(df):
         df = df.sort_values(["vdeg", "v"], kind="mergesort")
@@ -406,7 +468,7 @@ def clustering_coefficients(edges_ds):
 
     from ..functions.rounding import round_half_away
 
-    oriented, _deg_rows, dref = _oriented_graph(edges_ds)
+    oriented, n_nodes, _n_edges, deg_ds, dref = _oriented_graph(edges_ds)
 
     def wedges_with_center(df):
         df = df.sort_values(["vdeg", "v"], kind="mergesort")
@@ -471,29 +533,53 @@ def clustering_coefficients(edges_ds):
         .groupby("node")
         .aggregate(Sum("t", alias_name="n_triangles"))
     )
-    # degree map: reuse _oriented_graph's broadcast (dref) — same
-    # (nodes_idx, degs) tuple, no second object-store copy
+    # degree map: reuse _oriented_graph's broadcast (dref) when the
+    # gate chose broadcast — same (nodes_idx, degs) tuple, no second
+    # object-store copy; on the hash-join path (dref None) the degree
+    # attaches through one node-keyed join against deg_ds instead
 
-    class AttachDegree:
-        def __init__(self, deg_ref):
-            self.idx, self.deg = ray.get(deg_ref)
+    def _coeff_table(node_col, tr: np.ndarray, d: np.ndarray) -> pa.Table:
+        denom = d * (d - 1)
+        coeff = round_half_away(
+            np.where(denom > 0, 2.0 * tr / np.where(denom > 0, denom, 1), 0.0), 4
+        )
+        return pa.table(
+            {
+                "node": node_col,
+                "n_triangles": pa.array(tr),
+                "degree": pa.array(d.astype(np.int64)),
+                "coeff": pa.array(coeff, pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            nodes = t["node"].to_numpy(zero_copy_only=False)
-            tr = t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
-            d = self.deg[self.idx.get_indexer(nodes)]
-            denom = d * (d - 1)
-            coeff = round_half_away(
-                np.where(denom > 0, 2.0 * tr / np.where(denom > 0, denom, 1), 0.0), 4
-            )
-            return pa.table(
-                {
-                    "node": t["node"],
-                    "n_triangles": pa.array(tr),
-                    "degree": pa.array(d.astype(np.int64)),
-                    "coeff": pa.array(coeff, pa.float64()),
-                }
-            )
+    if dref is not None:
 
-    return tri.map_batches(AttachDegree, fn_constructor_args=(dref,),
-                           batch_format="pyarrow", concurrency=2)
+        class AttachDegree:
+            def __init__(self, deg_ref):
+                self.idx, self.deg = ray.get(deg_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                nodes = t["node"].to_numpy(zero_copy_only=False)
+                tr = t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64)
+                d = self.deg[self.idx.get_indexer(nodes)]
+                return _coeff_table(t["node"], tr, d)
+
+        return tri.map_batches(AttachDegree, fn_constructor_args=(dref,),
+                               batch_format="pyarrow", concurrency=2)
+
+    from .joins import session_parts
+
+    parts = min(session_parts(), n_nodes // 20_000 + 1)
+    deg_named = deg_ds.map_batches(
+        lambda t: t.rename_columns(["node_k", "deg"]), batch_format="pyarrow"
+    )
+    j = tri.join(deg_named, join_type="inner", num_partitions=parts,
+                 on=("node",), right_on=("node_k",))
+    return j.map_batches(
+        lambda t: _coeff_table(
+            t["node"],
+            t["n_triangles"].to_numpy(zero_copy_only=False).astype(np.int64),
+            t["deg"].to_numpy(zero_copy_only=False).astype(np.int64),
+        ),
+        batch_format="pyarrow",
+    )

@@ -27,6 +27,24 @@ import pyarrow as pa
 DEFAULT_BROADCAST_THRESHOLD = 2_000_000
 
 
+def session_parts(lo: int = 2, hi: int = 16) -> int:
+    """Hash-shuffle partition count sized to the SESSION width — a
+    partition fan-out wider than the CPU budget stalls the aggregator
+    pool on a narrow session (observed: num_partitions=16 deadlocks a
+    4-cpu pytest session), while a 100-TB run raises it with the
+    cluster. Callers additionally cap by the smaller side's row count
+    (rows // 20_000 + 1): a join whose partitions exceed a side's rows
+    emits blocks only for non-empty partitions and a SUBSEQUENT join
+    fed by it fails (observed Ray hash-join behavior, round 5)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(lo, min(hi, cpus))
+
+
 def join_dim_column(
     ds,
     dim_path: str,

@@ -171,3 +171,33 @@ def test_wedge_index_chunks_match_triu():
         assert (i == ii).all() and (j == jj).all()
         # bound holds: no chunk exceeds max(max_pairs, n - 1)
         assert all(len(c[0]) <= max(7, n - 1) for c in chunks)
+
+
+def test_triangle_family_hash_join_path_matches_broadcast(ray_session, monkeypatch):
+    """Round-5 VERDICT #3: forcing the degree-table gate to 0 routes
+    orientation (and clustering's degree attach) through node-keyed
+    hash joins; results must be identical to the broadcast path."""
+    from freshonions_torscraper_ray.stages.graph import (
+        clustering_coefficients,
+        triangle_census,
+    )
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(25)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(80)})
+
+    monkeypatch.delenv("GRAFT_GRAPH_BROADCAST_MAX_NODES", raising=False)
+    census_b = triangle_census(_edges_ds(pairs)).to_pydict()
+    cc_b = clustering_coefficients(_edges_ds(pairs)).to_pandas()
+
+    monkeypatch.setenv("GRAFT_GRAPH_BROADCAST_MAX_NODES", "0")
+    census_j = triangle_census(_edges_ds(pairs)).to_pydict()
+    cc_j = clustering_coefficients(_edges_ds(pairs)).to_pandas()
+
+    assert census_b == census_j
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    assert norm(cc_b).equals(norm(cc_j))

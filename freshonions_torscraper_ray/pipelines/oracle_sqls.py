@@ -21,6 +21,8 @@ from .params import (
     KMEANS_K,
     PMI_MIN_COUNT,
     SEMDEDUP_TAU,
+    SHARD_ROWS,
+    SHUFFLE_SEED,
 )
 
 # ---- winnowing twin: replay the engine's exact mod-2^61-1 polynomial
@@ -375,6 +377,21 @@ ORACLE_SQL: dict[str, str] = {
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
                     AS BIGINT) AS bin
         FROM t
+    """,
+    # shuffled-shard twin: the engine's splitmix64 rank key replayed in
+    # HUGEINT (the dsir_sample finalizer chain, seeded by XOR), global
+    # order = plain row_number() over the key — splitmix64 is a uint64
+    # bijection, so ranks are unique and no tie-break is needed
+    "corpus_shuffle_shards": f"""
+        WITH hx AS (SELECT doc_id, xor(doc_id::HUGEINT, {SHUFFLE_SEED}) AS h0
+                    FROM documents),
+        hm1 AS (SELECT doc_id, {_mm('xor(h0, h0 // 1073741824)', 0xBF58476D1CE4E5B9)} AS h1 FROM hx),
+        hm2 AS (SELECT doc_id, {_mm('xor(h1, h1 // 134217728)', 0x94D049BB133111EB)} AS h2 FROM hm1),
+        hr AS (SELECT doc_id, xor(h2, h2 // 2147483648) AS r FROM hm2),
+        rk AS (SELECT doc_id, row_number() OVER (ORDER BY r) - 1 AS rk FROM hr)
+        SELECT doc_id, (rk // {SHARD_ROWS})::BIGINT AS shard_id,
+               (rk % {SHARD_ROWS})::BIGINT AS shard_pos
+        FROM rk
     """,
     "langid_pred": f"""
         WITH s AS (

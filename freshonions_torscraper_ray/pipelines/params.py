@@ -37,5 +37,6 @@ IVF_K = 8
 IVF_NPROBE = 3
 IVF_TOPK = 10
 
-# global shuffled-shard export: rows per training shard
+# global shuffled-shard export: rows per training shard + permutation seed
 SHARD_ROWS = 64
+SHUFFLE_SEED = 42

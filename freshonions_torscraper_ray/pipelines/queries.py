@@ -594,6 +594,113 @@ def q_pack_chunks(sf_dir: str):
     return toks.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
+SHUF_BUCKET_SHIFT = 52  # top 12 bits of the rank key → 4096 range buckets
+
+
+def _shuffle_assign(ds):
+    """Seeded deterministic global permutation → fixed-size shard
+    assignment, appended as (shard_id, shard_pos) to every input row.
+
+    Rank key r = splitmix64(doc_id XOR SHUFFLE_SEED) — a bijection on
+    uint64, so ranks are unique, and the permutation is stable across
+    runs, block layouts, shard counts and engines. Distributed rank
+    with NO global sort (the pack_chunks / scheduler-rank house
+    pattern): r's top bits are a value-range bucket (pure key
+    function), per-bucket counts aggregate to a ≤4096-row driver table
+    whose prefix sum is each bucket's global offset (broadcast once),
+    then a per-bucket map_groups sorts in-bucket by r and adds the
+    offset. Scale note: a bucket holds ~corpus/4096 rows through one
+    map_groups group — raise SHUF_BUCKET_SHIFT's width with the corpus
+    (the output is bucket-count-independent)."""
+    import ray
+
+    from ..functions.tokenize import _mix64
+    from .params import SHARD_ROWS, SHUFFLE_SEED
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        r = _mix64(ids ^ np.uint64(SHUFFLE_SEED))
+        t = t.append_column("_r", pa.array(r, pa.uint64()))
+        return t.append_column(
+            "_bkt",
+            pa.array((r >> np.uint64(SHUF_BUCKET_SHIFT)).astype(np.int64), pa.int64()),
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow").materialize()
+    counts = keyed_ds.groupby("_bkt").aggregate(Count(alias_name="n")).to_pandas()
+    counts = counts.sort_values("_bkt").reset_index(drop=True)
+    offsets = dict(
+        zip(
+            counts["_bkt"].tolist(),
+            (counts["n"].cumsum() - counts["n"]).astype("int64").tolist(),
+        )
+    )
+    oref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(g["_bkt"].iloc[0])]
+        g = g.sort_values("_r", kind="mergesort").reset_index(drop=True)
+        rk = off + np.arange(len(g), dtype=np.int64)
+        g = g.drop(columns=["_r", "_bkt"])
+        g["shard_id"] = rk // SHARD_ROWS
+        g["shard_pos"] = rk % SHARD_ROWS
+        return g
+
+    return keyed_ds.groupby("_bkt").map_groups(assign, batch_format="pandas")
+
+
+def q_corpus_shuffle_shards(sf_dir: str):
+    """Global shuffled-shard export assignment — the standard LAST step
+    of a training-data pipeline (decorrelate document order before the
+    data loader streams shards): a seeded deterministic permutation of
+    the corpus cut into fixed SHARD_ROWS-row training shards. Output:
+    (doc_id, shard_id, shard_pos). Twin: row_number() OVER (ORDER BY r)
+    with the engine's splitmix64 rank key replayed in HUGEINT."""
+    return _shuffle_assign(_read(sf_dir, "documents", ["doc_id"]))
+
+
+def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
+    """Sink form: write the shuffled corpus as fixed-size training
+    shards — parquet partitioned by shard_id (one directory per shard,
+    so a failed export reruns only missing shards) plus _manifest.json
+    with per-shard row counts and the permutation parameters. The
+    manifest counts come from the WRITTEN files' parquet metadata, not
+    a second pipeline execution."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .params import SHARD_ROWS, SHUFFLE_SEED
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    _shuffle_assign(ds).write_parquet(out_dir, partition_cols=["shard_id"])
+
+    shards: dict[int, int] = {}
+    for name in os.listdir(out_dir):
+        if not name.startswith("shard_id="):
+            continue
+        sid = int(name.split("=", 1)[1])
+        n = 0
+        d = os.path.join(out_dir, name)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                n += pq.read_metadata(os.path.join(d, f)).num_rows
+        shards[sid] = n
+    manifest = {
+        "seed": SHUFFLE_SEED,
+        "shard_rows": SHARD_ROWS,
+        "n_shards": len(shards),
+        "n_rows": sum(shards.values()),
+        "shards": {str(k): shards[k] for k in sorted(shards)},
+    }
+    # underscore prefix: parquet dataset readers skip it (the _SUCCESS
+    # convention), so reading out_dir as one dataset keeps working
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
 # --------------------------------------------------- similarity search
 
 
@@ -2122,6 +2229,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "dataset_split": q_dataset_split,
     "pack_chunks": q_pack_chunks,
+    "corpus_shuffle_shards": q_corpus_shuffle_shards,
     "langid_pred": q_langid_pred,
     "dedup_exact": q_dedup_exact,
     "clone_groups": q_clone_groups,

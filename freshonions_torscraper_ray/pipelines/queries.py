@@ -1157,19 +1157,69 @@ def q_events_hourly(sf_dir: str):
     return out.map_batches(lambda t: _cents_to_value(t, ["total_value"]), batch_format="pyarrow")
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30 min in integer microseconds
+
+
 def q_events_sessions(sf_dir: str):
-    """Session windows (30-min inactivity gap) per user → session count.
-    Ordering assumption: per-user event-time sort inside map_groups (the
-    engine's sessionization operator; SQL twin uses lag() + sum())."""
+    """Session windows (30-min inactivity gap) per user → session count
+    (the engine's sessionization operator; SQL twin uses lag() + sum()).
+
+    Round-5 skew fix: the old form was one map_groups over the user's
+    ENTIRE event history — a hot user (bot) made one group hold its
+    whole lifetime. A session START is an event with no same-user event
+    in the preceding 30 minutes (strict >1800 s gap; duplicate
+    timestamps collapse to one candidate), which is decidable from the
+    event's own 30-min time bucket plus the previous one. So: each
+    event lands in its bucket (home) and the NEXT bucket (as candidate
+    predecessor), groups are (user, bucket) — bounded by the user's
+    30-MINUTE event rate, never lifetime — each group counts its home
+    starts vectorized (sorted unique µs + searchsorted), and a tiny
+    (user, n) sum yields n_sessions. Exact vs the lag() twin: gap
+    comparison runs in integer microseconds on both sides (1800 s is
+    exactly representable, so the twin's epoch() double compare cannot
+    straddle)."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds().fillna(1e18)
-        n = int((gaps > 1800).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
+    def emit(t: pa.Table) -> pa.Table:
+        tsu = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        bkt = tsu // _SESSION_GAP_US
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid]), pa.int64()),
+                "bkt": pa.array(np.concatenate([bkt, bkt + 1]), pa.int64()),
+                "tsu": pa.array(np.concatenate([tsu, tsu]), pa.int64()),
+                "home": pa.array(
+                    np.concatenate(
+                        [np.ones(len(uid), dtype=np.int8),
+                         np.zeros(len(uid), dtype=np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def count_starts(g: pd.DataFrame) -> pd.DataFrame:
+        all_ts = np.unique(g["tsu"].to_numpy())
+        home = np.unique(g.loc[g["home"] == 1, "tsu"].to_numpy())
+        if len(home) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        idx = np.searchsorted(all_ts, home, side="left")
+        pred = np.where(idx > 0, all_ts[np.maximum(idx - 1, 0)], np.iinfo(np.int64).min)
+        starts = int(((idx == 0) | (pred < home - _SESSION_GAP_US)).sum())
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n": [starts]}
+        )
+
+    out = (
+        ds.map_batches(emit, batch_format="pyarrow")
+        .groupby(["user_id", "bkt"])
+        .map_groups(count_starts, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_sessions"))
+    )
+    return out
 
 
 def q_events_rolling(sf_dir: str):
@@ -1207,7 +1257,18 @@ def q_events_asof_purchase(sf_dir: str):
     """As-of join: each purchase matched to the user's most recent
     prior-or-equal signup (pd.merge_asof per user group — the engine's
     as-of-join operator; partitioning assumption: both sides keyed and
-    sorted by (user_id, ts))."""
+    sorted by (user_id, ts)).
+
+    Skew note (round-5): unlike sessionization (whose predecessor
+    window is time-bounded — see q_events_sessions' two-phase form),
+    an as-of predecessor can be arbitrarily old, so any exact
+    decomposition must carry a per-(user, bucket) running-max boundary
+    between buckets — a second keyed pass over a (user, bucket)-sized
+    table. The group state here is one user's events; at the testdata's
+    and the reference's per-user volumes (≤ thousands of rows) the
+    single-group form is the cheaper correct choice, and the bucketed
+    form is the documented escalation if per-user volume ever grows
+    unbounded."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
     def asof(g: pd.DataFrame) -> pd.DataFrame:

@@ -125,6 +125,85 @@ def connected_components(edges_ds, nodes_ds, node_col: str, passes: int = 2):
     )
 
 
+def _pagerank_join_path(e, nodes_ds, node_col: str, iters: int, scale: int):
+    """Over-threshold PageRank: per iteration, ranks ⋈ outdeg (node-
+    keyed) then edges ⋈ state (source-keyed) hash joins feed the
+    contribution kernel, a node-keyed groupby-sum collects in-mass, and
+    damping applies through a nodes-side LEFT join (no-inbound nodes
+    coalesce to the base) — the broadcast path's integer update
+    verbatim, with ranks staying a Dataset end-to-end (materialized
+    once per iteration to bound the lazy plan). Caller contract (the
+    broadcast path raises on violation; this path inner-drops): edge
+    sources ⊆ nodes. Partition counts scale with the smaller join side
+    and the session (the chained-join rule)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import session_parts
+
+    base = (15 * scale) // 100
+    nodes = (
+        nodes_ds.groupby(node_col)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([node_col])
+        .map_batches(lambda t: t.rename_columns(["node"]), batch_format="pyarrow")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    outdeg = e.groupby("a").aggregate(Count(alias_name="d")).materialize()
+    n_src = outdeg.count()
+
+    def init_ranks(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pagerank", pa.array(np.full(t.num_rows, scale, dtype=np.int64))
+        )
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
+    if n_src == 0 or max(iters, 0) == 0:
+        # no edges: every iteration leaves base only (or no iterations:
+        # the initial scale) — skip the join machinery entirely
+        if max(iters, 0) == 0:
+            return ranks
+        val = base
+        return nodes.map_batches(
+            lambda t: t.append_column(
+                "pagerank", pa.array(np.full(t.num_rows, val, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+
+    sp = session_parts()
+    p_state = min(sp, min(n_nodes, n_src) // 20_000 + 1)
+    p_edges = min(sp, n_src // 20_000 + 1)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = t["pagerank"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        c = (r * 17) // (20 * d)
+        return pa.table({"tgt": t["b"], "c": pa.array(c, pa.int64())})
+
+    def damp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.coalesce(t["c"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {"node": t["node"], "pagerank": pc.add(pc.cast(c, pa.int64()), base)}
+        )
+
+    for _ in range(max(iters, 0)):
+        state = ranks.join(outdeg, join_type="inner", num_partitions=p_state,
+                           on=("node",), right_on=("a",))
+        rows = e.join(state, join_type="inner", num_partitions=p_edges,
+                      on=("a",), right_on=("node",))
+        sums = rows.map_batches(contrib, batch_format="pyarrow").groupby(
+            "tgt"
+        ).aggregate(Sum("c", alias_name="c"))
+        joined = nodes.join(sums, join_type="left_outer", num_partitions=p_state,
+                            on=("node",), right_on=("tgt",))
+        ranks = joined.map_batches(damp, batch_format="pyarrow").materialize()
+    return ranks
+
+
 def pagerank_int(edges_ds, nodes_ds, node_col: str = "node", iters: int = 5, scale: int = 10**9):
     """Fixed-point integer PageRank — link-graph importance ranking
     (the reference surfaced domains by inbound-link counts; PageRank is
@@ -139,12 +218,15 @@ def pagerank_int(edges_ds, nodes_ds, node_col: str = "node", iters: int = 5, sca
     mass leaks — the standard simplification, part of the definition).
 
     Scale shape: edges stream through ``map_batches`` (never
-    materialized); ranks + out-degrees are NODE-level state, broadcast
-    per iteration via ``ray.put`` and re-collected from a node-sized
-    groupby — PageRank here runs at DOMAIN granularity, so node state
-    is ~10^7 entries at the 10^10-URL frontier and fits a broadcast.
-    If node state ever outgrows one machine, each iteration becomes
-    edges⋈ranks hash-join + groupby — same semantics, noted trade.
+    materialized); ranks + out-degrees are NODE-level state — below
+    GRAPH_BROADCAST_MAX_NODES they broadcast per iteration via
+    ``ray.put`` and re-collect from a node-sized groupby (PageRank here
+    runs at DOMAIN granularity, so ~10^7 entries at the 10^10-URL
+    frontier fits); ABOVE the gate each iteration becomes
+    edges ⋈ (ranks ⋈ outdeg) hash-joins + a node-keyed groupby, ranks
+    stay a Dataset end-to-end and nothing node-sized touches the driver
+    or one worker heap. Identical integer semantics (unit-tested by
+    forcing the gate to 0).
     """
     import numpy as np
     import pandas as pd
@@ -159,6 +241,9 @@ def pagerank_int(edges_ds, nodes_ds, node_col: str = "node", iters: int = 5, sca
         lambda t: t.filter(pc.not_equal(t["a"], t["b"])), batch_format="pyarrow"
     )
     e = e.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).select_columns(["a", "b"]).materialize()
+
+    if nodes_ds.count() > _graph_threshold():
+        return _pagerank_join_path(e, nodes_ds, node_col, iters, scale)
 
     def _pull_pairs(ds, k, v) -> pd.Series:
         parts = list(ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16))

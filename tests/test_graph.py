@@ -201,3 +201,40 @@ def test_triangle_family_hash_join_path_matches_broadcast(ray_session, monkeypat
         return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
     assert norm(cc_b).equals(norm(cc_j))
+
+
+def test_pagerank_join_path_matches_broadcast(ray_session, monkeypatch):
+    """Forcing the node-table gate to 0 routes every PageRank iteration
+    through hash joins (ranks stay a Dataset); values must be identical
+    to the broadcast path — same integer update, no driver state."""
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages.graph import pagerank_int
+
+    rng = random.Random(13)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(120)]
+    eds = rd.from_items([{"a": s, "b": t} for s, t in edges])
+    nds = rd.from_items([{"node": n} for n in nodes])
+
+    monkeypatch.delenv("GRAFT_GRAPH_BROADCAST_MAX_NODES", raising=False)
+    a = pagerank_int(eds, nds, "node", iters=4).to_pandas()
+    monkeypatch.setenv("GRAFT_GRAPH_BROADCAST_MAX_NODES", "0")
+    eds2 = rd.from_items([{"a": s, "b": t} for s, t in edges])
+    nds2 = rd.from_items([{"node": n} for n in nodes])
+    b = pagerank_int(eds2, nds2, "node", iters=4).to_pandas()
+
+    assert dict(zip(a["node"], a["pagerank"])) == dict(zip(b["node"], b["pagerank"]))
+
+
+def test_pagerank_join_path_edge_free_graph(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.stages.graph import pagerank_int
+
+    monkeypatch.setenv("GRAFT_GRAPH_BROADCAST_MAX_NODES", "0")
+    eds = rd.from_items([{"a": "x", "b": "x"}])  # self-loop only -> dropped
+    nds = rd.from_items([{"node": n} for n in ["x", "y"]])
+    got = pagerank_int(eds, nds, "node", iters=3).to_pandas()
+    base = (15 * 10**9) // 100
+    assert dict(zip(got["node"], got["pagerank"])) == {"x": base, "y": base}

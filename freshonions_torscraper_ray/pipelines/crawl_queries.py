@@ -30,6 +30,12 @@ import pyarrow.parquet as pq
 from ..config import CrawlConfig
 from ..oracle import build_content, build_robots, crawl_oracle
 from ..synth import domain_name, write_synth_web
+from .params import (
+    PACK_AUDIO_TOKENS as _PACK_AUD,
+    PACK_IMG_TOKENS as _PACK_IMG,
+    PACK_SEQ_BUDGET as _PACK_BUDGET,
+    PACK_VIDEO_TOKENS as _PACK_VID,
+)
 
 FIX_DIR = "/tmp/onionray_crawlq_v5"  # v5: adds metrics.parquet to the fixture
 N_DOMAINS = 60
@@ -430,6 +436,97 @@ def q_spans_strip_text(sf_dir: str):
         return out.filter(pc.not_equal(out["text"], ""))
 
     return _read_web_docs().map_batches(strip, batch_format="pyarrow")
+
+
+def q_spans_pack(sf_dir: str):
+    """Interleaved MULTIMODAL sequence packing — the step that turns
+    interleaved text+media documents into fixed-token-budget training
+    sequences (the MMC4/OBELICS layout): every span costs tokens
+    (text-ish spans: RE2 word-token count; media spans: the fixed
+    per-modality patch/frame budget an encoder consumes — see
+    params.py PACK_*_TOKENS), and seq_id = exclusive-prefix-sum(cost)
+    // PACK_SEQ_BUDGET over the global (doc_id, offset) span order.
+
+    Distributed exclusive prefix sum with NO ordered scan (the
+    pack_chunks recipe): spans bucket by an ORDER-PRESERVING doc_id
+    range key (chars [7:9] — every web doc_id starts with the constant
+    'http://', so the next two base32 domain chars give ~1k balanced,
+    order-preserving buckets; widen the slice at larger webs); bucket
+    cost sums aggregate to a driver-tiny table whose prefix sum is each
+    bucket's global offset (broadcast once); a per-bucket map_groups
+    sorts only ITS spans. Twin: plain window sum over the spans parquet.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..functions.regexes import WORD_PATTERN
+    from .params import (
+        PACK_AUDIO_TOKENS,
+        PACK_IMG_TOKENS,
+        PACK_SEQ_BUDGET,
+        PACK_VIDEO_TOKENS,
+    )
+
+    def explode_cost(t: pa.Table) -> pa.Table:
+        spans = t["spans"].combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        ids = t["doc_id"].take(parents)
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        kinds = pc.struct_field(flat, "kind")
+        toks = pc.cast(
+            pc.count_substring_regex(pc.struct_field(flat, "text"), WORD_PATTERN),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        kn = kinds.to_numpy(zero_copy_only=False)
+        cost = np.select(
+            [kn == "image", kn == "video", kn == "audio"],
+            [PACK_IMG_TOKENS, PACK_VIDEO_TOKENS, PACK_AUDIO_TOKENS],
+            default=toks,
+        ).astype(np.int64)
+        bucket = pc.utf8_slice_codeunits(ids, 7, 9)
+        return pa.Table.from_arrays(
+            [
+                ids,
+                kinds,
+                pc.cast(pc.struct_field(flat, "offset"), pa.int64()),
+                pa.array(cost),
+                bucket.combine_chunks() if isinstance(bucket, pa.ChunkedArray) else bucket,
+            ],
+            names=["doc_id", "kind", "offset", "cost", "bucket"],
+        )
+
+    spans = (
+        _read_web_docs().map_batches(explode_cost, batch_format="pyarrow").materialize()
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    sums = spans.groupby("bucket").aggregate(_Sum("cost", alias_name="s")).to_pandas()
+    sums = sums.sort_values("bucket").reset_index(drop=True)
+    offsets = dict(
+        zip(
+            sums["bucket"].tolist(),
+            (sums["s"].cumsum() - sums["s"]).astype("int64").tolist(),
+        )
+    )
+    oref = ray.put(offsets)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[g["bucket"].iat[0]]
+        g = g.sort_values(["doc_id", "offset"], kind="mergesort")
+        excl = g["cost"].cumsum() - g["cost"] + off
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "kind": g["kind"].to_numpy(),
+                "offset": g["offset"].to_numpy(),
+                "cost": g["cost"].to_numpy(),
+                "seq_id": (excl // PACK_SEQ_BUDGET).astype("int64").to_numpy(),
+            }
+        )
+
+    return spans.groupby("bucket").map_groups(pack, batch_format="pandas")
 
 
 def q_media_decode(sf_dir: str):
@@ -1034,6 +1131,7 @@ CRAWL_QUERIES = {
     "spans_media": q_spans_media,
     "spans_links": q_spans_links,
     "spans_strip_text": q_spans_strip_text,
+    "spans_pack": q_spans_pack,
     "media_decode": q_media_decode,
     "media_frames": q_media_frames,
     "media_audio": q_media_audio,
@@ -1161,6 +1259,26 @@ def crawl_oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_web_docs_glob()}'))
             WHERE (s.kind = 'title') OR (s.kind IN ('text', 'link') AND s.text != '')
             GROUP BY doc_id
+        """,
+        # spans_pack twin: per-modality span costs + a plain window
+        # prefix sum over the global (doc_id, offset) span order — the
+        # ordered-scan form of the engine's bucketed two-pass prefix sum
+        "spans_pack": f"""
+            WITH sp AS (
+                SELECT doc_id, s.kind AS kind, s."offset" AS "offset",
+                       CASE s.kind
+                            WHEN 'image' THEN {_PACK_IMG}
+                            WHEN 'video' THEN {_PACK_VID}
+                            WHEN 'audio' THEN {_PACK_AUD}
+                            ELSE len(regexp_extract_all(s.text, '[A-Za-z0-9_]+'))
+                       END::BIGINT AS cost
+                FROM (SELECT doc_id, unnest(spans) AS s FROM read_parquet('{_web_docs_glob()}'))
+            )
+            SELECT doc_id, kind, "offset", cost,
+                   CAST(coalesce(sum(cost) OVER (ORDER BY doc_id, "offset"
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        // {_PACK_BUDGET} AS BIGINT) AS seq_id
+            FROM sp
         """,
         "seed_import": f"""
             SELECT 'http://' || host || '/' AS url, count(*)::BIGINT AS n_mentions

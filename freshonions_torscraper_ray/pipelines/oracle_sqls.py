@@ -10,13 +10,21 @@ the stubbed media codecs) get the driver's rows-only check instead.
 # into the twin SQL, never restated as literals (params.py is the single
 # source of truth; see that module's docstring).
 from .params import (
+    CCNET_NBUCKETS,
     CURATE_ENT_MIN,
     CURATE_MIN_TOKENS,
     CURATE_PPL_MAX,
     DSIR_SAMPLE_K,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MEAN_LEN_MAX,
+    GOPHER_MEAN_LEN_MIN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_TOKENS,
+    GOPHER_UNIQ_MIN,
     EMB_DEDUP_THRESHOLD,
     EMB_LSH_NBITS,
     EMB_LSH_SEED,
+    KNN_GRAPH_K,
     KMEANS_ITERS,
     KMEANS_K,
     PMI_MIN_COUNT,
@@ -1224,6 +1232,62 @@ ORACLE_SQL["corpus_curate"] = f"""
     JOIN ({ORACLE_SQL["text_entropy"]}) te USING (doc_id)
     WHERE te.n_tokens >= {CURATE_MIN_TOKENS}
       AND te.entropy >= {CURATE_ENT_MIN!r} AND lm.ppl <= {CURATE_PPL_MAX!r}
+"""
+
+# gopher_rules twin: the ENGINE's kernel SQL verbatim (corpus.py::
+# _gopher_sql, thresholds interpolated from params.py on both sides),
+# wrapped over documents via a tbl CTE — the kernel IS the oracle.
+def _gopher_twin() -> str:
+    from ..stages.corpus import _gopher_sql
+
+    body = _gopher_sql(
+        GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS, GOPHER_MEAN_LEN_MIN,
+        GOPHER_MEAN_LEN_MAX, GOPHER_UNIQ_MIN, GOPHER_MIN_STOPWORDS,
+    ).lstrip()
+    assert body.startswith("WITH")
+    return f"""
+    SELECT i AS doc_id, n_tokens, mean_token_len, uniq_ratio, n_stop, gopher_pass
+    FROM (WITH tbl AS (SELECT doc_id AS i, text AS t FROM documents),
+          {body[len("WITH"):]})
+"""
+
+
+ORACLE_SQL["gopher_rules"] = _gopher_twin()
+
+
+# knn_graph twin: self cross join + per-source row_number — the plain
+# window form of the engine's broadcast-matmul partial top-k. Same
+# round4 float discipline as ann_topk/ann_multi.
+ORACLE_SQL["knn_graph"] = f"""
+    WITH s AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id != b.vec_id
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, nbr_id) AS rn
+        FROM s
+    )
+    SELECT vec_id, nbr_id, cos FROM r WHERE rn <= {KNN_GRAPH_K}
+"""
+
+# ccnet_buckets twin: per-language perplexity terciles — plain
+# ntile(3) over the lm_perplexity twin joined to the lang column; the
+# engine's offset arithmetic reproduces exactly this window function.
+ORACLE_SQL["ccnet_buckets"] = f"""
+    WITH lm AS ({ORACLE_SQL["lm_perplexity"]}),
+    j AS (SELECT lm.doc_id, d.lang, lm.ppl
+          FROM lm JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, lang, ppl,
+                 ntile({CCNET_NBUCKETS}) OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS nt
+          FROM j)
+    SELECT doc_id, lang, ppl,
+           CASE WHEN nt = 1 THEN 'head' WHEN nt = 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
 """
 
 # crawl oracle twins read the single-threaded oracle's parquet fixture

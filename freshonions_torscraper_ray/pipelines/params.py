@@ -40,3 +40,24 @@ IVF_TOPK = 10
 # global shuffled-shard export: rows per training shard + permutation seed
 SHARD_ROWS = 64
 SHUFFLE_SEED = 42
+
+# Gopher-style quality rule set (gopher_rules kernel + twin)
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MEAN_LEN_MIN = 3.0
+GOPHER_MEAN_LEN_MAX = 10.0
+GOPHER_UNIQ_MIN = 0.5
+GOPHER_MIN_STOPWORDS = 1
+
+# CCNet-style per-language perplexity buckets (head/middle/tail)
+CCNET_NBUCKETS = 3
+
+# interleaved multimodal sequence packing: per-modality token costs +
+# sequence token budget (spans_pack kernel + twin)
+PACK_SEQ_BUDGET = 512
+PACK_IMG_TOKENS = 64
+PACK_VIDEO_TOKENS = 256
+PACK_AUDIO_TOKENS = 128
+
+# corpus self-kNN graph over embeddings
+KNN_GRAPH_K = 5

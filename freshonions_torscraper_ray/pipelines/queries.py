@@ -1890,11 +1890,19 @@ def _lm_vocab_size(counts) -> int:
 # gate constants shared with the oracle twins — single source of truth
 # in params.py (re-exported here for existing importers)
 from .params import (  # noqa: E402
+    CCNET_NBUCKETS,
     CURATE_ENT_MIN,
     CURATE_MIN_TOKENS,
     CURATE_PPL_MAX,
     DSIR_SAMPLE_K,
+    GOPHER_MAX_TOKENS,
+    GOPHER_MEAN_LEN_MAX,
+    GOPHER_MEAN_LEN_MIN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_TOKENS,
+    GOPHER_UNIQ_MIN,
     KMEANS_ITERS,
+    KNN_GRAPH_K,
     KMEANS_K,
     PMI_MIN_COUNT,
     SEMDEDUP_TAU,
@@ -2278,6 +2286,179 @@ def q_text_entropy(sf_dir: str):
     return ds.map_batches(cp.entropy_stats, batch_format="pyarrow")
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher/MassiveText-style quality RULE SET: token-count bounds,
+    mean-token-length bounds, unique-token-ratio floor and a
+    stopword-presence floor composed into one ``gopher_pass`` boolean —
+    the published filter-chain form of the quality signals
+    quality_score / quality_repetition emit individually. Purely
+    doc-local (one DuckDB kernel per batch, zero shuffle); thresholds
+    live in params.py and are interpolated into BOTH the kernel and the
+    twin, and every rule compares the ROUNDED ratio so the gate operands
+    are bit-identical on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: cp.gopher_stats(
+            t, GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS, GOPHER_MEAN_LEN_MIN,
+            GOPHER_MEAN_LEN_MAX, GOPHER_UNIQ_MIN, GOPHER_MIN_STOPWORDS,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact cosine k-NN GRAPH over the embedding corpus (every vector's
+    top-k neighbors, self excluded) — the neighborhood structure
+    SemDeDup/semantic-diversity sampling consume. Corpus matrix is
+    normalized once and broadcast via ray.put (read per actor task, not
+    re-shipped per batch); each streaming batch does ONE (b × N) matmul
+    + per-row partial top-k. float64 + half-away round4 end-to-end so
+    the DuckDB self-cross-join twin hash-matches bit-for-bit.
+
+    Scale shape: exact all-pairs kNN is inherently O(N²) — this is the
+    exact ANCHOR operator (the role ann_topk plays for ann_ivf). At
+    10^9-vector corpora the graph comes from the IVF/cluster-local
+    variant instead (kmeans_clusters buckets + in-cluster kNN — exactly
+    semdedup's neighborhood computation); the broadcast here is gated by
+    corpus size in that regime, not grown."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    tab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cids = np.asarray(tab["vec_id"].to_pylist(), dtype=np.int64)
+    cmat = sim._to_matrix(tab["embedding"]).astype(np.float64)
+    cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-30)
+    corpus_ref = ray.put((cids, cn))
+    k = KNN_GRAPH_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_c, mat_c = ray.get(corpus_ref)
+        m = sim._to_matrix(batch["embedding"]).astype(np.float64)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = round_half_away(mn @ mat_c.T, 4)  # (b, N)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        # one int64 sort key per cell: quantized cos (already exact at
+        # 4 decimals) in the high bits, neighbor id negated in the low —
+        # descending key order == (cos DESC, nbr_id ASC), no per-row
+        # lexsort loop. Assumes vec_id < 2^32 (id term stays below one
+        # cos quantum).
+        ikey = np.rint(cos * 10_000.0).astype(np.int64) * (1 << 32) - ids_c[None, :]
+        # self-exclusion sentinel: far below any real key but safely
+        # negatable (int64.min would overflow under the -ikey sort)
+        ikey[ids[:, None] == ids_c[None, :]] = -(1 << 62)
+        kk = min(k, len(ids_c) - 1)
+        part = np.argpartition(-ikey, kk - 1, axis=1)[:, :kk]
+        pkeys = np.take_along_axis(ikey, part, axis=1)
+        order = np.argsort(-pkeys, axis=1, kind="stable")
+        top = np.take_along_axis(part, order, axis=1)  # (b, kk)
+        return pa.table(
+            {
+                "vec_id": np.repeat(ids, kk),
+                "nbr_id": ids_c[top].ravel(),
+                "cos": np.take_along_axis(cos, top, axis=1).ravel(),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's final step: bucket every document into per-language
+    perplexity terciles (head / middle / tail) under the corpus bigram
+    LM — the quality-tier labels CCNet publishes its CommonCrawl splits
+    by. Rank = SQL ntile(3) over (PARTITION BY lang ORDER BY ppl,
+    doc_id), replayed exactly.
+
+    Distributed rank WITHOUT a global sort (the vocab_build recipe):
+    score docs (order-preserving scorer pass carries lang through
+    zero-join), bucket rows by (lang, floor(ppl)); the bucket SIZES
+    aggregate to a tiny driver table whose prefix sum in (lang, coarse)
+    order gives each bucket its global per-lang rank offset (broadcast
+    once); a per-bucket map_groups sorts only ITS rows by (ppl, doc_id)
+    and applies the ntile arithmetic from offset + per-lang totals. At
+    100 TB the coarse key keeps every sorted group small (one language
+    × one integer-ppl stratum); a hot stratum widens the key to one
+    ppl decimal — the offsets table stays driver-tiny either way.
+
+    Scoring rides the same scale gate as q_lm_perplexity: under
+    LM_BROADCAST_MAX_KEYS the model broadcasts and the order-preserving
+    scorer pass carries lang through with ZERO joins; above it scoring
+    flips to the distributed bigram-keyed hash join and lang arrives
+    via the adaptive dimension-join helper."""
+    import ray
+
+    docs, counts = _lm_counts_ds(sf_dir)
+
+    if counts.count() <= _lm_threshold():
+        docs_lang = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        uni_ref, bi_ref, vocab = _lm_broadcast(counts)
+
+        class _ScoreWithLang(cp.LMPerplexityScorer):
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                out = super().__call__(batch.select(["doc_id", "text"]))
+                return out.append_column("lang", batch["lang"])
+
+        scored = docs_lang.map_batches(
+            _ScoreWithLang,
+            fn_constructor_args=(uni_ref, bi_ref, vocab),
+            batch_format="pyarrow",
+            concurrency=2,
+            batch_size=1024,
+        ).select_columns(["doc_id", "lang", "ppl"])
+    else:
+        from ..stages.joins import join_dim_column
+
+        scored = cp.lm_score_distributed(
+            docs, counts, _lm_vocab_size(counts), num_partitions=_join_parts()
+        ).select_columns(["doc_id", "ppl"])
+        scored = join_dim_column(
+            scored, f"{sf_dir}/documents.parquet", "doc_id", "doc_id", "lang"
+        )
+
+    def add_coarse(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "coarse", pc.cast(pc.floor(t["ppl"]), pa.int64())
+        )
+
+    bucketed = scored.map_batches(add_coarse, batch_format="pyarrow").materialize()
+    sizes = (
+        bucketed.groupby(["lang", "coarse"]).aggregate(Count(alias_name="n")).to_pandas()
+    )
+    sizes = sizes.sort_values(["lang", "coarse"]).reset_index(drop=True)
+    excl = (sizes.groupby("lang")["n"].cumsum() - sizes["n"]).astype("int64")
+    offsets = {
+        (l, int(c)): int(o) for l, c, o in zip(sizes["lang"], sizes["coarse"], excl)
+    }
+    lang_tot = sizes.groupby("lang")["n"].sum().astype("int64").to_dict()
+    off_ref = ray.put((offsets, lang_tot))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        offs, tots = ray.get(off_ref)
+        df = df.sort_values(["ppl", "doc_id"], kind="mergesort").reset_index(drop=True)
+        lang, coarse = df["lang"].iat[0], int(df["coarse"].iat[0])
+        rank = offs[(lang, coarse)] + np.arange(len(df), dtype=np.int64)
+        n, nb = tots[lang], CCNET_NBUCKETS
+        q, r = divmod(n, nb)
+        # SQL ntile: first r buckets get q+1 rows, the rest q
+        big = r * (q + 1)
+        nt = np.where(
+            rank < big,
+            rank // max(q + 1, 1) + 1,
+            r + (rank - big) // max(q, 1) + 1,
+        ).astype(np.int64)
+        out = df[["doc_id", "lang", "ppl"]].copy()
+        out["bucket"] = np.select(
+            [nt == 1, nt == 2], ["head", "middle"], default="tail"
+        )
+        return out
+
+    return bucketed.groupby(["lang", "coarse"]).map_groups(
+        assign, batch_format="pandas"
+    )
+
+
 QUERIES = {
     "extract_tokens": q_extract_tokens,
     "extract_emails": q_extract_emails,
@@ -2355,6 +2536,9 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     "corpus_curate": q_corpus_curate,
     "dsir_sample": q_dsir_sample,
+    "gopher_rules": q_gopher_rules,
+    "ccnet_buckets": q_ccnet_buckets,
+    "knn_graph": q_knn_graph,
 }
 
 # crawl-engine queries (distributed engine vs single-threaded oracle —

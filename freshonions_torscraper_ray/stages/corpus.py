@@ -93,6 +93,59 @@ def repetition_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "t
     return out.rename_columns([id_col, "n_tokens", "top_bigram_frac", "dup_trigram_frac"])
 
 
+def _stop_list() -> str:
+    from .textstats import STOPWORDS
+
+    return ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _gopher_sql(min_tokens: int, max_tokens: int, mean_len_min: float,
+                mean_len_max: float, uniq_min: float, min_stopwords: int) -> str:
+    """Literal SQL for the Gopher rule-set kernel — shared verbatim with
+    the oracle twin (thresholds interpolated from pipelines/params.py on
+    both sides, never restated)."""
+    return f"""
+WITH x AS (SELECT i, regexp_extract_all(t, '{_WORD}') AS w FROM tbl),
+s AS (SELECT i,
+        len(w)::BIGINT AS n_tokens,
+        round(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+              * 1.0 / greatest(len(w), 1), 0), 4) AS mean_token_len,
+        round(coalesce(len(list_distinct(w)) * 1.0 / greatest(len(w), 1), 0), 4)
+              AS uniq_ratio,
+        len(list_filter(w, x -> x IN ({_stop_list()})))::BIGINT AS n_stop
+      FROM x)
+SELECT i, n_tokens, mean_token_len, uniq_ratio, n_stop,
+       (n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}
+        AND mean_token_len >= {mean_len_min} AND mean_token_len <= {mean_len_max}
+        AND uniq_ratio >= {uniq_min} AND n_stop >= {min_stopwords}) AS gopher_pass
+FROM s
+"""
+
+
+def gopher_stats(batch: pa.Table, min_tokens: int, max_tokens: int,
+                 mean_len_min: float, mean_len_max: float, uniq_min: float,
+                 min_stopwords: int, id_col: str = "doc_id",
+                 text_col: str = "text") -> pa.Table:
+    """Gopher/MassiveText-style quality RULE SET per document: token-count
+    bounds, mean-token-length bounds, unique-token-ratio floor (the
+    repetition gate in ratio form), and a stopword-presence floor —
+    composed into one boolean ``gopher_pass`` the way the published
+    filter chains apply them (doc dropped on first failing rule; AND of
+    rule predicates is equivalent).
+
+    Rule thresholds compare the ROUNDED ratios (round-half-away 4, same
+    as emitted) so the engine and the DuckDB twin gate on identical
+    operands — the kernel IS the oracle's expression. Embarrassingly
+    parallel per batch; nothing shuffles.
+    """
+    sql = _gopher_sql(min_tokens, max_tokens, mean_len_min, mean_len_max,
+                      uniq_min, min_stopwords)
+    out = _kernel(sql, batch, id_col, text_col)
+    return out.rename_columns(
+        [id_col, "n_tokens", "mean_token_len", "uniq_ratio", "n_stop", "gopher_pass"]
+    )
+
+
 _NGRAM_SQL = {
     n: f"""
 WITH x AS (SELECT regexp_extract_all(t, '{_WORD}') AS w FROM tbl),

@@ -367,3 +367,4 @@ def winnow_fingerprints(
     return batch.append_column("n_fps", pa.array(n_fps)).append_column(
         "fp_min", pa.array(fp_min.astype(np.int64))
     ).append_column("fp_xor", pa.array(fp_xor.astype(np.int64)))
+

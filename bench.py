@@ -297,16 +297,19 @@ def main() -> None:
 def scaling() -> None:
     import subprocess
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="scaling")
-        out = subprocess.run(
+    def run(ncpu: int, extra_env: dict | None = None) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_MODE="scaling",
+                   **(extra_env or {}))
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            proc.check_returncode()
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # default pair 4 -> 16 (N and 4N): the best-conditioned same-box
     # proxy — narrow widths are nearly immune to hypervisor-neighbor
@@ -333,11 +336,9 @@ def scaling() -> None:
                 break
         return best, samples
 
-    # untimed warm-up: builds the big synth web (at full cpus) + page cache
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(hi), GRAFT_BENCH_MODE="scaling",
-               GRAFT_QUIET_RETRIES="0")
-    subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
-                   capture_output=True, text=True, check=True)
+    # untimed warm-up: builds the big synth web (at full cpus) + page cache —
+    # the SAME invocation as the timed legs (run()), so env plumbing can't drift
+    run(hi, extra_env={"GRAFT_QUIET_RETRIES": "0"})
     r_lo, s_lo = run_leg(lo)
     r_hi, s_hi = run_leg(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -661,32 +661,72 @@ def q_corpus_shuffle_shards(sf_dir: str):
 
 def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
     """Sink form: write the shuffled corpus as fixed-size training
-    shards — parquet partitioned by shard_id (one directory per shard,
-    so a failed export reruns only missing shards) plus _manifest.json
-    with per-shard row counts and the permutation parameters. The
-    manifest counts come from the WRITTEN files' parquet metadata, not
-    a second pipeline execution."""
+    shards — parquet partitioned by shard_id (one directory per shard)
+    plus _manifest.json with per-shard row counts and the permutation
+    parameters. The manifest counts come from the WRITTEN files'
+    parquet metadata, not a second pipeline execution.
+
+    RESUMABLE: the expected per-shard row count is known a priori (the
+    corpus row count comes from parquet metadata; every shard holds
+    SHARD_ROWS rows except the last), so a re-run after a partial
+    failure checks each existing shard directory against its expected
+    count, DELETES incomplete ones, and re-writes only the missing
+    shard ids (a naive re-run would append duplicate files into
+    completed directories). A re-run after success is a no-op."""
     import json
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     from .params import SHARD_ROWS, SHUFFLE_SEED
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    _shuffle_assign(ds).write_parquet(out_dir, partition_cols=["shard_id"])
+    n_total = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_shards = (n_total + SHARD_ROWS - 1) // SHARD_ROWS
+
+    def expected(sid: int) -> int:
+        if sid < n_shards - 1:
+            return SHARD_ROWS
+        return n_total - (n_shards - 1) * SHARD_ROWS
+
+    def shard_rows(d: str) -> int:
+        return sum(
+            pq.read_metadata(os.path.join(d, f)).num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    done: set[int] = set()
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if not name.startswith("shard_id="):
+                continue
+            sid = int(name.split("=", 1)[1])
+            d = os.path.join(out_dir, name)
+            if 0 <= sid < n_shards and shard_rows(d) == expected(sid):
+                done.add(sid)
+            else:
+                shutil.rmtree(d)  # partial/stale shard: rewrite it
+
+    if len(done) < n_shards:
+        ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        assigned = _shuffle_assign(ds)
+        if done:
+            done_arr = pa.array(sorted(done), pa.int64())
+            assigned = assigned.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["shard_id"], value_set=done_arr))
+                ),
+                batch_format="pyarrow",
+            )
+        assigned.write_parquet(out_dir, partition_cols=["shard_id"])
 
     shards: dict[int, int] = {}
     for name in os.listdir(out_dir):
         if not name.startswith("shard_id="):
             continue
         sid = int(name.split("=", 1)[1])
-        n = 0
-        d = os.path.join(out_dir, name)
-        for f in os.listdir(d):
-            if f.endswith(".parquet"):
-                n += pq.read_metadata(os.path.join(d, f)).num_rows
-        shards[sid] = n
+        shards[sid] = shard_rows(os.path.join(out_dir, name))
     manifest = {
         "seed": SHUFFLE_SEED,
         "shard_rows": SHARD_ROWS,
@@ -1846,14 +1886,6 @@ def _lm_counts_ds(sf_dir: str):
     return docs, counts
 
 
-def _lm_count_rows(sf_dir: str):
-    """Driver-side (kind, key, cnt) rows — the UNDER-threshold form only
-    (pmi_top / model broadcast). Returns (docs_ds, uni_rows, bi_rows)."""
-    docs, counts = _lm_counts_ds(sf_dir)
-    rows = counts.take_all()
-    return docs, [r for r in rows if r["kind"] == 0], [r for r in rows if r["kind"] == 1]
-
-
 def _lm_broadcast(counts) -> tuple:
     """Materialized counts Dataset → broadcast model tables
     (uni_ref, bi_ref, vocab_size) — the under-threshold path."""
@@ -2341,8 +2373,11 @@ def q_knn_graph(sf_dir: str):
         # one int64 sort key per cell: quantized cos (already exact at
         # 4 decimals) in the high bits, neighbor id negated in the low —
         # descending key order == (cos DESC, nbr_id ASC), no per-row
-        # lexsort loop. Assumes vec_id < 2^32 (id term stays below one
-        # cos quantum).
+        # lexsort loop. Requires 0 <= vec_id < 2^32 (the id term must
+        # stay below one cos quantum) — guarded loudly, same policy as
+        # HyperplaneLSH's dim bound.
+        if len(ids_c) and (ids_c.min() < 0 or ids_c.max() >= (1 << 32)):
+            raise ValueError("knn_graph packed sort key requires 0 <= vec_id < 2^32")
         ikey = np.rint(cos * 10_000.0).astype(np.int64) * (1 << 32) - ids_c[None, :]
         # self-exclusion sentinel: far below any real key but safely
         # negatable (int64.min would overflow under the -ikey sort)

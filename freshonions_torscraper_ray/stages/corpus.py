@@ -837,7 +837,16 @@ class DSIRSampleKeys(DSIRScorer):
             (h >> np.uint64(11)).astype(np.float64) * DSIR_U_SCALE, DSIR_U_SCALE
         )
         tbl = pa.table(  # noqa: F841 — duckdb reads it by name
-            {"logw": t["logw"], "u": pa.array(u, pa.float64())}
+            {
+                "logw": t["logw"],
+                "u": pa.array(u, pa.float64()),
+                # explicit ord + ORDER BY: positional row alignment must
+                # not depend on DuckDB insertion-order preservation
+                # (house rule — same as LMPerplexityScorer/entropy_stats)
+                "ord": pa.array(np.arange(t.num_rows, dtype=np.int64)),
+            }
         )
-        key = _duck().execute("SELECT round(logw - ln(-ln(u)), 4) AS key FROM tbl").arrow()
+        key = _duck().execute(
+            "SELECT round(logw - ln(-ln(u)), 4) AS key FROM tbl ORDER BY ord"
+        ).arrow()
         return t.append_column("key", key["key"].combine_chunks())

@@ -234,23 +234,75 @@ def ivf_topk(ds, query_vec: np.ndarray, centroids: np.ndarray, k: int = 10, npro
 
     probe_arr = pa.array(probe, pa.int32())
 
+    _sc = _cos_scorer(qn)
+
     def score(t: pa.Table) -> pa.Table:
-        t = t.filter(_pc.is_in(_pc.cast(t["list_id"], pa.int32()), value_set=probe_arr))
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
-            )
-        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
-        cos = round_half_away(m @ qn, 4)
-        ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
-        return pa.Table.from_arrays(
-            [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
+        return _sc(
+            t.filter(_pc.is_in(_pc.cast(t["list_id"], pa.int32()), value_set=probe_arr))
         )
 
     from .topk import topk as _topk
 
     scored = assigned.map_batches(score, batch_format="pyarrow")
     return _topk(scored, ["cos", "vec_id"], [True, False], k), probe
+
+
+def _cos_scorer(qn: np.ndarray):
+    """Per-batch round4-cosine scoring against a fixed unit query — the
+    ONE kernel behind all three IVF probers (inline, persisted, exact);
+    a fix to the empty-batch schema or the rounding lands everywhere."""
+    import pyarrow.compute as _pc
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["vec_id", "cos"],
+            )
+        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
+        cos = round_half_away(m @ qn, 4)
+        ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
+        return pa.Table.from_arrays(
+            [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())],
+            names=["vec_id", "cos"],
+        )
+
+    return score
+
+
+def _persist_index(idx: str, assigned, cents: np.ndarray) -> None:
+    """Atomic index persistence shared by both builders: write under a
+    pid-suffixed tmp dir, mark _SUCCESS, rename into place; a concurrent
+    builder that loses the rename discards its tmp and loads the
+    winner's (both are deterministic functions of the corpus)."""
+    import os
+    import shutil
+
+    tmp = f"{idx}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    assigned.write_parquet(f"{tmp}/assignments", partition_cols=["list_id"])
+    np.save(f"{tmp}/centroids.npy", cents)
+    with open(f"{tmp}/_SUCCESS", "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, idx)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _probe_paths(index_dir: str, probe) -> list[str]:
+    """Partition-pruned file list for the probed hive lists — only those
+    list_id directories are globbed, nothing else is even listed."""
+    import glob
+
+    return [
+        f
+        for p in (f"{index_dir}/assignments/list_id={int(x)}" for x in probe)
+        for f in sorted(glob.glob(f"{p}/*.parquet"))
+    ]
+
+
+_EMPTY_TOPK = {"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())}
 
 
 def _ivf_cache_dir(parquet_path: str, k: int, seed: int) -> str:
@@ -294,18 +346,7 @@ def build_or_load_ivf(parquet_path: str, k: int = 16, sample_n: int = 2000, seed
     cref = ray.put(cents)
     assigned = ds.map_batches(IVFAssign(cref), batch_format="pyarrow", batch_size=4096)
 
-    tmp = f"{idx}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    assigned.write_parquet(f"{tmp}/assignments", partition_cols=["list_id"])
-    np.save(f"{tmp}/centroids.npy", cents)
-    with open(f"{tmp}/_SUCCESS", "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, idx)
-    except OSError:  # concurrent builder won the rename — use theirs
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+    _persist_index(idx, assigned, cents)
     return idx, np.load(cent_path)
 
 
@@ -314,42 +355,19 @@ def ivf_index_topk(index_dir: str, centroids: np.ndarray, query_vec: np.ndarray,
     partition-pruned read (only those hive partition DIRECTORIES are
     passed to read_parquet — path-level pruning, nothing else is even
     listed), exact-score candidates, tiny global top-k merge."""
-    import os
-
     import ray.data as rd
-    import pyarrow.compute as _pc
 
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     probe = np.argsort(-(centroids @ qn))[:nprobe]
-    import glob
-
-    paths = [
-        f
-        for p in (f"{index_dir}/assignments/list_id={int(x)}" for x in probe)
-        for f in sorted(glob.glob(f"{p}/*.parquet"))
-    ]
+    paths = _probe_paths(index_dir, probe)
     if not paths:  # k-means can leave every probed list empty
-        return rd.from_arrow(
-            pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
-        )
+        return rd.from_arrow(pa.table(_EMPTY_TOPK))
     cand = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
-            )
-        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
-        cos = round_half_away(m @ qn, 4)
-        ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
-        return pa.Table.from_arrays(
-            [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
-        )
 
     from .topk import topk as _topk
 
-    scored = cand.map_batches(score, batch_format="pyarrow")
+    scored = cand.map_batches(_cos_scorer(qn), batch_format="pyarrow")
     return _topk(scored, ["cos", "vec_id"], [True, False], k)
 
 
@@ -395,18 +413,7 @@ def build_or_load_ivf_exact(parquet_path: str, k: int, iters: int):
         batch_format="pyarrow",
     )
 
-    tmp = f"{idx}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    assigned.write_parquet(f"{tmp}/assignments", partition_cols=["list_id"])
-    np.save(f"{tmp}/centroids.npy", cents)
-    with open(f"{tmp}/_SUCCESS", "w") as f:
-        f.write("ok")
-    try:
-        os.rename(tmp, idx)
-    except OSError:  # concurrent builder won the rename — use theirs
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+    _persist_index(idx, assigned, cents)
     return idx, np.load(cent_path)
 
 
@@ -418,42 +425,21 @@ def ivf_exact_topk(index_dir: str, centroids: np.ndarray, query_vec: np.ndarray,
     of only the probed lists, round4-cosine scoring, tiny global top-k.
     Every step is the twin's expression — hash-matched, with the
     brute-force ``ann_topk`` green beside it as the recall anchor."""
-    import glob
-
-    import pyarrow.compute as _pc
     import ray.data as rd
 
     q = np.asarray(query_vec, dtype=np.float64)
     qq = np.floor(q * KM_SCALE).astype(np.int64)
     d2 = ((centroids - qq) ** 2).sum(axis=1)  # |diff| < 2^22 → exact int64
     probe = np.lexsort((np.arange(len(centroids)), d2))[:nprobe]
-    paths = [
-        f
-        for p in (f"{index_dir}/assignments/list_id={int(x)}" for x in probe)
-        for f in sorted(glob.glob(f"{p}/*.parquet"))
-    ]
+    paths = _probe_paths(index_dir, probe)
     from .topk import topk as _topk
 
     if not paths:  # every probed list empty (k-means can starve lists)
-        return rd.from_arrow(
-            pa.table({"vec_id": pa.array([], pa.int64()), "cos": pa.array([], pa.float64())})
-        )
+        return rd.from_arrow(pa.table(_EMPTY_TOPK))
     cand = rd.read_parquet(paths, columns=["vec_id", "embedding"])
     qn = q / np.linalg.norm(q)
 
-    def score(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.float64())], names=["vec_id", "cos"]
-            )
-        m = _normalize(_to_matrix(t["embedding"]).astype(np.float64))
-        cos = round_half_away(m @ qn, 4)
-        ids = t["vec_id"].combine_chunks() if isinstance(t["vec_id"], pa.ChunkedArray) else t["vec_id"]
-        return pa.Table.from_arrays(
-            [_pc.cast(ids, pa.int64()), pa.array(cos, pa.float64())], names=["vec_id", "cos"]
-        )
-
-    scored = cand.map_batches(score, batch_format="pyarrow")
+    scored = cand.map_batches(_cos_scorer(qn), batch_format="pyarrow")
     return _topk(scored, ["cos", "vec_id"], [True, False], k)
 
 

@@ -50,6 +50,35 @@ def test_assignment_deterministic_across_runs(ray_session, tiny_sf):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
 
 
+def test_export_resumes_without_duplicating_rows(ray_session, tiny_sf, tmp_path):
+    """A re-run into a partially-written out_dir must rewrite ONLY the
+    incomplete/missing shards — never append duplicate files into
+    completed ones — and a re-run after success is a no-op."""
+    import shutil
+
+    out = str(tmp_path / "shards")
+    first = q.export_shuffle_shards(tiny_sf, out)
+
+    # simulate a crashed export: one shard gone, one shard truncated
+    shutil.rmtree(os.path.join(out, "shard_id=1"))
+    d2 = os.path.join(out, "shard_id=2")
+    for f in os.listdir(d2):
+        os.remove(os.path.join(d2, f))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0], pa.int64())}), os.path.join(d2, "partial.parquet")
+    )
+    os.remove(os.path.join(out, "_manifest.json"))
+
+    again = q.export_shuffle_shards(tiny_sf, out)
+    assert again == first  # identical manifest, no doubled rows
+    back = pq.ParquetDataset(out).read().to_pandas()
+    assert sorted(back["doc_id"]) == list(range(150))
+
+    # idempotent after success
+    third = q.export_shuffle_shards(tiny_sf, out)
+    assert third == first
+
+
 def test_export_writes_partitioned_shards_with_manifest(ray_session, tiny_sf, tmp_path):
     out = str(tmp_path / "shards")
     manifest = q.export_shuffle_shards(tiny_sf, out)

@@ -107,6 +107,29 @@ class CrawlEngine:
             w.preimport.remote()
         self._prewarmed = False  # one prewarm per pool instance
 
+    def _check_cpu_budget(self) -> None:
+        """Actors reserve fractional CPUs for their LIFETIME (scheduler
+        shards 0.1, cuckoo shards 0.1, fetch workers 0.25); if the sum
+        exceeds the session's CPUs, Ray leaves the excess actors
+        PENDING forever and the first seed-insertion RPC hangs silently
+        (observed at num_cpus=2 with the default 8+8 shards). Called
+        BEFORE any actor is created — fail loudly with the fix."""
+        import ray
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        fetch = max(2, min(self.web_meta["n_buckets"], ncpu))
+        need = (
+            0.1 * self.cfg.num_scheduler_shards
+            + 0.1 * self.cfg.num_cuckoo_shards
+            + 0.25 * fetch
+        )
+        if need > ncpu:
+            raise RuntimeError(
+                f"crawl actor reservations need {need:.1f} CPUs but the Ray "
+                f"session has {ncpu}; raise num_cpus or lower "
+                f"num_scheduler_shards/num_cuckoo_shards in CrawlConfig"
+            )
+
     def _cfg_fp(self) -> str:
         """Fingerprint of everything that influences crawl ordering —
         persisted in every manifest; resume fails loudly on mismatch."""
@@ -124,6 +147,7 @@ class CrawlEngine:
         return shards
 
     def start_fresh(self) -> None:
+        self._check_cpu_budget()
         # fence off any prior run's rounds: a fresh (or shorter/different-
         # config) run into an existing store_dir must not leave stale
         # committed rounds that pages_table()/resume would later mix in
@@ -197,6 +221,7 @@ class CrawlEngine:
 
     def resume(self) -> bool:
         """Restore actors from the latest committed round. False if none."""
+        self._check_cpu_budget()
         last = self.store.latest_round()
         if last is None:
             return False

@@ -100,6 +100,32 @@ def test_ccnet_buckets_distributed_path_matches(ray_session, doc_sf, monkeypatch
     _cmp(got, want)
 
 
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 29, 100])
+def test_ntile_arithmetic_matches_sql(n):
+    """The engine's offset→bucket arithmetic (q_ccnet_buckets.assign)
+    must reproduce SQL ntile(3) for every group size, including
+    n < nbuckets and every remainder class — pure arithmetic, no Ray."""
+    nb = CCNET_NBUCKETS
+    rank = np.arange(n, dtype=np.int64)
+    q_, r = divmod(n, nb)
+    big = r * (q_ + 1)
+    nt = np.where(
+        rank < big,
+        rank // max(q_ + 1, 1) + 1,
+        r + (rank - big) // max(q_, 1) + 1,
+    ).astype(np.int64)
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT ntile({nb}) OVER (ORDER BY i) FROM range({n}) t(i) ORDER BY i"
+        )
+        .df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    assert (nt == want).all()
+
+
 @pytest.fixture()
 def emb_sf(tmp_path):
     rng = np.random.default_rng(7)
@@ -148,3 +174,20 @@ def test_spans_pack_matches_twin_over_fixture(ray_session):
     # media spans carry fixed costs
     img = eng[eng["kind"] == "image"]
     assert not img.empty and (img["cost"] == 64).all()
+
+
+def test_crawl_cpu_budget_guard(ray_session, tmp_path):
+    """An actor-reservation sum beyond the session's CPUs must raise
+    loudly BEFORE any actor is created (it used to hang the first
+    seed-insertion RPC forever — observed at num_cpus=2)."""
+    from freshonions_torscraper_ray.config import CrawlConfig
+    from freshonions_torscraper_ray.pipelines.crawl import CrawlEngine
+    from freshonions_torscraper_ray.synth import write_synth_web
+
+    web = tmp_path / "web"
+    web.mkdir()
+    write_synth_web(str(web), seed=1, n_domains=12, n_buckets=2)
+    cfg = CrawlConfig(num_scheduler_shards=40, num_cuckoo_shards=40, max_rounds=1)
+    eng = CrawlEngine(str(web), str(tmp_path / "store"), cfg)
+    with pytest.raises(RuntimeError, match="actor reservations"):
+        eng.start_fresh()

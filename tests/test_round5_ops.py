@@ -191,3 +191,34 @@ def test_crawl_cpu_budget_guard(ray_session, tmp_path):
     eng = CrawlEngine(str(web), str(tmp_path / "store"), cfg)
     with pytest.raises(RuntimeError, match="actor reservations"):
         eng.start_fresh()
+
+
+def test_word_pattern_cross_engine_contract():
+    """Arrow's RE2 count and DuckDB's regexp_extract_all must agree on
+    WORD_PATTERN token counts for arbitrary ASCII text — the contract
+    every kernel/twin pair in this repo rests on. Property-tested
+    beyond the fixture corpus."""
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from freshonions_torscraper_ray.functions.regexes import WORD_PATTERN
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.text(
+        alphabet="abcXYZ019_ .,;\t\n-#*'\"()!", min_size=0, max_size=120
+    ), min_size=1, max_size=20))
+    def check(texts):
+        arrow = pc.count_substring_regex(
+            pa.array(texts, pa.string()), WORD_PATTERN
+        ).to_pylist()
+        tbl = pa.table({"t": pa.array(texts, pa.string())})  # noqa: F841
+        duck = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(f"SELECT len(regexp_extract_all(t, '{WORD_PATTERN}')) FROM tbl")
+            .fetchall()
+        ]
+        assert arrow == duck
+
+    check()

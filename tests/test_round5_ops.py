@@ -222,3 +222,35 @@ def test_word_pattern_cross_engine_contract():
         assert arrow == duck
 
     check()
+
+
+def test_crawl_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
+    """The `ray job submit` entrypoint (scripts/crawl_job.py): fresh run
+    emits metrics and commits rounds; a --resume re-run restores from
+    the checkpoint and fetches nothing new (the web is already drained)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import crawl_job
+    finally:
+        sys.path.pop(0)
+    from freshonions_torscraper_ray.synth import write_synth_web
+
+    web = tmp_path / "web"
+    web.mkdir()
+    write_synth_web(str(web), seed=3, n_domains=12, n_buckets=2)
+    store = str(tmp_path / "store")
+
+    first = crawl_job.main([
+        "--web-dir", str(web), "--store-dir", store,
+        "--max-rounds", "3", "--scheduler-shards", "2", "--cuckoo-shards", "2",
+    ])
+    assert first["fetched_total"] > 0 and first["rounds"] >= 1
+
+    again = crawl_job.main([
+        "--web-dir", str(web), "--store-dir", store, "--resume",
+        "--max-rounds", "3", "--scheduler-shards", "2", "--cuckoo-shards", "2",
+    ])
+    assert again["resumed"] and again["fetched_total"] == first["fetched_total"]
+    assert again["fetched_this_run"] == 0

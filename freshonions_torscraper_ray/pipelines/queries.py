@@ -2453,8 +2453,13 @@ def q_ccnet_buckets(sf_dir: str):
         )
 
     def add_coarse(t: pa.Table) -> pa.Table:
+        # one-decimal strata: floor(10·ppl) — fine enough that a sorted
+        # group is a small slice of one language even on a narrow ppl
+        # range (this corpus spans ~2 ppl units ⇒ ~20 strata/lang);
+        # widen further for hotter strata — the offsets table stays
+        # driver-tiny regardless
         return t.append_column(
-            "coarse", pc.cast(pc.floor(t["ppl"]), pa.int64())
+            "coarse", pc.cast(pc.floor(pc.multiply(t["ppl"], 10.0)), pa.int64())
         )
 
     bucketed = scored.map_batches(add_coarse, batch_format="pyarrow").materialize()

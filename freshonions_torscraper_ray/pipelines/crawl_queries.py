@@ -438,7 +438,7 @@ def q_spans_strip_text(sf_dir: str):
     return _read_web_docs().map_batches(strip, batch_format="pyarrow")
 
 
-def q_spans_pack(sf_dir: str):
+def q_spans_pack(sf_dir: str, _docs=None):
     """Interleaved MULTIMODAL sequence packing — the step that turns
     interleaved text+media documents into fixed-token-budget training
     sequences (the MMC4/OBELICS layout): every span costs tokens
@@ -497,9 +497,8 @@ def q_spans_pack(sf_dir: str):
             names=["doc_id", "kind", "offset", "cost", "bucket"],
         )
 
-    spans = (
-        _read_web_docs().map_batches(explode_cost, batch_format="pyarrow").materialize()
-    )
+    docs = _docs if _docs is not None else _read_web_docs()
+    spans = docs.map_batches(explode_cost, batch_format="pyarrow").materialize()
     from ray.data.aggregate import Sum as _Sum
 
     sums = spans.groupby("bucket").aggregate(_Sum("cost", alias_name="s")).to_pandas()

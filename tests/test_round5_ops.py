@@ -254,3 +254,60 @@ def test_crawl_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
     ])
     assert again["resumed"] and again["fetched_total"] == first["fetched_total"]
     assert again["fetched_this_run"] == 0
+
+
+def test_spans_pack_bucketed_prefix_sum_on_random_webs(ray_session):
+    """Property: the order-preserving-bucket two-pass prefix sum equals
+    a single-pass cumsum over the global (doc_id, offset) order, for
+    randomized doc_id populations (shared and colliding 2-char domain
+    prefixes, many spans per doc, all modalities)."""
+    import random
+
+    import ray.data as rd
+
+    from freshonions_torscraper_ray.pipelines.crawl_queries import q_spans_pack
+    from freshonions_torscraper_ray.pipelines.params import PACK_SEQ_BUDGET
+
+    rng = random.Random(11)
+    kinds = ["title", "text", "link", "image", "video", "audio"]
+    rows = []
+    for _ in range(120):
+        dom = "".join(rng.choice("abcdefg234") for _ in range(8)) + ".onion"
+        path = "/" if rng.random() < 0.3 else f"/p/{rng.randrange(40)}"
+        doc_id = f"http://{dom}{path}"
+        spans, off = [], 0
+        for _ in range(rng.randrange(1, 7)):
+            k = rng.choice(kinds)
+            txt = "" if k in ("image", "video", "audio") else " ".join(
+                rng.choice(["tok", "word", "x9", "--", "a"]) for _ in range(rng.randrange(0, 30))
+            )
+            spans.append({"kind": k, "text": txt, "media_ref": "", "offset": off})
+            off += max(len(txt), 1)
+        rows.append({"doc_id": doc_id, "spans": spans})
+    # unique doc_ids only (duplicates would make the global order ambiguous)
+    seen, uniq = set(), []
+    for r in rows:
+        if r["doc_id"] not in seen:
+            seen.add(r["doc_id"])
+            uniq.append(r)
+
+    ds = rd.from_items(uniq).repartition(7)  # force multi-block layouts
+    got = q_spans_pack("unused", _docs=ds).to_pandas()
+
+    # single-pass reference: explode in python, one global cumsum
+    cost_of = {"image": 64, "video": 256, "audio": 128}
+    import re as _re
+
+    flat = []
+    for r in uniq:
+        for s in r["spans"]:
+            c = cost_of.get(s["kind"], len(_re.findall(r"[A-Za-z0-9_]+", s["text"])))
+            flat.append((r["doc_id"], s["offset"], s["kind"], c))
+    flat.sort(key=lambda t: (t[0], t[1]))
+    run, want = 0, {}
+    for doc_id, off, kind, c in flat:
+        want[(doc_id, off)] = run // PACK_SEQ_BUDGET
+        run += c
+    assert len(got) == len(flat)
+    for _, row in got.iterrows():
+        assert want[(row["doc_id"], row["offset"])] == row["seq_id"], row

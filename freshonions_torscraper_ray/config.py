@@ -107,3 +107,14 @@ class CrawlConfig:
 
 
 DEFAULT_CONFIG = CrawlConfig()
+
+
+# Lifetime CPU reservations of the crawl engine's persistent actors —
+# the SINGLE source the @ray.remote decorators (state/scheduler.py,
+# state/cuckoo.py, stages/fetch.py) and the pre-spawn budget guard
+# (pipelines/crawl.py::_check_cpu_budget) both read, so the guard
+# cannot drift from what is actually reserved.
+SCHED_SHARD_CPUS = 0.1
+SEEN_SHARD_CPUS = 0.1
+FETCH_WORKER_CPUS = 0.25
+SCHED_WRITE_TASK_CPUS = 0.05

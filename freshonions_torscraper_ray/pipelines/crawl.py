@@ -89,7 +89,7 @@ class CrawlEngine:
 
         FetchWorker = make_fetch_worker()
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        size = max(2, min(self.web_meta["n_buckets"], ncpu))
+        size = self._fetch_pool_size(ncpu)
         self.fetch_pool = [
             FetchWorker.remote(
                 i, self.docs_dir, self.web_meta["n_buckets"], self.cfg, self.seen_handles
@@ -107,28 +107,56 @@ class CrawlEngine:
             w.preimport.remote()
         self._prewarmed = False  # one prewarm per pool instance
 
+    def _fetch_pool_size(self, ncpu: int) -> int:
+        """Fetch-pool width — shared by _make_fetch_pool and the budget
+        guard so the guard can't drift from what actually spawns."""
+        return max(2, min(self.web_meta["n_buckets"], ncpu))
+
     def _check_cpu_budget(self) -> None:
-        """Actors reserve fractional CPUs for their LIFETIME (scheduler
-        shards 0.1, cuckoo shards 0.1, fetch workers 0.25); if the sum
-        exceeds the session's CPUs, Ray leaves the excess actors
-        PENDING forever and the first seed-insertion RPC hangs silently
-        (observed at num_cpus=2 with the default 8+8 shards). Called
-        BEFORE any actor is created — fail loudly with the fix."""
+        """Actors reserve fractional CPUs for their LIFETIME (the
+        SCHED_SHARD/SEEN_SHARD/FETCH_WORKER_CPUS constants the
+        @ray.remote decorators read); if the sum reaches what the
+        session has AVAILABLE, Ray leaves the excess actors — or the
+        per-round SCHED_WRITE_TASK_CPUS flush tasks — PENDING forever
+        and the run hangs silently (observed at num_cpus=2 with the
+        default 8+8 shards). Called BEFORE any actor is created — fail
+        loudly with the fix. Uses available (not total) resources so a
+        second live engine in the same session is accounted for, and
+        requires task headroom beyond the exact actor fit."""
+        from ..config import FETCH_WORKER_CPUS, SCHED_SHARD_CPUS, SCHED_WRITE_TASK_CPUS, SEEN_SHARD_CPUS
+
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        fetch = max(2, min(self.web_meta["n_buckets"], ncpu))
         need = (
-            0.1 * self.cfg.num_scheduler_shards
-            + 0.1 * self.cfg.num_cuckoo_shards
-            + 0.25 * fetch
+            SCHED_SHARD_CPUS * self.cfg.num_scheduler_shards
+            + SEEN_SHARD_CPUS * self.cfg.num_cuckoo_shards
+            + FETCH_WORKER_CPUS * self._fetch_pool_size(ncpu)
+            + SCHED_WRITE_TASK_CPUS  # headroom: round-commit flush tasks must schedule
         )
         if need > ncpu:
+            # can NEVER fit this session — definite, raise immediately
             raise RuntimeError(
-                f"crawl actor reservations need {need:.1f} CPUs but the Ray "
-                f"session has {ncpu}; raise num_cpus or lower "
+                f"crawl actor reservations need {need:.2f} CPUs but the Ray "
+                f"session has only {ncpu}; raise num_cpus or lower "
                 f"num_scheduler_shards/num_cuckoo_shards in CrawlConfig"
             )
+        # fits the session but maybe not what's currently free (another
+        # live engine, or ray.kill release lag from a just-shut-down
+        # one): give releases a grace window before declaring deadlock
+        deadline = time.monotonic() + 10.0
+        while True:
+            avail = float(ray.available_resources().get("CPU", ncpu))
+            if need <= avail:
+                return
+            if time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"crawl actor reservations need {need:.2f} CPUs but only "
+                    f"{avail:.2f} of {ncpu} are free after a 10 s grace "
+                    f"window — shut down other engines in this session "
+                    f"(CrawlEngine.shutdown) or raise num_cpus"
+                )
+            time.sleep(0.2)
 
     def _cfg_fp(self) -> str:
         """Fingerprint of everything that influences crawl ordering —
@@ -718,7 +746,8 @@ class CrawlEngine:
         return n
 
     def run(self, resume: bool = False) -> dict:
-        if not (resume and self.resume()):
+        resumed = bool(resume and self.resume())
+        if not resumed:
             self.start_fresh()
         total = 0
         while self.round < self.cfg.max_rounds:
@@ -734,7 +763,14 @@ class CrawlEngine:
                     continue
                 break
             total += n
-        return {"rounds": self.round, "fetched_total": self.fetch_order, "fetched_this_run": total}
+        return {
+            "rounds": self.round,
+            "fetched_total": self.fetch_order,
+            "fetched_this_run": total,
+            # what actually happened, not what was requested — a --resume
+            # against an empty store silently starts fresh by contract
+            "resumed": resumed,
+        }
 
     def shutdown(self) -> None:
         """Kill this engine's persistent actors (tests create several

@@ -690,13 +690,20 @@ def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
         return n_total - (n_shards - 1) * SHARD_ROWS
 
     def shard_rows(d: str) -> int:
-        return sum(
-            pq.read_metadata(os.path.join(d, f)).num_rows
-            for f in os.listdir(d)
-            if f.endswith(".parquet")
-        )
+        """Row count from parquet footers; -1 marks a shard holding a
+        truncated/footerless file (a crash mid-write) — incomplete by
+        definition, never a crash of the RESUME path itself."""
+        n = 0
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            try:
+                n += pq.read_metadata(os.path.join(d, f)).num_rows
+            except Exception:
+                return -1
+        return n
 
-    done: set[int] = set()
+    done: dict[int, int] = {}  # shard_id -> verified row count
     if os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
             if not name.startswith("shard_id="):
@@ -704,7 +711,7 @@ def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
             sid = int(name.split("=", 1)[1])
             d = os.path.join(out_dir, name)
             if 0 <= sid < n_shards and shard_rows(d) == expected(sid):
-                done.add(sid)
+                done[sid] = expected(sid)
             else:
                 shutil.rmtree(d)  # partial/stale shard: rewrite it
 
@@ -721,12 +728,15 @@ def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
             )
         assigned.write_parquet(out_dir, partition_cols=["shard_id"])
 
-    shards: dict[int, int] = {}
+    # manifest counts: verified-done counts carried from the scan; only
+    # directories written THIS run are (re)counted from their footers
+    shards: dict[int, int] = dict(done)
     for name in os.listdir(out_dir):
         if not name.startswith("shard_id="):
             continue
         sid = int(name.split("=", 1)[1])
-        shards[sid] = shard_rows(os.path.join(out_dir, name))
+        if sid not in shards:
+            shards[sid] = shard_rows(os.path.join(out_dir, name))
     manifest = {
         "seed": SHUFFLE_SEED,
         "shard_rows": SHARD_ROWS,

@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..config import CrawlConfig
+from ..config import FETCH_WORKER_CPUS, CrawlConfig
 from ..store import ContentStore
 
 RESULT_FIELDS = [
@@ -519,7 +519,7 @@ def make_fetch_worker():
     """
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    @ray.remote(num_cpus=FETCH_WORKER_CPUS)
     class FetchWorker:
         def __init__(self, actor_id: int, docs_dir: str, n_buckets: int, cfg, seen_handles):
             self.actor_id = actor_id

@@ -367,7 +367,9 @@ def make_seen_actor():
     module never touches Ray)."""
     import ray
 
-    @ray.remote(num_cpus=0.1)
+    from ..config import SEEN_SHARD_CPUS
+
+    @ray.remote(num_cpus=SEEN_SHARD_CPUS)
     class SeenShard:
         def __init__(self, shard_id: int, capacity: int = 1 << 20, seed: int = 42, state: bytes | None = None, deltas=None):
             if state is not None:

@@ -33,7 +33,7 @@ import pickle
 import numpy as np
 import pyarrow as pa
 
-from ..config import CrawlConfig
+from ..config import SCHED_SHARD_CPUS, SCHED_WRITE_TASK_CPUS, CrawlConfig
 from ..functions.robots import allowed, parse_disallow_prefixes
 
 # schedule-row schema (the scheduler owns the schedule representation;
@@ -527,7 +527,7 @@ class SchedulerShardState:
 def make_scheduler_actor():
     import ray
 
-    @ray.remote(num_cpus=0.05)
+    @ray.remote(num_cpus=SCHED_WRITE_TASK_CPUS)
     def _write_sched_part(table: pa.Table, path: str) -> int:
         """Schedule-part parquet write, offloaded from the merger's
         critical path (the merge wave gates fetch routing; the write
@@ -539,7 +539,7 @@ def make_scheduler_actor():
         _pq.write_table(table, path)
         return table.num_rows
 
-    @ray.remote(num_cpus=0.1)
+    @ray.remote(num_cpus=SCHED_SHARD_CPUS)
     class SchedulerShard:
         def __init__(self, shard_id: int, config: CrawlConfig, robots: dict[str, str], state: bytes | None = None, spill_dir: str | None = None, deltas: list[bytes] | None = None):
             if state is not None:

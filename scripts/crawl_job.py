@@ -106,7 +106,7 @@ def main(argv: list[str] | None = None) -> dict:
         "fetched_this_run": stats["fetched_this_run"],
         "seconds": round(sec, 3),
         "urls_per_sec": round(stats["fetched_this_run"] / sec, 1) if sec > 0 else 0.0,
-        "resumed": bool(args.resume),
+        "resumed": stats["resumed"],  # the engine's actual outcome
         "store_dir": args.store_dir,
     }
     print(json.dumps(out))

@@ -228,9 +228,11 @@ def test_crawl_job_entrypoint_runs_and_resumes(ray_session, tmp_path):
     """The `ray job submit` entrypoint (scripts/crawl_job.py): fresh run
     emits metrics and commits rounds; a --resume re-run restores from
     the checkpoint and fetches nothing new (the web is already drained)."""
+    import os
     import sys
 
-    sys.path.insert(0, "scripts")
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    sys.path.insert(0, scripts_dir)
     try:
         import crawl_job
     finally:

@@ -59,7 +59,9 @@ def test_export_resumes_without_duplicating_rows(ray_session, tiny_sf, tmp_path)
     out = str(tmp_path / "shards")
     first = q.export_shuffle_shards(tiny_sf, out)
 
-    # simulate a crashed export: one shard gone, one shard truncated
+    # simulate a crashed export: one shard gone, one shard truncated,
+    # and one holding a FOOTERLESS file (killed mid-write) — the scan
+    # must classify all three incomplete, never crash on the bad footer
     shutil.rmtree(os.path.join(out, "shard_id=1"))
     d2 = os.path.join(out, "shard_id=2")
     for f in os.listdir(d2):
@@ -67,6 +69,9 @@ def test_export_resumes_without_duplicating_rows(ray_session, tiny_sf, tmp_path)
     pq.write_table(
         pa.table({"doc_id": pa.array([0], pa.int64())}), os.path.join(d2, "partial.parquet")
     )
+    d0 = os.path.join(out, "shard_id=0")
+    with open(os.path.join(d0, "torn.parquet"), "wb") as fh:
+        fh.write(b"PAR1\x00\x00garbage-no-footer")
     os.remove(os.path.join(out, "_manifest.json"))
 
     again = q.export_shuffle_shards(tiny_sf, out)

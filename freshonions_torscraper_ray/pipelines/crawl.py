@@ -78,6 +78,7 @@ class CrawlEngine:
         # (rnd, tmp_dir, schedule_stage futures) pre-issued at the
         # previous round's commit tail; invalid whenever actors change
         self._pre_staged = None
+        self._poisoned = False  # set when a round throws mid-commit
         # hot-bucket split diagnostics (skew-aware repartitioning)
         self.last_hot_splits = 0
         self.hot_splits_total = 0
@@ -176,6 +177,7 @@ class CrawlEngine:
 
     def start_fresh(self) -> None:
         self._check_cpu_budget()
+        self._poisoned = False  # all actor state rebuilt below
         # fence off any prior run's rounds: a fresh (or shorter/different-
         # config) run into an existing store_dir must not leave stale
         # committed rounds that pages_table()/resume would later mix in
@@ -322,6 +324,7 @@ class CrawlEngine:
         for sid, blob in zip(sched_base["shard_id"].to_pylist(), sched_base["state_bytes"].to_pylist()):
             self.sched_handles[sid] = Sched.remote(sid, self.cfg, {}, state=blob, deltas=sched_deltas[sid])
         self._make_fetch_pool()
+        self._poisoned = False  # all actor state rebuilt from the checkpoint
         meta = self.store.read_manifest(last)["meta"]
         self.fetch_order = meta["next_fetch_order"]
         self.round = last
@@ -331,6 +334,25 @@ class CrawlEngine:
     # ---------------------------------------------------------- rounds
 
     def run_round(self) -> int | None:
+        """Poison-guarded wrapper — see _run_round for the semantics. A
+        round that THROWS leaves irreversibly-mutated actor state (the
+        pre-staged schedule pop, drained checkpoint delta buffers), so
+        this engine instance must not run further rounds in-process;
+        recovery is restart + resume from the last committed checkpoint
+        (exact — rounds are deterministic). The guard turns the
+        documented contract into an enforced one."""
+        if self._poisoned:
+            raise RuntimeError(
+                "engine poisoned by an earlier failed round; restart and "
+                "CrawlEngine.resume from the last committed checkpoint"
+            )
+        try:
+            return self._run_round()
+        except Exception:
+            self._poisoned = True
+            raise
+
+    def _run_round(self) -> int | None:
         """Execute one crawl round; returns #urls fetched, or None if the
         round had nothing at all (no fetches AND no bans → not committed).
 

@@ -14,7 +14,7 @@ O13), while the north rule mandates a bloom/cuckoo structure for the
   reference's.
 
 Sharding: ``hash64_signed(url) % num_shards`` — the fetch actors group
-candidates by shard and issue ``accept`` RPCs; ``flush_round`` commits a
+candidates by shard and issue ``accept`` RPCs; ``flush_round_cols`` commits a
 round's accepted URLs. Checkpoints are incremental: full (filter table +
 digest bytes) on a periodic base, (digest, hash) deltas between; restore
 replays deltas over the newest full base.
@@ -209,6 +209,9 @@ class SeenShardState:
         # (160 GB at 10^10 URLs), so serializing it fully per round is the
         # scale blocker; deltas are O(new URLs per interval).
         self._delta: list[tuple[bytes, int]] = []
+        # round-local accepted candidates (url -> frontier row), committed
+        # by flush_round_cols; MUST be empty at checkpoint time
+        self.round_acc: dict = {}
 
     def add_if_new(self, urls: list[str]) -> list[bool]:
         """For each url (this shard's partition): True if newly added.
@@ -236,7 +239,7 @@ class SeenShardState:
     # all-to-all): each shard ACCUMULATES its partition's candidates for
     # the current round, resolving within-round duplicates to the minimum
     # discovered_seq in-actor (actors serialize calls, so arrival order
-    # cannot matter). ``flush_round`` then commits digests to the
+    # cannot matter). ``flush_round_cols`` then commits digests to the
     # cuckoo+exact structures and hands the surviving frontier rows out
     # for scheduler routing. Exactly the semantics of the former
     # groupby(url).min(seq) pass, without moving every candidate twice.
@@ -245,9 +248,7 @@ class SeenShardState:
         """cols: (urls, domains, depths, priorities, seqs) — parallel
         lists, this shard's hash partition (columnar: pickling five flat
         lists is ~5x cheaper than 100k tuples). Returns #rows accepted."""
-        acc = getattr(self, "round_acc", None)
-        if acc is None:
-            acc = self.round_acc = {}
+        acc = self.round_acc
         urls, domains, depths, priorities, seqs = cols
         n = 0
         exact = self.exact
@@ -260,7 +261,8 @@ class SeenShardState:
             cur = acc.get(url)
             if cur is None or seq < cur[3]:
                 acc[url] = (domains[i], depths[i], priorities[i], seq, dg)
-                n += 1
+                if cur is None:  # min-seq updates don't add a row
+                    n += 1
         return n
 
     def _insert_filter(self, h: int) -> None:
@@ -271,32 +273,14 @@ class SeenShardState:
         if not self.degraded and not self.cuckoo.insert_hash(h):
             self.degraded = True
 
-    def flush_round(self) -> list[tuple]:
-        """Commit this round's accepted URLs to the seen structures and
-        return their frontier rows (url, domain, depth, priority, seq)."""
-        acc = getattr(self, "round_acc", None)
-        if not acc:
-            self.round_acc = {}
-            return []
-        out = []
-        for url, (domain, depth, priority, seq, dg) in acc.items():
-            h = digest_hash64(dg)
-            self.exact.add(dg)
-            self._delta.append((dg, h))
-            self._insert_filter(h)
-            out.append((url, domain, depth, priority, seq))
-        self.round_acc = {}
-        return out
-
     def flush_round_cols(self) -> tuple | None:
         """Columnar flush: commit and return (urls, domains, depths,
         priorities, seqs) parallel lists, or None if empty. Vectorized:
         one ``hash64_array`` pass + batch set/list extends + the batch
         cuckoo insert — the per-URL Python loop was a measured slice of
         the per-round serial flush chain (85 ms / 16k rows / shard)."""
-        acc = getattr(self, "round_acc", None)
+        acc = self.round_acc
         if not acc:
-            self.round_acc = {}
             return None
         urls = list(acc.keys())
         domains, depths, prios, seqs, dgs = map(list, zip(*acc.values()))
@@ -313,7 +297,19 @@ class SeenShardState:
     def __len__(self) -> int:
         return len(self.exact)
 
+    def _check_flushed(self) -> None:
+        """Checkpointing mid-round would SILENTLY drop the accepted-but-
+        unflushed candidates (round_acc is round-local, not serialized);
+        the engine always flushes before checkpointing — enforce it."""
+        if self.round_acc:
+            raise RuntimeError(
+                f"seen shard {self.shard_id}: checkpoint requested with "
+                f"{len(self.round_acc)} unflushed accepted candidates — "
+                "call flush_round_cols() first"
+            )
+
     def state_bytes(self) -> bytes:
+        self._check_flushed()
         # full checkpoint supersedes any pending delta
         self._delta = []
         # set iteration order is process-dependent but checkpoint equality
@@ -330,7 +326,12 @@ class SeenShardState:
     def delta_bytes(self) -> bytes:
         """Incremental checkpoint: (digest, hash) pairs added since the
         last full/delta checkpoint. Resets the delta buffer — the caller
-        commits this blob in the same round manifest."""
+        commits this blob in the same round manifest. A FAILED commit
+        after this call must not reuse the engine in-process (the
+        drained delta would be lost from the chain) — CrawlEngine
+        enforces that via its commit-failure poisoning; recovery is
+        restart + resume from the last committed round."""
+        self._check_flushed()
         digests = b"".join(d for d, _ in self._delta)
         hashes = np.array([h for _, h in self._delta], dtype=np.uint64)
         self._delta = []
@@ -357,6 +358,7 @@ class SeenShardState:
         s.exact = {raw[i : i + 16] for i in range(0, len(raw), 16)}
         s.degraded = d.get("degraded", False)
         s._delta = []
+        s.round_acc = {}
         for blob in deltas or []:
             s.apply_delta_bytes(blob)
         return s
@@ -382,9 +384,6 @@ def make_seen_actor():
 
         def accept(self, rows) -> int:
             return self.s.accept(rows)
-
-        def flush_round(self):
-            return self.s.flush_round()
 
         def _partition_cols(self, cols, n_sched: int) -> list:
             """Vectorized domain-hash partition of flushed columns into

@@ -76,6 +76,8 @@ def owner_grouped_blocks(
     order."""
     from ..functions.hashing import hash64_array
 
+    if sched.num_rows == 0:
+        return []  # np.diff/bs[0] below assume at least one row
     doms = sched["domain"].to_pylist()
     buckets = hash64_array(doms) % n_buckets
     owners = buckets % pool_size
@@ -182,6 +184,17 @@ class SchedulerShardState:
         self.spill_dir = spill_dir
         self.banned_rows: list[tuple[str, str]] = []  # (url, domain) awaiting drain
         self._dirty: set[str] = set()  # domains mutated since last checkpoint
+        # spill-run GC (two-phase, checkpoint-aligned): exhausted run
+        # files are deletable only once a LATER checkpoint no longer
+        # references them — at serialization k, files exhausted before
+        # serialization k-1 are unreferenced in every resume target
+        # (a failed commit poisons the engine, so commit k-1 succeeded
+        # if serialization k is happening). Without GC the spill dir
+        # grows without bound at the 10^10-URL frontier scale.
+        self._exhausted: list[str] = []  # removed from runs since last ckpt
+        self._gc_ready: list[str] = []  # unreferenced since the PREVIOUS ckpt
+        self.spill_runs_created = 0  # monotonic spill evidence (never GC'd)
+        self.spill_runs_gced = 0
 
     # ------------------------------------------------------ insert path
 
@@ -299,6 +312,7 @@ class SchedulerShardState:
                 nxt = tail[i + chunk][:3] if i + chunk < len(tail) else None
                 pickle.dump((nxt, part), f, protocol=pickle.HIGHEST_PROTOCOL)
         d.runs.append([path, 0, len(tail), tail[0][:3]])
+        self.spill_runs_created += 1
 
     def _refill(self, d: DomainState) -> list[tuple]:
         """Read ONE frame from the run with the smallest front key."""
@@ -310,6 +324,7 @@ class SchedulerShardState:
         r[2] -= len(entries)
         if nxt is None:
             d.runs.remove(r)
+            self._exhausted.append(r[0])  # GC'd two checkpoints later
         else:
             r[3] = nxt
         return entries
@@ -461,9 +476,23 @@ class SchedulerShardState:
         )
         return d
 
+    def _gc_spill_runs(self) -> None:
+        """Delete run files unreferenced since the previous checkpoint
+        and advance the two-phase queue (called at every checkpoint
+        serialization — full or delta)."""
+        import contextlib
+
+        for p in self._gc_ready:
+            with contextlib.suppress(OSError):
+                os.remove(p)
+            self.spill_runs_gced += 1
+        self._gc_ready = self._exhausted
+        self._exhausted = []
+
     def state_bytes(self) -> bytes:
         """Full checkpoint (spill runs stay on disk — only their metadata
         serializes, keeping checkpoints O(in-memory state))."""
+        self._gc_spill_runs()
         self._dirty = set()
         return pickle.dumps(
             {
@@ -478,7 +507,11 @@ class SchedulerShardState:
 
     def delta_bytes(self) -> bytes:
         """Incremental checkpoint: only domains mutated since the last
-        full/delta checkpoint (plus the banned buffer)."""
+        full/delta checkpoint (plus the banned buffer). Drains the dirty
+        set — a FAILED commit after this call must not reuse the engine
+        in-process (CrawlEngine's commit-failure poisoning enforces the
+        restart + resume recovery contract)."""
+        self._gc_spill_runs()
         dirty = self._dirty
         self._dirty = set()
         return pickle.dumps(
@@ -666,6 +699,9 @@ def make_scheduler_actor():
 
         def frontier_rows(self):
             return self.s.frontier_rows()
+
+        def spill_stats(self):
+            return (self.s.spill_runs_created, self.s.spill_runs_gced)
 
         def banned_buffer(self):
             return self.s.banned_buffer()

@@ -95,45 +95,34 @@ class RoundStore:
         os.makedirs(tmp)
         return tmp
 
-    def finish_round(self, rnd: int, tables: dict[str, pa.Table], meta: dict | None = None) -> None:
-        """Write the small driver-side tables into the staged dir, then
-        rename + manifest (the atomic commit point)."""
-        rdir = self._round_dir(rnd)
-        tmp = rdir + ".tmp"
-        manifest = {"round": rnd, "tables": {}, "meta": meta or {}}
-        for name, table in tables.items():
-            tdir = os.path.join(tmp, name)
-            os.makedirs(tdir, exist_ok=True)
-            # checkpoint blobs are pre-packed binary (sparse filters,
-            # pickles) — parquet compression only burns driver CPU there
-            comp = "none" if name.endswith("_ckpt") else "snappy"
-            pq.write_table(table, os.path.join(tdir, "part-0.parquet"), compression=comp)
-            manifest["tables"][name] = {"rows": table.num_rows}
-        os.rename(tmp, rdir)
-        _write_manifest_atomic(rdir, manifest)
-
-    def commit_round(self, rnd: int, tables: dict[str, object], meta: dict | None = None) -> None:
-        """Write all tables then the manifest (atomic commit point).
+    def finish_round(self, rnd: int, tables: dict[str, object], meta: dict | None = None, clear: bool = False) -> None:
+        """Write the given tables into the staged dir, then rename +
+        manifest — manifest written LAST is the atomic commit point (tmp
+        + rename, so a torn write can never masquerade as committed).
 
         Values may be pyarrow Tables (written driver-side — small state/
         metrics tables) or ray.data Datasets (written DISTRIBUTED via
-        write_parquet — pages/links/etc. never pass through the driver).
-        A crashed run leaves a manifest-less directory which the next run
-        overwrites — rounds are idempotent (determinism makes re-running
-        round k produce identical bytes).
-        """
+        write_parquet — bulk tables never pass through the driver).
+        ``clear=True`` resets any prior staging/committed attempt first
+        (the standalone-commit form; the round loop instead stages via
+        :meth:`begin_round`). A crashed run leaves a manifest-less
+        directory which the next run overwrites — rounds are idempotent
+        (determinism makes re-running round k produce identical bytes)."""
         rdir = self._round_dir(rnd)
         tmp = rdir + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        if os.path.exists(rdir):
-            shutil.rmtree(rdir)
-        os.makedirs(tmp)
+        if clear:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            if os.path.exists(rdir):
+                shutil.rmtree(rdir)
+            os.makedirs(tmp)
         manifest = {"round": rnd, "tables": {}, "meta": meta or {}}
         for name, table in tables.items():
             tdir = os.path.join(tmp, name)
             if isinstance(table, pa.Table):
-                os.makedirs(tdir)
+                os.makedirs(tdir, exist_ok=True)
+                # checkpoint blobs are pre-packed binary (sparse filters,
+                # pickles) — parquet compression only burns driver CPU there
                 comp = "none" if name.endswith("_ckpt") else "snappy"
                 pq.write_table(table, os.path.join(tdir, "part-0.parquet"), compression=comp)
                 manifest["tables"][name] = {"rows": table.num_rows}
@@ -141,9 +130,12 @@ class RoundStore:
                 table.write_parquet(tdir)
                 manifest["tables"][name] = {"rows": -1}
         os.rename(tmp, rdir)
-        # manifest written last = the commit (atomically: tmp + rename,
-        # so a torn write can never masquerade as a committed round)
         _write_manifest_atomic(rdir, manifest)
+
+    def commit_round(self, rnd: int, tables: dict[str, object], meta: dict | None = None) -> None:
+        """Standalone commit (clears prior attempts) — finish_round with
+        clear=True; one write-then-manifest implementation."""
+        self.finish_round(rnd, tables, meta, clear=True)
 
     def read(self, rnd: int, name: str) -> pa.Table:
         tdir = os.path.join(self._round_dir(rnd), name)
@@ -259,7 +251,14 @@ class ContentStore:
         the first round boundary's idle window — otherwise the rare
         buckets first touched in a sparse tail round concentrate their
         parse cost on one worker while the rest of the pool idles (the
-        measured tail-round straggler term)."""
+        measured tail-round straggler term).
+
+        Extends the LRU cap to hold everything warmed — without this,
+        warming more than MAX_CACHED_BUCKETS buckets would evict its own
+        earlier loads and report success while silently thrashing (the
+        guarantee lives with the mechanism, not a far-away caller)."""
+        buckets = list(buckets)
+        self.MAX_CACHED_BUCKETS = max(self.MAX_CACHED_BUCKETS, len(buckets) + 1)
         n = 0
         for b in buckets:
             if b not in self._index:

@@ -52,8 +52,20 @@ def test_spill_crawl_matches_oracle(web_dir, tmp_path_factory, oracle_result, ra
     eng = CrawlEngine(web_dir, str(store), CFG)
     eng.run()
     try:
+        import ray as _ray
+
+        created = sum(
+            c for c, _ in _ray.get([h.spill_stats.remote() for h in eng.sched_handles])
+        )
+        gced = sum(
+            g for _, g in _ray.get([h.spill_stats.remote() for h in eng.sched_handles])
+        )
+        assert created > 0, "tiny frontier bounds must force disk spill runs"
+        # checkpoint-boundary GC reclaims exhausted run files: every
+        # created file is either still on disk or was collected
         spill_files = glob.glob(f"{store}/frontier_spill/*/*.run")
-        assert spill_files, "tiny frontier bounds must force disk spill runs"
+        assert len(spill_files) == created - gced
+        assert gced > 0, "exhausted spill runs must be garbage-collected"
         assert eng.crawl_order() == oracle_result.crawl_order
         assert seen_set(eng) == oracle_result.seen
         import ray

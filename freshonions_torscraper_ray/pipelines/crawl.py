@@ -143,19 +143,25 @@ class CrawlEngine:
                 f"num_scheduler_shards/num_cuckoo_shards in CrawlConfig"
             )
         # fits the session but maybe not what's currently free (another
-        # live engine, or ray.kill release lag from a just-shut-down
-        # one): give releases a grace window before declaring deadlock
-        deadline = time.monotonic() + 10.0
+        # live engine, ray.kill release lag from a just-shut-down one,
+        # or transient Ray Data tasks): give releases a grace window
+        # before declaring deadlock. NOTE: when everything is reserved,
+        # available_resources() omits the 'CPU' key entirely — the
+        # default must be 0.0, not ncpu, or the zero-free case (exactly
+        # the hang this guard exists for) passes silently.
+        grace = float(os.environ.get("ONIONRAY_CPU_GRACE_SEC", "10"))
+        deadline = time.monotonic() + grace
         while True:
-            avail = float(ray.available_resources().get("CPU", ncpu))
+            avail = float(ray.available_resources().get("CPU", 0.0))
             if need <= avail:
                 return
             if time.monotonic() >= deadline:
                 raise RuntimeError(
                     f"crawl actor reservations need {need:.2f} CPUs but only "
-                    f"{avail:.2f} of {ncpu} are free after a 10 s grace "
-                    f"window — shut down other engines in this session "
-                    f"(CrawlEngine.shutdown) or raise num_cpus"
+                    f"{avail:.2f} of {ncpu} are free after a {grace:.0f} s "
+                    f"grace window — shut down other engines in this session "
+                    f"(CrawlEngine.shutdown), wait for long-running Ray "
+                    f"tasks, raise num_cpus, or raise ONIONRAY_CPU_GRACE_SEC"
                 )
             time.sleep(0.2)
 
@@ -176,6 +182,11 @@ class CrawlEngine:
         return shards
 
     def start_fresh(self) -> None:
+        if self.seen_handles or self.sched_handles or self.fetch_pool:
+            # this engine's own previous actors hold reservations; kill
+            # them BEFORE the budget check or it counts them as foreign
+            # load (the grace window then absorbs the kill-release lag)
+            self.shutdown()
         self._check_cpu_budget()
         self._poisoned = False  # all actor state rebuilt below
         # fence off any prior run's rounds: a fresh (or shorter/different-
@@ -251,10 +262,12 @@ class CrawlEngine:
 
     def resume(self) -> bool:
         """Restore actors from the latest committed round. False if none."""
-        self._check_cpu_budget()
         last = self.store.latest_round()
         if last is None:
-            return False
+            return False  # budget check only once a restore will happen
+        if self.seen_handles or self.sched_handles or self.fetch_pool:
+            self.shutdown()  # see start_fresh — own actors aren't foreign load
+        self._check_cpu_budget()
         # with checkpoint_interval > 1, walk back to the latest round that
         # carries actor state; later committed rounds are re-run (exact:
         # rounds are deterministic). Idle rounds leave manifest GAPS —

@@ -729,14 +729,23 @@ def export_shuffle_shards(sf_dir: str, out_dir: str) -> dict:
         assigned.write_parquet(out_dir, partition_cols=["shard_id"])
 
     # manifest counts: verified-done counts carried from the scan; only
-    # directories written THIS run are (re)counted from their footers
+    # directories written THIS run are (re)counted from their footers.
+    # The torn-file tolerance belongs ONLY to the resume scan — a torn
+    # file inside a freshly written shard is corruption and fails loudly
+    # rather than flowing a -1 sentinel into the manifest.
     shards: dict[int, int] = dict(done)
     for name in os.listdir(out_dir):
         if not name.startswith("shard_id="):
             continue
         sid = int(name.split("=", 1)[1])
         if sid not in shards:
-            shards[sid] = shard_rows(os.path.join(out_dir, name))
+            n = shard_rows(os.path.join(out_dir, name))
+            if n < 0:
+                raise RuntimeError(
+                    f"shard_id={sid} written this run contains a torn/"
+                    "footerless parquet file — export output is corrupt"
+                )
+            shards[sid] = n
     manifest = {
         "seed": SHUFFLE_SEED,
         "shard_rows": SHARD_ROWS,

@@ -480,11 +480,11 @@ class SchedulerShardState:
         """Delete run files unreferenced since the previous checkpoint
         and advance the two-phase queue (called at every checkpoint
         serialization — full or delta)."""
-        import contextlib
-
         for p in self._gc_ready:
-            with contextlib.suppress(OSError):
+            try:
                 os.remove(p)
+            except OSError:
+                continue  # failed removes must not count as collected
             self.spill_runs_gced += 1
         self._gc_ready = self._exhausted
         self._exhausted = []
@@ -554,6 +554,22 @@ class SchedulerShardState:
                 f"runs are node-local scratch outside round commits — restore on the "
                 f"node that owns the spill dir, or restart the crawl fresh."
             )
+        # Orphan sweep: the pending-GC queues are NOT serialized, so
+        # files exhausted-but-uncollected at a crash would leak forever
+        # across restart cycles (the designed recovery path). The spill
+        # dir is per-shard, so anything in it NOT referenced by a
+        # restored run is garbage — including files from rounds beyond
+        # this checkpoint, which the deterministic replay re-creates.
+        if s.spill_dir and os.path.isdir(s.spill_dir):
+            referenced = {run[0] for dom in s.domains.values() for run in dom.runs}
+            for fn in os.listdir(s.spill_dir):
+                p = os.path.join(s.spill_dir, fn)
+                if fn.endswith(".run") and p not in referenced:
+                    try:
+                        os.remove(p)
+                        s.spill_runs_gced += 1
+                    except OSError:
+                        pass
         return s
 
 

@@ -54,12 +54,9 @@ def test_spill_crawl_matches_oracle(web_dir, tmp_path_factory, oracle_result, ra
     try:
         import ray as _ray
 
-        created = sum(
-            c for c, _ in _ray.get([h.spill_stats.remote() for h in eng.sched_handles])
-        )
-        gced = sum(
-            g for _, g in _ray.get([h.spill_stats.remote() for h in eng.sched_handles])
-        )
+        stats = _ray.get([h.spill_stats.remote() for h in eng.sched_handles])
+        created = sum(c for c, _ in stats)
+        gced = sum(g for _, g in stats)
         assert created > 0, "tiny frontier bounds must force disk spill runs"
         # checkpoint-boundary GC reclaims exhausted run files: every
         # created file is either still on disk or was collected
